@@ -1,0 +1,104 @@
+"""Command-line interface.
+
+The reference declares a console script that doesn't exist (``setup.py:56``
+points at a missing ``msm_we/cli.py`` -- SURVEY.md C24). Here the entry point
+is real: it exposes the haMSM build pipeline and a synthetic-data generator,
+primarily for smoke-testing and benchmarking.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="msm-we-tpu",
+        description="TPU-native haMSM estimation from weighted-ensemble data",
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    gen = sub.add_parser("generate", help="Generate a synthetic WE dataset (west.h5)")
+    gen.add_argument("output", help="Output west.h5 path")
+    gen.add_argument("--iterations", type=int, default=50)
+    gen.add_argument("--segments", type=int, default=32)
+    gen.add_argument("--seed", type=int, default=0)
+
+    build = sub.add_parser("build", help="Build an haMSM from west.h5 files")
+    build.add_argument("h5files", nargs="+", help="Input west.h5 paths")
+    build.add_argument("--n-clusters", type=int, default=10)
+    build.add_argument("--basis", type=float, nargs=2, required=True,
+                       help="Basis pcoord bounds (lower upper)")
+    build.add_argument("--target", type=float, nargs=2, required=True,
+                       help="Target pcoord bounds (lower upper)")
+    build.add_argument("--tau", type=float, default=1.0)
+    build.add_argument("--output", default=None, help="Write results as JSON here")
+
+    info = sub.add_parser("info", help="Print package/device info")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "info":
+        import jax
+
+        from . import __version__
+
+        print(f"msm_we_tpu {__version__}")
+        print(f"jax backend: {jax.default_backend()}")
+        print(f"devices: {jax.devices()}")
+        return 0
+
+    if args.command == "generate":
+        from .data.synthetic import generate_west_h5
+
+        path = generate_west_h5(
+            args.output,
+            n_iterations=args.iterations,
+            n_segments=args.segments,
+            seed=args.seed,
+        )
+        print(f"Wrote synthetic WE dataset to {path}")
+        return 0
+
+    if args.command == "build":
+        from .model import modelWE
+
+        model = modelWE()
+        model.initialize(
+            args.h5files,
+            {"coords": None, "nAtoms": 1, "coord_ndim": 3},
+            "cli_model",
+            basis_pcoord_bounds=[list(args.basis)],
+            target_pcoord_bounds=[list(args.target)],
+            dim_reduce_method="none",
+            tau=args.tau,
+            _suppress_boundary_warning=True,
+        )
+        model.get_iterations()
+        model.get_coordSet(model.maxIter)
+        model.dimReduce()
+        model.cluster_coordinates(n_clusters=args.n_clusters, stratified=False)
+        model.get_fluxMatrix(0)
+        model.organize_fluxMatrix()
+        model.get_Tmatrix()
+        model.get_steady_state()
+        model.get_steady_state_target_flux()
+
+        results = {
+            "n_clusters": int(model.n_clusters),
+            "JtargetSS": float(model.JtargetSS),
+            "pSS": [float(x) for x in model.pSS],
+        }
+        print(json.dumps(results, indent=2))
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(results, f)
+        return 0
+
+    parser.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Tier-1 golden tests for the matrix FPT engines.
+
+Golden values are exact mathematical outcomes for the seeded random stochastic
+matrix, matching the reference test suite (tests/test_fpt.py there) -- they are
+portable specifications of the math, independent of implementation.
+"""
+import numpy as np
+
+import msm_we_tpu.utils as utils
+from msm_we_tpu.msm.fpt import MarkovFPT, MatrixFPT
+
+
+def _seeded_matrix():
+    return utils.random_markov_matrix(5, seed=1)
+
+
+def test_markov_fpt_mean():
+    markov_mfpts = MarkovFPT.mean_fpts(_seeded_matrix(), [0], [4])
+    assert np.isclose(markov_mfpts["mfptAB"], 6.420918178038423)
+    assert np.isclose(markov_mfpts["mfptBA"], 4.920174169581114)
+
+
+def test_matrix_fpt_directional():
+    directional_mfpt = MatrixFPT.directional_mfpt(_seeded_matrix(), [0], [4], [1])
+    assert np.isclose(directional_mfpt, 6.420918178038424)
+
+
+def test_matrix_fpt_to_target_microstate():
+    mfpts_to_micro = MatrixFPT.mfpts_to_target_microstate(_seeded_matrix(), 4)
+    result = np.array([6.42091818, 5.35994556, 7.24671735, 6.81752892, 0.0])
+    assert np.allclose(mfpts_to_micro, result)
+
+
+def test_matrix_fpt_matrix():
+    mfpts_matrix = MatrixFPT.mfpts_matrix(_seeded_matrix())
+    result = np.array(
+        [
+            [0.0, 2.62899481, 7.65074814, 4.37254081, 6.42091818],
+            [5.58481382, 0.0, 6.21851058, 4.00702426, 5.35994556],
+            [4.98545579, 3.15239528, 0.0, 3.43921253, 7.24671735],
+            [4.37802054, 3.33697554, 6.03713191, 0.0, 6.81752892],
+            [4.92017417, 3.26320798, 7.20000135, 4.36442835, 0.0],
+        ]
+    )
+    assert np.allclose(mfpts_matrix, result)
+
+
+def test_min_commute_time():
+    mfpts_matrix = MatrixFPT.mfpts_matrix(_seeded_matrix())
+    min_comm_time, a, b = MatrixFPT.min_commute_time(mfpts_matrix)
+    assert np.isclose(min_comm_time, 7.343999799826479)
+    assert a == 1
+    assert b == 3
+
+
+def test_max_commute_time():
+    mfpts_matrix = MatrixFPT.mfpts_matrix(_seeded_matrix())
+    max_comm_time, a, b = MatrixFPT.max_commute_time(mfpts_matrix)
+    assert np.isclose(max_comm_time, 14.446718700939037)
+    assert a == 2
+    assert b == 4
+
+
+def test_fpt_distribution():
+    fpt_distribution = MatrixFPT.fpt_distribution(
+        _seeded_matrix(), [0], [4], [0.5], max_n_lags=10
+    )
+    result = [
+        [0.0, 0.0],
+        [1.0, 0.11289507],
+        [2.0, 0.24431041],
+        [3.0, 0.13232006],
+        [4.0, 0.11478687],
+        [5.0, 0.0968178],
+        [6.0, 0.08185738],
+        [7.0, 0.06886433],
+        [8.0, 0.05804509],
+        [9.0, 0.04890027],
+        [10.0, 0.04120272],
+    ]
+    assert np.allclose(fpt_distribution, result)
+
+
+def test_fpt_distribution_log():
+    fpt_distribution = MatrixFPT.fpt_distribution(
+        _seeded_matrix(),
+        [0],
+        [4],
+        [0.5],
+        max_n_lags=10,
+        clean_recycling=True,
+        logscale=True,
+    )
+    result = [
+        [0.00000000e000, 0.00000000e000],
+        [1.00000000e001, 1.00000000e000],
+        [1.66000000e002, 3.85697122e-011],
+        [2.78200000e003, 1.48701736e-204],
+        [4.64150000e004, 0.00000000e000],
+        [7.74263000e005, 0.00000000e000],
+        [1.29154960e007, 0.00000000e000],
+        [2.15443469e008, 0.00000000e000],
+        [3.59381366e009, 0.00000000e000],
+        [5.99484250e010, 0.00000000e000],
+        [1.00000000e012, 0.00000000e000],
+    ]
+    assert np.allclose(fpt_distribution, result)
