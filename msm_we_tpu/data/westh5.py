@@ -1,0 +1,214 @@
+"""Host-side WESTPA ``west.h5`` ingest.
+
+Capability parity with the reference DataMixin (``_hamsm/_data.py``):
+multi-file datasets, per-iteration ``seg_index`` (weights, parent ids),
+``pcoord``, and augmented coordinates under ``auxdata/<auxpath>``; parent/child
+coordinate pairs from frames 0 and -1 (``get_transition_data_lag0``,
+``_data.py:254-320``); NaN coordinates zero the segment's transition weight
+(``_data.py:303-313``). An iteration is usable only when the *next* iteration
+also exists in the same file (the last iteration is incomplete,
+``_data.py:859-866``).
+
+Redesign: instead of a mutable god-object re-reading HDF5 per call, the reader
+scans once, caches per-iteration index data (tiny), and streams coordinate
+blocks on demand -- either per iteration or padded into fixed-shape device
+batches (segments padded to the per-dataset max, weight 0 on padding), the
+layout the jitted TPU pipeline consumes.
+"""
+from __future__ import annotations
+
+import h5py
+import numpy as np
+
+from .._logging import log
+
+__all__ = ["WEDataset"]
+
+
+def _iter_name(n):
+    return f"iterations/iter_{int(n):08d}"
+
+
+class WEDataset:
+    """Immutable view over one or more west.h5 files.
+
+    Parameters
+    ----------
+    file_list: list of paths to west.h5 files (segments of an iteration may be
+        spread over several files; reference ``_data.py:271-277``).
+    pcoord_ndim: number of progress-coordinate dimensions to load (extra dims
+        in the file are ignored, matching ``_data.py:878-889``).
+    auxpath: name of the augmented-coordinate dataset under ``auxdata/``.
+    """
+
+    def __init__(self, file_list, pcoord_ndim=1, auxpath="coord"):
+        if isinstance(file_list, str):
+            file_list = file_list.split(" ")
+        self.file_list = list(file_list)
+        self.pcoord_ndim = int(pcoord_ndim)
+        self.auxpath = auxpath
+
+        self._iter_index = {}  # n_iter -> list of (file_idx, n_segs)
+        self._scan()
+
+        # Per-iteration caches populated lazily
+        self._iter_data = {}
+
+    # ------------------------------------------------------------------ scan
+    def _scan(self):
+        """Find every usable iteration and its segment counts per file."""
+        num_segments = []
+        n_iter = 1
+        while True:
+            per_file = []
+            total = 0
+            for file_idx, path in enumerate(self.file_list):
+                with h5py.File(path, "r") as h5:
+                    name = _iter_name(n_iter)
+                    has_it = f"{name}/seg_index" in h5
+                    has_next = f"{_iter_name(n_iter + 1)}/seg_index" in h5
+                    if has_it and has_next:
+                        n = h5[f"{name}/seg_index"].shape[0]
+                        per_file.append((file_idx, n))
+                        total += n
+            if total == 0:
+                break
+            self._iter_index[n_iter] = per_file
+            num_segments.append(total)
+            n_iter += 1
+
+        self.numSegments = np.array(num_segments, dtype=float)
+        self.maxIter = len(num_segments)
+        if self.maxIter == 0:
+            log.warning(f"No usable iterations found in {self.file_list}")
+        self.max_segs = int(self.numSegments.max()) if self.maxIter else 0
+
+    # ------------------------------------------------------- per-iteration IO
+    def iter_data(self, n_iter):
+        """Index data for one iteration (cached; no coordinates).
+
+        Returns a dict with ``weights``, ``parent_ids``, ``pcoord0``,
+        ``pcoord1`` (clipped to pcoord_ndim), ``west_idx``, ``seg_idx``,
+        ``n_segs``.
+        """
+        if n_iter in self._iter_data:
+            return self._iter_data[n_iter]
+        if n_iter not in self._iter_index:
+            raise KeyError(f"Iteration {n_iter} not present/usable")
+
+        weights, parents, p0, p1, west_idx, seg_idx = [], [], [], [], [], []
+        for file_idx, _n in self._iter_index[n_iter]:
+            with h5py.File(self.file_list[file_idx], "r") as h5:
+                grp = h5[_iter_name(n_iter)]
+                seg_index = grp["seg_index"][:]
+                pcoord = grp["pcoord"][:]
+                n = len(seg_index)
+                weights.append(seg_index["weight"])
+                try:
+                    parents.append(seg_index["parent_id"])
+                except (KeyError, ValueError):
+                    # Positional field 1, as the reference indexes it
+                    parents.append(np.array([row[1] for row in seg_index]))
+                p0.append(pcoord[:, 0, : self.pcoord_ndim])
+                p1.append(pcoord[:, -1, : self.pcoord_ndim])
+                west_idx.append(np.full(n, file_idx, dtype=int))
+                seg_idx.append(np.arange(n))
+
+        data = dict(
+            weights=np.concatenate(weights),
+            parent_ids=np.concatenate(parents),
+            pcoord0=np.concatenate(p0),
+            pcoord1=np.concatenate(p1),
+            west_idx=np.concatenate(west_idx),
+            seg_idx=np.concatenate(seg_idx),
+        )
+        data["n_segs"] = len(data["weights"])
+        self._iter_data[n_iter] = data
+        return data
+
+    def iter_coord_pairs(self, n_iter):
+        """(parent_coords, child_coords, weights) for one iteration.
+
+        Coordinates are frames 0 and -1 of ``auxdata/<auxpath>``; segments with
+        NaN coordinates keep their (NaN) coords but get weight 0, the
+        reference's convention for bad augmentation data
+        (``_data.py:303-313``).
+        """
+        data = self.iter_data(n_iter)
+        n = data["n_segs"]
+        parent = None
+        child = None
+        for file_idx, _n in self._iter_index[n_iter]:
+            with h5py.File(self.file_list[file_idx], "r") as h5:
+                dset = h5[f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"]
+                assert dset.shape[1] > 1, (
+                    "Augmented coords need at least start & end frames"
+                )
+                block_parent = dset[:, 0]
+                block_child = dset[:, -1]
+            mask = data["west_idx"] == file_idx
+            if parent is None:
+                shape = (n,) + block_parent.shape[1:]
+                parent = np.full(shape, np.nan)
+                child = np.full(shape, np.nan)
+            parent[mask] = block_parent
+            child[mask] = block_child
+
+        weights = data["weights"].copy()
+        flat_axes = tuple(range(1, parent.ndim))
+        bad = np.isnan(parent).any(axis=flat_axes) | np.isnan(child).any(axis=flat_axes)
+        if bad.any():
+            log.warning(
+                f"Bad coordinates for segments {np.flatnonzero(bad)} in iteration "
+                f"{n_iter}, setting weights to 0"
+            )
+            weights[bad] = 0.0
+        return parent, child, weights
+
+    def iter_child_coords(self, n_iter):
+        """Final-frame coordinates of each segment (reference
+        ``load_iter_coordinates``, ``_data.py:557-618``). NaN rows dropped."""
+        parent, child, _w = self.iter_coord_pairs(n_iter)
+        good = ~np.isnan(child).any(axis=tuple(range(1, child.ndim)))
+        return child[good]
+
+    # ------------------------------------------------------- padded batches
+    def padded_index_arrays(self, iters_to_use=None):
+        """Fixed-shape (n_iters, max_segs, ...) arrays + mask for the device path.
+
+        Padding has weight 0 and pcoord NaN; the mask marks real segments.
+        """
+        if iters_to_use is None:
+            iters_to_use = range(1, self.maxIter + 1)
+        iters_to_use = list(iters_to_use)
+        n_it = len(iters_to_use)
+        S = self.max_segs
+        D = self.pcoord_ndim
+
+        weights = np.zeros((n_it, S))
+        pcoord0 = np.full((n_it, S, D), np.nan)
+        pcoord1 = np.full((n_it, S, D), np.nan)
+        mask = np.zeros((n_it, S), dtype=bool)
+
+        for row, n_iter in enumerate(iters_to_use):
+            d = self.iter_data(n_iter)
+            n = d["n_segs"]
+            weights[row, :n] = d["weights"]
+            pcoord0[row, :n] = d["pcoord0"]
+            pcoord1[row, :n] = d["pcoord1"]
+            mask[row, :n] = True
+        return dict(
+            iters=np.array(iters_to_use),
+            weights=weights,
+            pcoord0=pcoord0,
+            pcoord1=pcoord1,
+            mask=mask,
+        )
+
+    def n_atoms_coord_ndim(self):
+        """(n_atoms, coord_ndim) of the augmented coordinates."""
+        first = next(iter(self._iter_index))
+        file_idx, _ = self._iter_index[first][0]
+        with h5py.File(self.file_list[file_idx], "r") as h5:
+            shape = h5[f"{_iter_name(first)}/auxdata/{self.auxpath}"].shape
+        return shape[2], shape[3]

@@ -1,0 +1,1486 @@
+"""modelWE facade: the reference-compatible haMSM model object.
+
+Capability parity with the reference ``msm_we/msm_we.py`` ``modelWE`` (mixin
+composite of data/dimensionality/clustering/fluxmatrix/analysis/plotting,
+``msm_we.py:35-42``) and its attribute surface (``pSS``, ``Tmatrix``,
+``fluxMatrix``, ``fluxMatrixRaw``, ``JtargetSS``, ``targetRMSD_centers``,
+``dtrajs``, ``pair_dtrajs``, ``cluster_structures``, ``indBasis``,
+``indTargets``, ``nBins``, ...).
+
+Re-design (SURVEY.md section 7): instead of Ray task fan-out and fork
+subprocesses, the engine
+* ingests west.h5 once into cached host index arrays (data.WEDataset),
+* featurizes + reduces all iterations into small device-resident feature
+  arrays,
+* discretizes every segment pair in one masked-distance matmul
+  (ops.stratified), and
+* accumulates the flux matrix with one jitted segment-sum (ops.fluxmatrix).
+
+The analysis tail (transition matrix, steady state, committors) runs in
+float64 on the host for numerical parity (ops.linalg).
+
+``use_ray`` / ``streaming`` / ``progress_bar`` keyword arguments are accepted
+for API compatibility and ignored where the redesign makes them moot.
+"""
+from __future__ import annotations
+
+from copy import deepcopy
+
+import numpy as np
+
+from ._logging import ProgressBar, log  # noqa: F401
+from .binning import find_nearest_bin
+from .data.westh5 import WEDataset
+from .ops import linalg
+from .ops.kmeans import kmeans_fit
+from .ops.pca import (
+    IdentityCoordinates,
+    MomentAccumulator,
+    PairMomentAccumulator,
+)
+from .ops.stratified import StratifiedKmeans
+
+SUPPORTED_DIMREDUCE = ["none", "pca", "vamp", "tica", "batch-pca"]
+
+
+def default_process_coordinates(coords):
+    """Default featurization: flatten (n, atoms, 3) -> (n, atoms*3).
+
+    The reference requires the user to monkey-patch ``processCoordinates``
+    (``docs/usage.rst:41-60``); here a sane default exists and a user function
+    can be passed to ``initialize`` or assigned as an attribute.
+    """
+    coords = np.asarray(coords)
+    return coords.reshape(coords.shape[0], -1)
+
+
+class _BinModelView:
+    """Per-bin compatibility view with a ``cluster_centers_`` attribute."""
+
+    def __init__(self, strat: StratifiedKmeans, bin_idx: int):
+        self._strat = strat
+        self._bin = bin_idx
+
+    @property
+    def cluster_centers_(self):
+        return self._strat.centers_of_bin(self._bin)
+
+
+class StratifiedClustersShim:
+    """API-compatible stand-in for the reference ``StratifiedClusters``.
+
+    Exposes ``cluster_models`` (per-bin views), ``we_remap``, ``bin_mapper``,
+    ``predict`` with the reference's ``toggle``/``processing_from`` flip-flop
+    (``stratified_clustering.py:101-212``), backed by the flattened
+    :class:`~msm_we_tpu.ops.stratified.StratifiedKmeans` bank.
+    """
+
+    def __init__(self, bin_mapper, model, strat: StratifiedKmeans):
+        self.bin_mapper = bin_mapper
+        self.model = model
+        self.strat = strat
+        self.n_clusters_per_bin = strat.k
+        self.processing_from = False
+        self.toggle = False
+        self.target_bins = set()
+        self.basis_bins = set()
+
+    @property
+    def cluster_models(self):
+        return [
+            _BinModelView(self.strat, b) if self.strat.initialized[b] else object()
+            for b in range(self.strat.n_bins)
+        ]
+
+    @property
+    def we_remap(self):
+        return {i: int(v) for i, v in enumerate(self.strat.we_remap)}
+
+    @property
+    def n_total_clusters(self):
+        return self.strat.n_total_clusters
+
+    def predict(self, coords):
+        """Reference-compatible predict: bins from the model's pcoord lists.
+
+        ``processing_from`` selects pcoord0List (parents) vs pcoord1List
+        (children); ``toggle`` alternates after each call (fluxmatrix mode).
+        """
+        model = self.model
+        pcoords = model.pcoord0List if self.processing_from else model.pcoord1List
+        we_bins = self.bin_mapper.assign(pcoords)
+        is_target = model.is_WE_target(pcoords)
+        is_basis = model.is_WE_basis(pcoords)
+        self.target_bins.update(np.unique(we_bins[is_target]).tolist())
+        self.basis_bins.update(np.unique(we_bins[is_basis]).tolist())
+        result = self.strat.predict(
+            np.asarray(coords), we_bins, is_basis=is_basis, is_target=is_target
+        )
+        if self.toggle:
+            self.processing_from = not self.processing_from
+        return result
+
+
+class _AggregateClustersShim:
+    """Compatibility wrapper for aggregate (non-stratified) k-means."""
+
+    def __init__(self, centers):
+        self.cluster_centers_ = np.asarray(centers)
+
+    def predict(self, X):
+        from .ops.kmeans import assign_flat
+        import jax.numpy as jnp
+
+        idx, _ = assign_flat(
+            jnp.asarray(np.asarray(X, np.float32)),
+            jnp.asarray(self.cluster_centers_.astype(np.float32)),
+            jnp.ones(len(self.cluster_centers_), bool),
+        )
+        return np.asarray(idx)
+
+
+class modelWE:
+    """History-augmented Markov state model estimation from WE data."""
+
+    class BlockValidationError(Exception):
+        pass
+
+    def __init__(self):
+        self.modelName = None
+        self.pcoord_ndim = None
+        self.pcoord_len = None
+        self.tau = None
+        self.n_lag = 0
+
+        self._basis_pcoord_bounds = None
+        self._target_pcoord_bounds = None
+        self.basis_bin_centers = None
+        self.target_bin_centers = None
+        # Singular bin centers stay None -> NaN in sort arrays, which is what
+        # pins basis/target to the last two positions of the pcoord sort
+        # (reference behavior via None->NaN assignment, _clustering.py:1544-1545)
+        self.target_bin_center = None
+        self.basis_bin_center = None
+
+        self.reference_structure = None
+        self.reference_coord = None
+        self.basis_coords = None
+        self.nAtoms = None
+        self.coord_ndim = 3
+
+        self.coordinates = None
+        self.ndim = None
+        self.dimReduceMethod = None
+
+        self.n_clusters = None
+        self.clusters = None
+        self.clustering_method = None
+        self.dtrajs = None
+        self.pair_dtrajs = None
+
+        self.fluxMatrixRaw = None
+        self.fluxMatrix = None
+        self.Tmatrix = None
+        self.pSS = None
+        self.JtargetSS = None
+        self.lagtime = None
+        self.indBasis = None
+        self.indTargets = None
+        self.nBins = None
+        self.q = None
+        self.Jq = None
+        self.J = None
+        self.fit_parameters = {}
+        self.slope_overcorrected = None
+
+        self.targetRMSD_centers = None
+        self.targetRMSD_minmax = None
+        self.targetRMSD_all = None
+        self.all_centers = None
+        self.sorted_centers = None
+        self.removed_clusters = []
+        self.cluster_structures = None
+        self.cluster_structure_weights = None
+        self.structure_iteration_segments = None
+        self.pcoord_cache = None
+
+        self.validation_models = []
+        self.validation_iterations = []
+        self.post_cluster_model = None
+        self.pre_discretization_model = None
+        self.use_weights_in_clustering = False
+
+        self.processCoordinates = default_process_coordinates
+
+        # Engine internals
+        self._dataset = None
+        self._features = None  # dict with concatenated parent/child features
+        self._strat = None
+        self._bin_mapper = None
+        self._fluxMatrixParams = None
+        self._cluster_seed = 0
+
+    # ------------------------------------------------------------------ init
+    def initialize(
+        self,
+        fileSpecifier,
+        refPDBfile,
+        modelName,
+        basis_pcoord_bounds=None,
+        target_pcoord_bounds=None,
+        dim_reduce_method="none",
+        tau=None,
+        pcoord_ndim=1,
+        auxpath="coord",
+        _suppress_boundary_warning=False,
+        use_weights_in_clustering=False,
+        processCoordinates=None,
+    ):
+        """Set up the model (reference ``initialize``, ``msm_we.py:143-277``)."""
+        self.modelName = modelName
+        if isinstance(fileSpecifier, str):
+            fileList = fileSpecifier.split(" ")
+            log.warning("HDF5 file paths provided as a string is deprecated; pass a list.")
+        else:
+            fileList = list(fileSpecifier)
+        self.fileList = fileList
+        self.n_data_files = len(fileList)
+        self.pcoord_ndim = pcoord_ndim
+        self.pcoord_len = 2
+        self.auxpath = auxpath
+
+        if basis_pcoord_bounds is not None:
+            self.basis_pcoord_bounds = basis_pcoord_bounds
+        elif not _suppress_boundary_warning:
+            log.warning("No basis coord bounds provided to initialize().")
+        if target_pcoord_bounds is not None:
+            self.target_pcoord_bounds = target_pcoord_bounds
+        elif not _suppress_boundary_warning:
+            log.warning("No target coord bounds provided to initialize().")
+
+        if tau is None:
+            log.warning("No tau provided, defaulting to 1.")
+            tau = 1.0
+        self.tau = float(tau)
+
+        self.set_topology(refPDBfile)
+
+        if dim_reduce_method is None:
+            log.warning("No dimensionality reduction method provided; defaulting to pca.")
+            self.dimReduceMethod = "pca"
+        else:
+            assert dim_reduce_method in SUPPORTED_DIMREDUCE, (
+                f"dim_reduce_method must be one of {SUPPORTED_DIMREDUCE}"
+            )
+            self.dimReduceMethod = dim_reduce_method
+
+        if processCoordinates is not None:
+            self.processCoordinates = processCoordinates
+
+        self.use_weights_in_clustering = use_weights_in_clustering
+
+        self._dataset = WEDataset(fileList, pcoord_ndim=pcoord_ndim, auxpath=auxpath)
+        try:
+            self.load_iter_data(1)
+            self.coordsExist = True
+        except (KeyError, Exception):
+            if not _suppress_boundary_warning:
+                log.warning("Model initialized, but coordinates do not exist yet.")
+            self.coordsExist = False
+
+    # ------------------------------------------------------- bounds & states
+    @property
+    def basis_pcoord_bounds(self):
+        return self._basis_pcoord_bounds
+
+    @basis_pcoord_bounds.setter
+    def basis_pcoord_bounds(self, bounds):
+        self._basis_pcoord_bounds = self._check_bounds(bounds)
+        self.basis_bin_centers = self._bin_centers_of_bounds(self._basis_pcoord_bounds)
+
+    @property
+    def target_pcoord_bounds(self):
+        return self._target_pcoord_bounds
+
+    @target_pcoord_bounds.setter
+    def target_pcoord_bounds(self, bounds):
+        self._target_pcoord_bounds = self._check_bounds(bounds)
+        self.target_bin_centers = self._bin_centers_of_bounds(self._target_pcoord_bounds)
+
+    # Deprecated 1-D aliases (reference msm_we.py:279-298,365-387)
+    @property
+    def WEbasisp1_bounds(self):
+        return self.basis_pcoord_bounds
+
+    @WEbasisp1_bounds.setter
+    def WEbasisp1_bounds(self, bounds):
+        self.basis_pcoord_bounds = bounds
+
+    @property
+    def WEtargetp1_bounds(self):
+        return self.target_pcoord_bounds
+
+    @WEtargetp1_bounds.setter
+    def WEtargetp1_bounds(self, bounds):
+        self.target_pcoord_bounds = bounds
+
+    def _check_bounds(self, bounds):
+        bounds = np.array(bounds, dtype=float)
+        if bounds.ndim == 1:
+            log.warning("1-D boundaries should be [[lower, upper]]; converting.")
+            bounds = bounds.reshape(1, 2)
+        assert bounds.shape == (self.pcoord_ndim, 2), (
+            f"Shape of bounds was {bounds.shape}, should've been "
+            f"({self.pcoord_ndim}, 2)"
+        )
+        assert np.all(bounds[:, 0] < bounds[:, 1]), (
+            "A boundary has a lower bound larger than its upper bound"
+        )
+        return bounds
+
+    @staticmethod
+    def _bin_centers_of_bounds(bounds):
+        """Per-dim bin center: mean of finite bounds, else the finite one."""
+        centers = np.full(len(bounds), np.nan)
+        for i, (lo, hi) in enumerate(bounds):
+            if np.isfinite(lo) and np.isfinite(hi):
+                centers[i] = 0.5 * (lo + hi)
+            else:
+                centers[i] = lo if np.isfinite(lo) else hi
+        return centers
+
+    def _in_bounds(self, pcoords, bounds):
+        pcoords = np.atleast_2d(np.asarray(pcoords, dtype=float))
+        inside = np.ones(len(pcoords), dtype=bool)
+        for d in range(self.pcoord_ndim):
+            inside &= (pcoords[:, d] > bounds[d, 0]) & (pcoords[:, d] < bounds[d, 1])
+        return inside
+
+    def is_WE_basis(self, pcoords):
+        """Segments whose pcoords lie inside the basis bounds (open interval,
+        reference ``msm_we.py:462-492``)."""
+        return self._in_bounds(pcoords, self.basis_pcoord_bounds)
+
+    def is_WE_target(self, pcoords):
+        return self._in_bounds(pcoords, self.target_pcoord_bounds)
+
+    # ------------------------------------------------------------- topology
+    def set_topology(self, topology):
+        """Reference ``set_topology`` (``msm_we.py:1011-1078``); mdtraj is
+        optional -- a dict of coords/nAtoms/coord_ndim always works."""
+        if isinstance(topology, dict):
+            self.reference_coord = topology.get("coords")
+            self.nAtoms = topology["nAtoms"]
+            self.coord_ndim = topology["coord_ndim"]
+            return
+        if isinstance(topology, str):
+            if topology.endswith("dat"):
+                self.reference_coord = np.loadtxt(topology)
+                self.nAtoms = 1
+                self.coord_ndim = 3
+                return
+            import mdtraj as md
+
+            if topology.endswith("prmtop"):
+                struct = md.load_prmtop(topology)
+                self.reference_structure = struct
+                self.nAtoms = struct.n_atoms
+                self.coord_ndim = 3
+                return
+            struct = md.load(topology)
+            self.reference_structure = struct
+            self.reference_coord = np.squeeze(struct._xyz)
+            self.nAtoms = struct.topology.n_atoms
+            self.coord_ndim = 3
+            return
+        # mdtraj Trajectory/Topology duck-typing
+        if hasattr(topology, "_xyz"):
+            self.reference_structure = topology
+            self.reference_coord = np.squeeze(topology._xyz)
+            self.nAtoms = topology.topology.n_atoms
+            self.coord_ndim = 3
+            return
+        raise NotImplementedError("Unsupported topology")
+
+    def set_basis(self, basis):
+        if isinstance(basis, dict):
+            self.basis_coords = basis["coords"]
+            return
+        if isinstance(basis, str):
+            if basis.endswith("dat"):
+                self.basis_coords = np.loadtxt(basis)
+                return
+            import mdtraj as md
+
+            self.basis_coords = np.squeeze(md.load(basis)._xyz)
+            return
+        if hasattr(basis, "_xyz"):
+            self.basis_coords = np.squeeze(basis._xyz)
+            return
+        raise NotImplementedError("Unsupported basis")
+
+    # ----------------------------------------------------------------- data
+    def get_iterations(self):
+        """Populate maxIter / numSegments (reference ``_data.py:934-993``)."""
+        self.numSegments = self._dataset.numSegments
+        self.maxIter = self._dataset.maxIter
+
+    def load_iter_data(self, n_iter):
+        """Compat: expose the reference's per-iteration attributes."""
+        d = self._dataset.iter_data(n_iter)
+        self.n_iter = n_iter
+        self.westList = d["west_idx"]
+        self.segindList = d["seg_idx"]
+        self.weightList = d["weights"]
+        self.nSeg = d["n_segs"]
+        self.pcoord0List = d["pcoord0"]
+        self.pcoord1List = d["pcoord1"]
+        if not hasattr(self, "seg_weights") or self.seg_weights is None:
+            self.seg_weights = {}
+        self.seg_weights[n_iter] = d["weights"]
+
+    def get_iter_coordinates(self, iteration):
+        """Final-frame coordinates of an iteration's segments (NaN dropped)."""
+        self.load_iter_data(iteration)
+        return self._dataset.iter_child_coords(iteration)
+
+    def get_coordSet(self, last_iter, streaming=None, progress_bar=None):
+        """Build ``pcoordSet`` (+ ``all_coords`` when not streaming).
+
+        Reference ``_data.py:677-759``; streaming keeps only pcoords.
+        """
+        if streaming is None:
+            streaming = True
+        parts = []
+        coords_parts = [] if not streaming else None
+        for i in range(1, last_iter + 1):
+            d = self._dataset.iter_data(i)
+            p = d["pcoord1"].copy()
+            if not streaming:
+                _parent, child, _w = self._dataset.iter_coord_pairs(i)
+                bad = np.isnan(child).any(axis=tuple(range(1, child.ndim)))
+                p[bad] = np.nan
+                coords_parts.append(child)
+            parts.append(p)
+        self.pcoordSet = np.concatenate(parts, axis=0)
+        if not streaming:
+            self.all_coords = np.concatenate(coords_parts, axis=0)
+        self.first_iter = 1
+        self.last_iter = last_iter
+
+    # ------------------------------------------------- dimensionality reduce
+    def dimReduce(
+        self,
+        first_iter=1,
+        first_rough_iter=None,
+        last_iter=None,
+        rough_stride=10,
+        fine_stride=1,
+        variance_cutoff=0.95,
+        use_weights=True,
+        progress_bar=None,
+    ):
+        """Fit the dimensionality-reduction transform (reference
+        ``_dimensionality.py:110-345``).
+
+        ``pca`` uses exact streamed moments (one pass; no rough pass needed --
+        the covariance the reference approximates with two iPCA passes is
+        computed exactly). ``tica``/``vamp`` fit from (parent, child) pairs
+        with WE weights (weights unsupported for vamp, as in the reference).
+        """
+        if last_iter is None:
+            last_iter = self.maxIter
+
+        method = self.dimReduceMethod
+        if method == "none":
+            self.ndim = int(self.coord_ndim * self.nAtoms)
+            self.coordinates = IdentityCoordinates()
+            return
+
+        if method == "pca":
+            blocks = []
+            for i in range(first_iter, last_iter, fine_stride):
+                c = self._dataset.iter_child_coords(i)
+                if c.shape[0]:
+                    blocks.append(c)
+            coords = np.concatenate(blocks)
+            feats = np.asarray(self.processCoordinates(coords))
+            acc = MomentAccumulator(feats.shape[1])
+            self._chunked_accumulate(acc.add, feats)
+            self.coordinates = acc.finalize(variance_cutoff=variance_cutoff)
+            self.ndim = self.coordinates.n_components
+            return
+
+        if method in ("tica", "vamp", "batch-pca"):
+            f0s, f1s, ws = [], [], []
+            for iteration in range(first_iter, last_iter, fine_stride):
+                parent, child, weights = self._dataset.iter_coord_pairs(iteration)
+                good = ~(
+                    np.isnan(parent).any(axis=tuple(range(1, parent.ndim)))
+                    | np.isnan(child).any(axis=tuple(range(1, child.ndim)))
+                )
+                if good.sum() == 0:
+                    continue
+                f0s.append(parent[good])
+                f1s.append(child[good])
+                ws.append(weights[good])
+            f0 = np.asarray(self.processCoordinates(np.concatenate(f0s)))
+            f1 = np.asarray(self.processCoordinates(np.concatenate(f1s)))
+            w = np.concatenate(ws)
+
+            if method == "batch-pca":
+                flat_acc = MomentAccumulator(f0.shape[1])
+                self._chunked_accumulate(flat_acc.add, np.concatenate([f0, f1]))
+                self.coordinates = flat_acc.finalize(variance_cutoff=1.0)
+                self.ndim = self.coordinates.n_components
+            else:
+                pair_acc = PairMomentAccumulator(f0.shape[1])
+                use_w = use_weights and method == "tica"
+                self._chunked_accumulate(
+                    pair_acc.add, f0, f1, weights=w if use_w else None
+                )
+                self.coordinates = pair_acc.finalize(
+                    method=method, var_cutoff=variance_cutoff
+                )
+                self.ndim = self.coordinates.output_dimension
+            return
+
+        raise NotImplementedError(f"dimReduceMethod {method}")
+
+    def _chunked_accumulate(self, add_fn, X, X2=None, weights=None):
+        """Feed fixed-size zero-weight-padded chunks to a moment accumulator.
+
+        One jit shape regardless of dataset size (zero-weight rows are inert
+        in the weighted moment math).
+        """
+        C = self.FEATURE_CHUNK
+        n = len(X)
+        if weights is None:
+            weights = np.ones(n, np.float32)
+        for s in range(0, n, C):
+            xc = X[s : s + C]
+            wc = weights[s : s + C]
+            x2c = X2[s : s + C] if X2 is not None else None
+            if len(xc) < C and n > C:
+                pad = C - len(xc)
+                xc = np.concatenate([xc, np.zeros((pad,) + xc.shape[1:], xc.dtype)])
+                wc = np.concatenate([wc, np.zeros(pad, np.float32)])
+                if x2c is not None:
+                    x2c = np.concatenate(
+                        [x2c, np.zeros((pad,) + x2c.shape[1:], x2c.dtype)]
+                    )
+            if x2c is not None:
+                add_fn(xc, x2c, wc)
+            else:
+                add_fn(xc, wc)
+
+    def reduceCoordinates(self, coords):
+        """processCoordinates then the fitted transform (reference
+        ``_dimensionality.py:36-67``)."""
+        if self.dimReduceMethod in SUPPORTED_DIMREDUCE:
+            return self.coordinates.transform(self.processCoordinates(coords))
+        raise RuntimeError("dimReduceMethod undefined in reduceCoordinates")
+
+    # ------------------------------------------------------------- features
+    FEATURE_CHUNK = 8192
+    """Frames per fixed-shape device batch. Featurization streams chunks of
+    exactly this many frames (last chunk zero-padded), so XLA compiles the
+    transform once regardless of how segment counts vary per iteration --
+    the padded-batch discipline of SURVEY.md P4."""
+
+    def _reduce_chunked(self, coords):
+        """processCoordinates + transform over fixed-size chunks."""
+        n = len(coords)
+        if n == 0:
+            return np.zeros((0, self.ndim or 1), np.float32)
+        C = self.FEATURE_CHUNK
+        outs = []
+        for start in range(0, n, C):
+            chunk = coords[start : start + C]
+            if len(chunk) < C and n > C:
+                pad = np.zeros((C - len(chunk),) + chunk.shape[1:], chunk.dtype)
+                padded = np.concatenate([chunk, pad])
+                outs.append(np.asarray(self.reduceCoordinates(padded))[: len(chunk)])
+            else:
+                outs.append(np.asarray(self.reduceCoordinates(chunk)))
+        return np.concatenate(outs)
+
+    def _featurize_all(self, force=False):
+        """Reduce every iteration's (parent, child) coords to features, once.
+
+        Builds concatenated arrays over iterations 1..maxIter-1 (the
+        discretizable range): features, pcoords, weights, per-iteration
+        offsets. NaN coordinates are zero-filled; their weight is already 0.
+        """
+        if self._features is not None and not force:
+            return self._features
+
+        parents, children = [], []
+        p0s, p1s, ws, iter_of = [], [], [], []
+        offsets = [0]
+        for iteration in range(1, self.maxIter):
+            parent, child, weights = self._dataset.iter_coord_pairs(iteration)
+            d = self._dataset.iter_data(iteration)
+            parents.append(np.nan_to_num(parent))
+            children.append(np.nan_to_num(child))
+            p0s.append(d["pcoord0"])
+            p1s.append(d["pcoord1"])
+            ws.append(weights)
+            iter_of.append(np.full(len(weights), iteration))
+            offsets.append(offsets[-1] + len(weights))
+
+        all_parents = np.concatenate(parents)
+        all_children = np.concatenate(children)
+        f_parent = self._reduce_chunked(all_parents)
+        f_child = self._reduce_chunked(all_children)
+
+        self._features = dict(
+            parent=f_parent.astype(np.float32),
+            child=f_child.astype(np.float32),
+            pcoord0=np.concatenate(p0s),
+            pcoord1=np.concatenate(p1s),
+            weights=np.concatenate(ws),
+            iteration=np.concatenate(iter_of),
+            offsets=np.array(offsets),
+        )
+        return self._features
+
+    # ------------------------------------------------------------ clustering
+    def cluster_coordinates(
+        self,
+        n_clusters,
+        streaming=False,
+        first_cluster_iter=None,
+        use_ray=False,
+        stratified=True,
+        iters_to_use=None,
+        store_validation_model=False,
+        progress_bar=None,
+        random_state=None,
+        **_cluster_args,
+    ):
+        """Cluster features (reference ``_clustering.py:142-195``)."""
+        log.info(
+            "Be aware: Number of cluster centers is an important parameter; "
+            "check block-validation results over a range of cluster counts."
+        )
+        if random_state is not None:
+            self._cluster_seed = int(random_state)
+        if stratified:
+            self.clustering_method = "stratified"
+            self.cluster_stratified(
+                n_clusters=n_clusters,
+                first_cluster_iter=first_cluster_iter,
+                iters_to_use=iters_to_use,
+                progress_bar=progress_bar,
+                **_cluster_args,
+            )
+        else:
+            self.clustering_method = "aggregated"
+            self.cluster_aggregated(
+                n_clusters=n_clusters,
+                first_cluster_iter=first_cluster_iter,
+                iters_to_use=iters_to_use,
+                **_cluster_args,
+            )
+
+        if store_validation_model:
+            self.post_cluster_model = deepcopy(self)
+
+    def _resolve_iters(self, iters_to_use, first_cluster_iter):
+        if iters_to_use is not None and first_cluster_iter is not None:
+            log.error(
+                "Conflicting parameters -- iters_to_use OR first_cluster_iter, not both."
+            )
+        if iters_to_use is None:
+            first = first_cluster_iter if first_cluster_iter is not None else 1
+            iters_to_use = range(first, self.maxIter)
+        return list(iters_to_use)
+
+    def cluster_aggregated(
+        self, n_clusters, first_cluster_iter=None, iters_to_use=None, **_cluster_args
+    ):
+        """Whole-dataset weighted k-means (reference ``cluster_aggregated``,
+        ``_clustering.py:197-523``)."""
+        iters_to_use = self._resolve_iters(iters_to_use, first_cluster_iter)
+        self.n_clusters = n_clusters
+        self.first_cluster_iter = iters_to_use[0]
+
+        feats = self._featurize_all()
+        sel = np.isin(feats["iteration"], iters_to_use)
+        X = feats["child"][sel]
+        w = (
+            feats["weights"][sel]
+            if self.use_weights_in_clustering
+            else np.ones(sel.sum())
+        )
+        centers, _ = kmeans_fit(X, w, n_clusters, seed=self._cluster_seed)
+        self.clusters = _AggregateClustersShim(centers)
+
+        # Discretize all iterations (children and parents)
+        self._discretize_all_aggregated()
+
+    def _discretize_all_aggregated(self):
+        feats = self._featurize_all()
+        child_idx = self.clusters.predict(feats["child"])
+        parent_idx = self.clusters.predict(feats["parent"])
+        self._store_dtrajs(parent_idx, child_idx)
+
+    def cluster_stratified(
+        self,
+        n_clusters,
+        streaming=True,
+        first_cluster_iter=None,
+        use_ray=True,
+        bin_iteration=2,
+        iters_to_use=None,
+        user_bin_mapper=None,
+        progress_bar=None,
+        **_cluster_args,
+    ):
+        """Per-WE-bin stratified clustering (reference ``cluster_stratified``
+        ``_clustering.py:525-746`` and ``do_stratified_clustering`` ``:748-918``).
+
+        Accumulates iterations until every seen WE bin has >= n_clusters
+        segments (excluding basis/target segments), fits each bin's model,
+        remaps never-filled bins to the nearest filled bin, then discretizes
+        everything in one batched call.
+        """
+        if user_bin_mapper is not None:
+            bin_mapper = user_bin_mapper
+        else:
+            bin_mapper = self._load_bin_mapper_from_h5(bin_iteration)
+        self._bin_mapper = bin_mapper
+
+        iters_to_use = self._resolve_iters(iters_to_use, first_cluster_iter)
+        feats = self._featurize_all()
+
+        strat = StratifiedKmeans(
+            n_bins=bin_mapper.nbins,
+            k_per_bin=n_clusters,
+            n_features=feats["child"].shape[1],
+            seed=self._cluster_seed,
+        )
+
+        all_filled = set()
+        all_unfilled = set()
+
+        idx = 0
+        while idx < len(iters_to_use):
+            # Accumulate a batch of iterations until all seen bins are filled
+            batch_rows = []
+            j = idx
+            ran_out = False
+            while True:
+                if j >= len(iters_to_use):
+                    ran_out = True
+                    break
+                iteration = iters_to_use[j]
+                sel = feats["iteration"] == iteration
+                batch_rows.append(np.flatnonzero(sel))
+                rows = np.concatenate(batch_rows)
+
+                # Training bins come from *parent* pcoords; basis/target
+                # segments are excluded (reference _clustering.py:846-885)
+                pc = feats["pcoord0"][rows]
+                keep = ~(self.is_WE_target(pc) | self.is_WE_basis(pc))
+                if keep.sum() > 0:
+                    bins = bin_mapper.assign(pc[keep])
+                    _u, counts = np.unique(bins, return_counts=True)
+                    if np.all(counts >= n_clusters):
+                        break
+                j += 1
+
+            rows = np.concatenate(batch_rows) if batch_rows else np.array([], int)
+            if len(rows):
+                pc = feats["pcoord0"][rows]
+                keep = ~(self.is_WE_target(pc) | self.is_WE_basis(pc))
+                rows = rows[keep]
+
+            if len(rows):
+                bins = bin_mapper.assign(feats["pcoord0"][rows])
+                X = feats["child"][rows]
+                w = (
+                    feats["weights"][rows]
+                    if self.use_weights_in_clustering
+                    else None
+                )
+                unique_bins, counts = np.unique(bins, return_counts=True)
+                unfilled = unique_bins[counts < n_clusters]
+                filled = np.setdiff1d(unique_bins, unfilled)
+
+                if ran_out and len(unfilled) and len(filled):
+                    # Out of data: push unfilled bins' members to nearest filled
+                    log.warning(
+                        f"Couldn't fill bins {unfilled}; remapping members to "
+                        "nearest filled bins for clustering."
+                    )
+                    for ub in unfilled:
+                        nearest = find_nearest_bin(bin_mapper, int(ub), list(filled))
+                        bins[bins == ub] = nearest
+                        all_unfilled.add(int(ub))
+
+                updated = strat.partial_fit(X, bins, weights=w)
+                all_filled.update(updated)
+                all_unfilled.update(
+                    int(b) for b in unique_bins if int(b) not in updated
+                )
+
+            idx = j + 1
+
+        # Never-filled bins delegate to the nearest filled bin
+        true_unfilled = np.setdiff1d(
+            np.arange(bin_mapper.nbins), sorted(all_filled)
+        )
+        for ub in true_unfilled:
+            remap = find_nearest_bin(bin_mapper, int(ub), sorted(all_filled))
+            strat.set_remap(int(ub), remap)
+            log.debug(f"Remapped {ub} to {remap}")
+
+        self._strat = strat
+        self.clusters = StratifiedClustersShim(bin_mapper, self, strat)
+        # Reference sets the *nominal* total here (``_clustering.py:742``);
+        # never-visited clusters are cleaned away in organize_fluxMatrix
+        self.n_clusters = n_clusters * bin_mapper.nbins
+
+        self.launch_discretization()
+
+    def _load_bin_mapper_from_h5(self, bin_iteration):
+        """Load a WESTPA bin mapper from the h5 (requires westpa); otherwise
+        instruct the user to pass ``user_bin_mapper``."""
+        try:
+            import westpa.tools.binning  # noqa: F401
+            import h5py
+
+            with h5py.File(self.fileList[0], "r") as h5:
+                mapper, _, _ = westpa.tools.binning.mapper_from_hdf5(
+                    h5["bin_topologies"],
+                    h5[f"iterations/iter_{bin_iteration:08d}"].attrs["binhash"],
+                )
+            return mapper
+        except Exception as e:
+            raise RuntimeError(
+                "Could not load a bin mapper from the H5 file (westpa not "
+                "installed, or no bin_topologies group). Pass user_bin_mapper= "
+                "with a msm_we_tpu.binning.RectilinearBinMapper/VoronoiBinMapper."
+            ) from e
+
+    # --------------------------------------------------------- discretization
+    def launch_discretization(self, progress_bar=None):
+        """Discretize every iteration's parent+child features in one pass.
+
+        Replaces the reference's per-iteration Ray fan-out
+        (``launch_ray_discretization``, ``_clustering.py:1144-1242``).
+        """
+        feats = self._featurize_all()
+        strat = self._strat
+
+        parent_bins = self._bin_mapper.assign(np.nan_to_num(feats["pcoord0"]))
+        child_bins = self._bin_mapper.assign(np.nan_to_num(feats["pcoord1"]))
+
+        parent_idx = strat.predict(
+            feats["parent"],
+            parent_bins,
+            is_basis=self.is_WE_basis(feats["pcoord0"]),
+            is_target=self.is_WE_target(feats["pcoord0"]),
+        )
+        child_idx = strat.predict(
+            feats["child"],
+            child_bins,
+            is_basis=self.is_WE_basis(feats["pcoord1"]),
+            is_target=self.is_WE_target(feats["pcoord1"]),
+        )
+        self._store_dtrajs(parent_idx, child_idx)
+
+    def _store_dtrajs(self, parent_idx, child_idx):
+        feats = self._features
+        offsets = feats["offsets"]
+        self.dtrajs = [
+            child_idx[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)
+        ]
+        self.pair_dtrajs = [
+            list(zip(parent_idx[offsets[i] : offsets[i + 1]],
+                     child_idx[offsets[i] : offsets[i + 1]]))
+            for i in range(len(offsets) - 1)
+        ]
+        self._parent_idx = parent_idx
+        self._child_idx = child_idx
+
+    # ------------------------------------------------------------ flux matrix
+    def get_fluxMatrix(
+        self,
+        n_lag,
+        first_iter=1,
+        last_iter=None,
+        iters_to_use=None,
+        use_ray=False,
+        result_batch_size=5,
+        progress_bar=None,
+    ):
+        """Weighted flux matrix over iterations (reference ``get_fluxMatrix``,
+        ``_fluxmatrix.py:166-345``): one vectorized scatter-add over all
+        selected transitions, normalized by the number of iterations used.
+
+        WE weights span many orders of magnitude, so the final (n+2)^2
+        accumulation runs in float64 on the host (a trivial bincount); the
+        expensive part -- discretization -- already ran on device. The fused
+        f32 device path (ops.fluxmatrix.flux_accumulate + psum) is used by the
+        sharded benchmark pipeline.
+        """
+        self._fluxMatrixParams = [n_lag, first_iter, last_iter, iters_to_use]
+        assert n_lag == 0, "Only lag-0 flux matrices are supported (as upstream)"
+
+        if iters_to_use is None:
+            if last_iter is None:
+                last_iter = self.maxIter
+            iters_to_use = range(first_iter + 1, last_iter)
+        iters_to_use = list(iters_to_use)
+
+        self.n_lag = n_lag
+        self.errorWeight = 0.0
+        self.errorCount = 0
+
+        feats = self._featurize_all()
+        sel = np.isin(feats["iteration"], iters_to_use)
+
+        start_idx = self._parent_idx[sel].astype(np.int32)
+        end_idx = self._child_idx[sel].astype(np.int32)
+        weights = feats["weights"][sel]
+        p0 = feats["pcoord0"][sel]
+        p1 = feats["pcoord1"][sel]
+
+        n_states = self.n_clusters + 2
+        # Basis/target overrides, reference order (_fluxmatrix.py:134-137):
+        # end-in-target, then start-in-basis, then end-in-basis
+        end_idx = np.where(self.is_WE_target(p1), self.n_clusters + 1, end_idx)
+        start_idx = np.where(self.is_WE_basis(p0), self.n_clusters, start_idx)
+        end_idx = np.where(self.is_WE_basis(p1), self.n_clusters, end_idx)
+
+        flat = start_idx.astype(np.int64) * n_states + end_idx.astype(np.int64)
+        fm = np.bincount(
+            flat, weights=weights, minlength=n_states * n_states
+        ).reshape(n_states, n_states)
+        self.fluxMatrixRaw = fm / len(iters_to_use)
+
+    def organize_fluxMatrix(self, use_ray=False, progress_bar=None, **args):
+        """Clean the flux matrix (reference ``organize_fluxMatrix``,
+        ``_fluxmatrix.py:347-415``)."""
+        if self.clustering_method == "stratified":
+            self.organize_stratified()
+        elif self.clustering_method == "aggregated":
+            self.organize_aggregated_simple()
+        else:
+            raise RuntimeError(
+                f"Unrecognized clustering_method ({self.clustering_method})"
+            )
+
+    def organize_stratified(self, use_ray=False, progress_bar=None, max_passes=10):
+        """Stratified cleaning (reference ``organize_stratified``,
+        ``_clustering.py:920-1142``): remove everything outside the largest
+        strongly connected set (with the artificial target->basis recycle
+        edge), remap emptied WE bins, re-discretize, recompute the flux
+        matrix, sort by mean pcoord, normalize.
+
+        Improvement over the reference: re-discretization can itself create
+        new disconnected states (segments move to surviving clusters), which
+        makes the reference's single pass fail its own post-assert
+        (``_clustering.py:1140-1142``). Here the remove/rediscretize/reflux
+        cycle repeats until the matrix is clean (bounded by ``max_passes``).
+        """
+        from .utils import find_connected_sets
+
+        fmatrix_original = self.fluxMatrixRaw.copy()
+        strat = self._strat
+
+        for _pass in range(max_passes):
+            fmatrix = self.fluxMatrixRaw.copy()
+            fmatrix[-1, -2] = 1.0
+            connected_sets = find_connected_sets(fmatrix, directed=True)
+
+            if len(connected_sets) == 1 and _pass > 0:
+                break  # clean; keep the previous pass's results
+
+            if len(connected_sets) == 1:
+                log.info("Nothing to clean")
+                states_to_remove = np.array([], dtype=int)
+            else:
+                states_to_remove = np.concatenate(connected_sets[1:]).astype(int)
+                log.debug(f"Pass {_pass}: cleaning states {states_to_remove}")
+
+            basis_target = {self.n_clusters, self.n_clusters + 1}
+            if basis_target & set(states_to_remove.tolist()):
+                raise RuntimeError(
+                    "The basis or target state is disconnected from the main "
+                    "flux network -- this data contains no transitions into "
+                    "the target (or out of the basis), so no steady-state "
+                    "model can be built from it. Use more iterations or a "
+                    "dataset with recycling events."
+                )
+
+            actual_total = strat.n_total_clusters
+            real_removals = states_to_remove[states_to_remove < actual_total]
+
+            emptied = strat.remove_global_clusters(real_removals)
+            # Bins never initialized also count as empty (reference
+            # ``_clustering.py:1023-1034``)
+            for b in range(strat.n_bins):
+                if not strat.initialized[b]:
+                    emptied.add(b)
+
+            self.n_clusters = strat.n_total_clusters
+            assert self.n_clusters > 1, (
+                "All clusters would be cleaned! You probably need more data, "
+                "fewer clusters, or both."
+            )
+
+            populated = np.setdiff1d(np.arange(strat.n_bins), sorted(emptied))
+            if emptied:
+                log.warning(
+                    f"All clusters were cleaned from bins {emptied} (normal "
+                    "for source/target WE bins)."
+                )
+            for b in emptied:
+                strat.set_remap(
+                    int(b), find_nearest_bin(self._bin_mapper, int(b), populated)
+                )
+
+            # Re-discretize with the surviving centers, recompute the flux
+            # matrix at the new clustering (unsorted global-id order)
+            self.launch_discretization()
+            pcoord_sort_indices = self.get_cluster_centers()
+            self.get_fluxMatrix(*self._fluxMatrixParams)
+
+            fluxMatrix = self.fluxMatrixRaw.copy()
+            fluxMatrix = fluxMatrix[pcoord_sort_indices, :][:, pcoord_sort_indices]
+            self.fluxMatrix = fluxMatrix / fluxMatrix.sum()
+            # self.fluxMatrixRaw stays at the *new* clustering so the next
+            # pass's SCC indices line up with the current global ids
+
+        self.fluxMatrixRaw = fmatrix_original
+        self.indBasis = np.array([self.n_clusters])
+        self.indTargets = np.array([self.n_clusters + 1])
+        self.nBins = self.n_clusters + 2
+        self.update_sorted_cluster_centers()
+        self.cluster_mapping = {x: x for x in range(self.n_clusters + 2)}
+
+        # Sanity check: everything is connected now
+        fcheck = self.fluxMatrix.copy()
+        fcheck[-1, -2] = 1.0
+        remaining = find_connected_sets(fcheck, directed=True)
+        assert len(remaining) == 1, "Still not clean after cleaning!"
+
+    def organize_aggregated_simple(self):
+        """Aggregate-path cleaning: same SCC criterion applied to the
+        aggregate cluster bank. (The reference's ``organize_aggregated`` is
+        deprecated and raises -- ``_fluxmatrix.py:452-454``; this is the
+        working equivalent built on the stratified logic.)
+        """
+        from .utils import find_connected_sets
+
+        fmatrix_original = self.fluxMatrixRaw.copy()
+
+        for _pass in range(10):
+            fmatrix = self.fluxMatrixRaw.copy()
+            fmatrix[-1, -2] = 1.0
+            connected_sets = find_connected_sets(fmatrix, directed=True)
+            if len(connected_sets) == 1 and _pass > 0:
+                break
+            states_to_remove = (
+                np.concatenate(connected_sets[1:]).astype(int)
+                if len(connected_sets) > 1
+                else np.array([], dtype=int)
+            )
+            keep = np.setdiff1d(np.arange(self.n_clusters), states_to_remove)
+            self.removed_clusters = states_to_remove
+
+            centers = self.clusters.cluster_centers_[keep]
+            self.clusters = _AggregateClustersShim(centers)
+            self.n_clusters = len(keep)
+            self._discretize_all_aggregated()
+            pcoord_sort_indices = self.get_cluster_centers()
+            self.get_fluxMatrix(*self._fluxMatrixParams)
+
+            fluxMatrix = self.fluxMatrixRaw.copy()
+            fluxMatrix = fluxMatrix[pcoord_sort_indices, :][:, pcoord_sort_indices]
+            self.fluxMatrix = fluxMatrix / fluxMatrix.sum()
+
+        self.fluxMatrixRaw = fmatrix_original
+        self.indBasis = np.array([self.n_clusters])
+        self.indTargets = np.array([self.n_clusters + 1])
+        self.nBins = self.n_clusters + 2
+        self.update_sorted_cluster_centers()
+        self.removed_clusters = []
+
+    # ------------------------------------------------------- cluster centers
+    def get_cluster_centers(self):
+        """Mean/min/max child-pcoord per cluster; returns the pcoord-sort
+        permutation (reference ``_clustering.py:1528-1599``).
+
+        Basis/target rows get NaN centers, so the stable argsort pins them to
+        the last two positions -- the property that makes
+        ``indBasis = [n_clusters]`` correct after sorting.
+        """
+        n = self.n_clusters
+        centers = np.full((n + 2, self.pcoord_ndim), np.nan)
+        crange = np.full((n + 2, self.pcoord_ndim, 2), np.nan)
+
+        feats = self._featurize_all()
+        child_idx = self._child_idx
+        p1 = feats["pcoord1"]
+
+        for cluster in range(n):
+            rows = child_idx == cluster
+            if rows.sum() == 0:
+                if cluster != n + 1:
+                    log.warning(f"No trajectories in cluster {cluster}!")
+                continue
+            centers[cluster] = np.nanmean(p1[rows], axis=0)
+            crange[cluster, :, 0] = np.nanmin(p1[rows], axis=0)
+            crange[cluster, :, 1] = np.nanmax(p1[rows], axis=0)
+
+        order = np.argsort(centers[:, 0], kind="stable")
+        self.targetRMSD_centers = centers[order]
+        self.targetRMSD_minmax = crange[order]
+        return order
+
+    def update_sorted_cluster_centers(self):
+        """Reference ``_clustering.py:1601-1611``."""
+        log.info("Sorting bins, assuming that pcoord 0 is meaningful for sorting")
+        bin_centers = self.targetRMSD_centers[:, 0].copy()
+        bin_centers[self.indTargets] = self.target_bin_centers[0]
+        bin_centers[self.indBasis] = self.basis_bin_centers[0]
+        self.all_centers = bin_centers
+        self.sorted_centers = np.argsort(bin_centers)
+
+    def update_cluster_structures(self, build_pcoord_cache=False):
+        """Map each cluster to its member structures, weights, and provenance
+        (reference ``_clustering.py:1398-1526``)."""
+        assert self.clusters is not None, "Clusters have not been computed!"
+
+        cluster_structures = {}
+        cluster_structure_weights = {}
+        structure_iteration_segments = {}
+        pcoord_cache = {} if build_pcoord_cache else None
+
+        for iteration in range(1, self.maxIter - 1):
+            d = self._dataset.iter_data(iteration)
+            _parent, child, _w = self._dataset.iter_coord_pairs(iteration)
+            dtraj = self.dtrajs[iteration - 1]
+            for seg in range(d["n_segs"]):
+                cluster_idx = int(dtraj[seg])
+                cluster_structures.setdefault(cluster_idx, []).append(child[seg])
+                cluster_structure_weights.setdefault(cluster_idx, []).append(
+                    d["weights"][seg]
+                )
+                structure_iteration_segments.setdefault(cluster_idx, []).append(
+                    [iteration, int(d["seg_idx"][seg]),
+                     self.fileList[int(d["west_idx"][seg])]]
+                )
+                if build_pcoord_cache:
+                    pcoord_cache.setdefault(cluster_idx, []).append(d["pcoord1"][seg])
+
+        self.cluster_structures = cluster_structures
+        self.cluster_structure_weights = cluster_structure_weights
+        self.structure_iteration_segments = structure_iteration_segments
+        self.pcoord_cache = pcoord_cache
+
+    # -------------------------------------------------------------- analysis
+    def get_Tmatrix(self):
+        self.Tmatrix = linalg.tmatrix_from_flux(
+            self.fluxMatrix, self.indTargets, self.indBasis, self.nBins
+        )
+
+    def get_eqTmatrix(self):
+        self.Tmatrix = linalg.equilibrium_tmatrix_from_flux(
+            self.fluxMatrix, self.indTargets, self.indBasis
+        )
+
+    def get_steady_state(self, flux_fractional_convergence=1e-4, max_iters=10):
+        pSS, _flux = linalg.steady_state_refined(
+            self.Tmatrix,
+            self.indTargets,
+            self.indBasis,
+            self.nBins,
+            self.tau * (self.n_lag + 1),
+            flux_fractional_convergence=flux_fractional_convergence,
+            max_iters=max_iters,
+        )
+        self.pSS = pSS
+
+    def get_steady_state_algebraic(self, max_iters=1000, check_negative=True, set=True):
+        pSS = linalg.steady_state_algebraic(
+            self.Tmatrix, max_iters=max_iters, check_negative=check_negative
+        )
+        if set:
+            self.pSS = pSS
+        else:
+            return pSS
+
+    def get_steady_state_matrixpowers(self, conv):
+        """Matrix-power steady state (reference ``_analysis.py:284-315``)."""
+        max_iters = 10000
+        Mt = self.Tmatrix.copy()
+        dconv = 1.0e100
+        N = 1
+        pSS = np.mean(Mt, 0)
+        pSSp = np.ones_like(pSS)
+        while dconv > conv and N < max_iters:
+            Mt = self.Tmatrix @ Mt
+            N += 1
+            if N % 10 == 0:
+                pSS = np.mean(Mt, 0)
+                pSS = pSS / pSS.sum()
+                dconv = np.abs(pSS - pSSp).sum()
+                pSSp = pSS.copy()
+                self.pSS = pSS.copy()
+
+    def get_steady_state_target_flux(self, pSS=None, _set=True):
+        import scipy.sparse as sparse
+
+        from .utils import is_connected
+
+        sparse_mat = sparse.csr_matrix(self.Tmatrix)
+        if not is_connected(sparse_mat, self.indBasis, self.indTargets, directed=True):
+            log.critical(
+                "There is no path from the basis to the target, so no MFPT can "
+                "be calculated."
+            )
+            return -1
+
+        if pSS is None:
+            pSS = np.squeeze(np.asarray(self.pSS))
+        lagtime = self.tau * (self.n_lag + 1)
+        J = linalg.target_flux(
+            np.asarray(self.Tmatrix), pSS, self.indTargets, self.nBins, lagtime
+        )
+        if _set:
+            self.lagtime = lagtime
+            self.JtargetSS = J
+        else:
+            return J
+
+    def get_committor(self, conv=1e-5):
+        log.info(
+            "Note: for steady-state WE data this is a 'pseudocommittor', not a "
+            "true committor, as it comes from a one-way ensemble."
+        )
+        self.q = linalg.committor(
+            self.fluxMatrix, self.indTargets, self.indBasis, self.nBins, conv=conv
+        )
+
+    def get_backwards_committor(self, conv):
+        self.qm = linalg.backwards_committor(
+            self.fluxMatrix, self.indTargets, self.indBasis, self.nBins, conv
+        )
+        self.q = self.qm.copy()
+
+    def get_flux(self):
+        """Net flux profile over pcoord-sorted states + overcorrection check
+        (reference ``_analysis.py:386-466``)."""
+        from scipy.stats import linregress
+
+        centers = self.targetRMSD_centers[:, 0].copy()
+        centers[self.indBasis] = self.basis_bin_centers[0]
+        centers[self.indTargets] = self.target_bin_centers[0]
+        order = np.argsort(centers)
+
+        self.J = linalg.net_flux_profile(self.fluxMatrix, order)
+
+        if self.all_centers is None:
+            self.update_sorted_cluster_centers()
+
+        slope, intercept, r_value, p_value, std_err = linregress(
+            self.all_centers, self.J / self.tau
+        )
+        self.fit_parameters = {
+            "slope": slope,
+            "intercept": intercept,
+            "r_value": r_value,
+            "p_value": p_value,
+            "std_err": std_err,
+        }
+
+        target_before_basis = bool(
+            np.any(self.target_bin_centers < self.basis_bin_centers)
+        )
+        self.slope_overcorrected = (slope < 0) if target_before_basis else (slope > 0)
+        if self.slope_overcorrected:
+            log.warning(
+                "Flux profile appears to be overcorrected: flux is higher near "
+                "the target than the basis. Restarting may have driven the "
+                "system past its true steady state; continue this WE run "
+                "without restarting and let it relax."
+            )
+
+    def get_flux_committor(self):
+        """Net flux profile over committor-sorted states (reference
+        ``_analysis.py:468-501``)."""
+        order = np.argsort(np.squeeze(1.0 - self.q))
+        self.Jq = linalg.net_flux_profile(self.fluxMatrix, order) / self.tau
+
+    def evolve_target_flux(self):
+        """Reference ``_analysis.py:503-525``."""
+        Mss = self.Tmatrix
+        probTransient = self.probTransient
+        nT = np.shape(probTransient)[0]
+        Jtarget = np.zeros(nT)
+        self.lagtime = self.tau * (self.n_lag + 1)
+        ind_not_targets = np.setdiff1d(range(self.nBins), self.indTargets)
+        JtargetTimes = np.zeros(nT)
+        for iT in range(nT):
+            Jt = float(
+                np.sum(
+                    probTransient[iT, ind_not_targets][:, None]
+                    * Mss[np.ix_(ind_not_targets, np.asarray(self.indTargets))]
+                )
+            )
+            Jtarget[iT] = Jt
+            JtargetTimes[iT] = iT * self.nStore * self.lagtime
+        self.Jtarget = Jtarget / self.lagtime
+        self.JtargetTimes = JtargetTimes
+
+    # ------------------------------------------------------- block validation
+    def do_block_validation(
+        self,
+        cross_validation_groups,
+        cross_validation_blocks,
+        use_ray=False,
+        progress_bar=None,
+    ):
+        """Split iterations into blocks/groups and build independent models
+        (reference ``msm_we.py:884-1009``)."""
+        assert getattr(self, "post_cluster_model", None) is not None, (
+            "Perform clustering with cluster_coordinates() before attempting "
+            "block validation -- self.post_cluster_model is not set."
+        )
+
+        validation_models = [
+            deepcopy(self.post_cluster_model) for _ in range(cross_validation_groups)
+        ]
+        iters_per_block = self.post_cluster_model.maxIter // cross_validation_blocks
+        block_iterations = [
+            [start, start + iters_per_block]
+            for start in range(1, self.post_cluster_model.maxIter, iters_per_block)
+        ]
+        block_iterations[-1][-1] -= 1
+        group_blocks = [
+            range(start_idx, cross_validation_blocks, cross_validation_groups)
+            for start_idx in range(cross_validation_groups)
+        ]
+
+        validation_iterations = []
+        for group in range(cross_validation_groups):
+            group_iterations = []
+            for block in group_blocks[group]:
+                group_iterations.extend(range(*block_iterations[block]))
+            validation_iterations.append(group_iterations)
+
+            try:
+                _model = validation_models[group]
+                _model.get_fluxMatrix(0, iters_to_use=validation_iterations[group])
+                _model.organize_fluxMatrix()
+                _model.get_Tmatrix()
+                _model.get_steady_state()
+                _model.get_steady_state_target_flux()
+            except Exception as e:
+                log.error("Error during block validation!")
+                log.exception(e)
+                raise modelWE.BlockValidationError(e)
+
+        self.validation_iterations = validation_iterations
+        self.validation_models = validation_models
+
+    # ------------------------------------------------------------- pipeline
+    def build_analyze_model(
+        self,
+        file_paths,
+        ref_struct,
+        modelName,
+        basis_pcoord_bounds,
+        target_pcoord_bounds,
+        dimreduce_method,
+        tau,
+        n_clusters,
+        ray_kwargs={},
+        max_coord_iter=-1,
+        stratified=True,
+        streaming=True,
+        use_ray=False,
+        fluxmatrix_iters=[1, -1],
+        fluxmatrix_iters_to_use=None,
+        cross_validation_groups=2,
+        cross_validation_blocks=4,
+        show_live_display=True,
+        allow_validation_failure=False,
+        step_kwargs={},
+        progress_bar=None,
+    ):
+        """One-shot build + analysis (reference ``msm_we.py:588-882``)."""
+        model = self
+
+        model.initialize(
+            file_paths,
+            ref_struct,
+            modelName,
+            basis_pcoord_bounds=basis_pcoord_bounds,
+            target_pcoord_bounds=target_pcoord_bounds,
+            dim_reduce_method=dimreduce_method,
+            tau=tau,
+            **step_kwargs.get("initialize", {}),
+        )
+        model.get_iterations()
+        _max_coord_iter = model.maxIter if max_coord_iter == -1 else max_coord_iter
+        model.get_coordSet(_max_coord_iter)
+        model.dimReduce(**step_kwargs.get("dimReduce", {}))
+        model.cluster_coordinates(
+            n_clusters=n_clusters,
+            streaming=streaming,
+            stratified=stratified,
+            store_validation_model=cross_validation_groups > 0,
+            **step_kwargs.get("clustering", {}),
+        )
+
+        _fm_iters = list(fluxmatrix_iters)
+        if _fm_iters[1] == -1:
+            _fm_iters[1] = model.maxIter
+        model.get_fluxMatrix(
+            0,
+            first_iter=_fm_iters[0],
+            last_iter=_fm_iters[1],
+            iters_to_use=fluxmatrix_iters_to_use,
+            **step_kwargs.get("fluxmatrix", {}),
+        )
+        original_clusters = model.fluxMatrixRaw.shape[0]
+        model.organize_fluxMatrix(**step_kwargs.get("organize", {}))
+        final_clusters = model.fluxMatrix.shape[0]
+        log.info(f"{original_clusters} clusters cleaned to {final_clusters}")
+
+        model.get_Tmatrix()
+        model.get_steady_state()
+        model.get_steady_state_target_flux()
+        log.info(f"Target flux: {model.JtargetSS:.2e}")
+
+        if cross_validation_groups > 0:
+            try:
+                model.do_block_validation(
+                    cross_validation_groups=cross_validation_groups,
+                    cross_validation_blocks=cross_validation_blocks,
+                    **step_kwargs.get("block_validation", {}),
+                )
+            except Exception as e:
+                log.error(e)
+                if not allow_validation_failure:
+                    raise
+        return model
+
+    # ------------------------------------------------------------- misc compat
+    @staticmethod
+    def check_connect_ray():
+        """No-op: Ray is replaced by single-program JAX (SURVEY.md P1)."""
+        log.debug("Ray not required: parallelism is provided by JAX sharding.")
+
+    def progress_disable(self):
+        pass
+
+    def progress_enable(self):
+        pass

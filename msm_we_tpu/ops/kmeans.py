@@ -1,0 +1,167 @@
+"""Batched, weighted k-means primitives in JAX.
+
+This replaces the reference's sklearn KMeans/MiniBatchKMeans usage
+(``_clustering.py:41-140``, ``stratified_clustering.py:101-212``). The hottest
+reference loop -- one sklearn ``predict([coord])`` call per frame inside
+``StratifiedClusters.predict`` (``stratified_clustering.py:152-203``) -- becomes
+one masked distance matmul + argmin over a *flattened* center bank:
+
+* all per-WE-bin cluster centers live in one ``(K, d)`` tensor with a
+  ``center_bin`` id and ``valid`` mask per row;
+* a segment's distances to centers outside its (remapped) WE bin are pushed to
+  +inf, so the argmin simultaneously picks the bin-local nearest center and,
+  through a precomputed ``global_id`` lookup, yields the reference's
+  consecutive global cluster index (offset logic of
+  ``stratified_clustering.py:173-195``).
+
+The distance computation is ``|x|^2 - 2 x.C^T + |c|^2`` -- an MXU matmul.
+A Pallas fused kernel (ops/pallas_kernels.py) avoids materializing the
+(N, K) distance matrix in HBM on TPU; this module is the jnp reference path
+and the training-update home.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "pairwise_dist2",
+    "assign_flat",
+    "masked_assign",
+    "kmeans_plusplus",
+    "lloyd",
+    "minibatch_update",
+]
+
+_BIG = jnp.float32(3.4e38)
+
+
+def pairwise_dist2(X, C):
+    """Squared Euclidean distances, (N, d) x (K, d) -> (N, K), via MXU matmul."""
+    x2 = jnp.sum(X * X, axis=1, keepdims=True)
+    c2 = jnp.sum(C * C, axis=1)[None, :]
+    xc = X @ C.T
+    return x2 - 2.0 * xc + c2
+
+
+@jax.jit
+def assign_flat(X, C, valid):
+    """Nearest valid center for each row of X. Returns (indices, dist2)."""
+    d2 = pairwise_dist2(X, C)
+    d2 = jnp.where(valid[None, :], d2, _BIG)
+    idx = jnp.argmin(d2, axis=1)
+    return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+
+
+@jax.jit
+def masked_assign(X, seg_bin, C, center_bin, valid):
+    """Stratified assignment: nearest valid center *within each row's WE bin*.
+
+    Parameters
+    ----------
+    X: (N, d) features.
+    seg_bin: (N,) int32 -- the (already we_remap'ed) WE bin of each segment.
+    C: (K, d) flattened center bank.
+    center_bin: (K,) int32 -- owning WE bin of each center row.
+    valid: (K,) bool -- live centers (False = padding or cleaned).
+
+    Returns the flat center-row index (into C) of the winner for each segment.
+    """
+    d2 = pairwise_dist2(X, C)
+    ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
+    d2 = jnp.where(ok, d2, _BIG)
+    return jnp.argmin(d2, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmeans_plusplus(key, X, w, k):
+    """Weighted k-means++ seeding (deterministic given ``key``).
+
+    Rows with weight 0 are never chosen. Returns (k, d) initial centers.
+    """
+    n = X.shape[0]
+    w = jnp.maximum(w, 0.0)
+    probs0 = w / jnp.maximum(w.sum(), 1e-30)
+
+    key, sub = jax.random.split(key)
+    first = jax.random.choice(sub, n, p=probs0)
+    centers0 = jnp.zeros((k, X.shape[1]), X.dtype).at[0].set(X[first])
+    mind2_0 = jnp.sum((X - X[first]) ** 2, axis=1)
+
+    def body(i, carry):
+        key, centers, mind2 = carry
+        key, sub = jax.random.split(key)
+        scores = w * mind2
+        p = scores / jnp.maximum(scores.sum(), 1e-30)
+        nxt = jax.random.choice(sub, n, p=p)
+        centers = centers.at[i].set(X[nxt])
+        mind2 = jnp.minimum(mind2, jnp.sum((X - X[nxt]) ** 2, axis=1))
+        return key, centers, mind2
+
+    _key, centers, _m = jax.lax.fori_loop(1, k, body, (key, centers0, mind2_0))
+    return centers
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def lloyd(X, w, centers, n_iter=25):
+    """Weighted batch Lloyd iterations with fixed iteration count.
+
+    Empty clusters keep their previous center (sklearn re-seeds them; a fixed
+    center is deterministic and shape-stable under jit).
+    """
+    k = centers.shape[0]
+
+    def step(_i, centers):
+        idx, _ = assign_flat(X, centers, jnp.ones(k, bool))
+        wsum = jax.ops.segment_sum(w, idx, num_segments=k)
+        xsum = jax.ops.segment_sum(X * w[:, None], idx, num_segments=k)
+        new = jnp.where(wsum[:, None] > 0, xsum / jnp.maximum(wsum, 1e-30)[:, None], centers)
+        return new
+
+    return jax.lax.fori_loop(0, n_iter, step, centers)
+
+
+@jax.jit
+def minibatch_update(centers, counts, X, w, idx):
+    """Streaming (running weighted mean) center update, MiniBatchKMeans-style.
+
+    ``idx`` are flat center-row assignments for this batch; rows with w == 0
+    contribute nothing. Returns (new_centers, new_counts).
+    """
+    k = centers.shape[0]
+    wsum = jax.ops.segment_sum(w, idx, num_segments=k)
+    xsum = jax.ops.segment_sum(X * w[:, None], idx, num_segments=k)
+    new_counts = counts + wsum
+    new_centers = jnp.where(
+        new_counts[:, None] > 0,
+        (centers * counts[:, None] + xsum) / jnp.maximum(new_counts, 1e-30)[:, None],
+        centers,
+    )
+    return new_centers, new_counts
+
+
+def kmeans_fit(X, w, k, seed=0, n_iter=50, minibatch=False, batch_size=4096):
+    """Host-orchestrated full fit: k-means++ seeding then Lloyd (or minibatch).
+
+    Returns (centers, assignments) as numpy arrays. Deterministic given seed.
+    """
+    X = jnp.asarray(X, jnp.float32)
+    w = jnp.asarray(w, jnp.float32) if w is not None else jnp.ones(X.shape[0], jnp.float32)
+    key = jax.random.PRNGKey(seed)
+
+    centers = kmeans_plusplus(key, X, w, k)
+    if not minibatch or X.shape[0] <= batch_size:
+        centers = lloyd(X, w, centers, n_iter=n_iter)
+    else:
+        counts = jnp.zeros(k, jnp.float32)
+        valid = jnp.ones(k, bool)
+        for start in range(0, X.shape[0], batch_size):
+            xb = X[start : start + batch_size]
+            wb = w[start : start + batch_size]
+            idx, _ = assign_flat(xb, centers, valid)
+            centers, counts = minibatch_update(centers, counts, xb, wb, idx)
+    idx, _ = assign_flat(X, centers, jnp.ones(k, bool))
+    return np.asarray(centers), np.asarray(idx)

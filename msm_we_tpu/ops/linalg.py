@@ -1,0 +1,297 @@
+"""haMSM analysis linear algebra: transition matrix, steady state, committors,
+flux profiles.
+
+Parity targets: ``_hamsm/_analysis.py`` (get_Tmatrix :23, get_steady_state
+:97, get_steady_state_algebraic :193, get_steady_state_target_flux :317,
+get_flux :386, get_flux_committor :468, get_committor :527) and
+``utils.inverse_iteration``.
+
+Precision split (SURVEY.md section 7): these matrices are small (hundreds of
+states) but ill-conditioned, spanning many orders of magnitude
+(``_analysis.py:113-125``), so the *parity* path runs in float64 numpy/scipy
+on the host -- identical numerics to the reference. Jitted device variants
+(power iteration, committor iteration) are provided for the fused TPU pipeline
+where f32 suffices; the facade picks per call.
+
+The O(n^3) per-cut flux-profile loops of the reference (``_analysis.py:
+409-422,486-498``) collapse to 2-D cumulative sums: with P = cumsum2d(F),
+net flux through the cut after position i is P[n-1, i] - P[i, n-1].
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sparse
+
+from .._logging import log
+from ..utils import inverse_iteration, is_connected
+
+__all__ = [
+    "tmatrix_from_flux",
+    "steady_state_algebraic",
+    "steady_state_refined",
+    "steady_state_power_jax",
+    "target_flux",
+    "committor",
+    "committor_jax",
+    "net_flux_profile",
+]
+
+
+# --------------------------------------------------------------------- host
+
+
+def tmatrix_from_flux(flux_matrix, ind_targets, ind_basis, n_bins):
+    """Row-normalize a flux matrix into a steady-state transition matrix.
+
+    Zero-outflow rows become self-transitions; target (sink) rows recycle
+    uniformly into the basis. Reference ``_analysis.py:23-79``.
+    """
+    fm = np.array(flux_matrix, dtype=np.float64)
+    out = fm.sum(axis=1)
+    pos = out > 0
+    fm[pos] = fm[pos] / out[pos, None]
+    zero_rows = np.flatnonzero(out == 0.0)
+    fm[zero_rows, zero_rows] = 1.0
+
+    sink_rates = np.zeros(n_bins)
+    sink_rates[np.asarray(ind_basis)] = 1.0 / np.size(ind_basis)
+    tmatrix = fm.copy()
+    tmatrix[np.asarray(ind_targets), :] = sink_rates[None, :]
+    return tmatrix
+
+
+def equilibrium_tmatrix_from_flux(flux_matrix, ind_targets, ind_basis):
+    """Equilibrium variant: drop basis/target states, then row-normalize.
+
+    Reference ``get_eqTmatrix``, ``_analysis.py:81-95``.
+    """
+    fm = np.array(flux_matrix, dtype=np.float64)
+    n = fm.shape[0]
+    drop = np.append(np.asarray(ind_targets), np.asarray(ind_basis))
+    keep = np.setdiff1d(np.arange(n), drop)
+    sub = fm[np.ix_(keep, keep)]
+    out = sub.sum(axis=1)
+    pos = out > 0
+    sub[pos] = sub[pos] / out[pos, None]
+    zr = np.flatnonzero(out == 0.0)
+    sub[zr, zr] = 1.0
+    return sub
+
+
+def steady_state_algebraic(tmatrix, max_iters=1000, check_negative=True):
+    """Dense eigensolve for the stationary distribution, with the reference's
+    matrix-power fallback when the eigenvector has negative entries
+    (``_analysis.py:193-282``)."""
+    tmatrix = np.asarray(tmatrix, dtype=np.float64)
+    eigenvalues, eigenvectors = np.linalg.eig(tmatrix.T)
+    pSS = np.real(eigenvectors[:, np.argmax(np.real(eigenvalues))]).squeeze()
+
+    assert not np.isclose(pSS.sum(), 0), "Steady-state distribution sums to 0!"
+    pSS = pSS / pSS.sum()
+
+    if (pSS < 0).sum() > 0 and max_iters > 0:
+        log.info(
+            "Negative elements in pSS after normalization, attempting to correct "
+            "with matrix power method."
+        )
+        pSS_last = pSS
+        _tmatrix = tmatrix.copy()
+        pSS_new = pSS_last
+        for N in range(max_iters):
+            pSS_new = _tmatrix.T @ pSS_last
+            if (pSS_new < 0).sum() == 0:
+                log.info(f"Corrected to semidefinite pSS in {N} iterations")
+                break
+            pSS_last = pSS_new
+            _tmatrix = tmatrix @ _tmatrix
+        if N == max_iters - 1:
+            log.warning("Power method did NOT obtain semidefinite pSS.")
+        else:
+            pSS = pSS_new
+
+    if not np.all(pSS >= 0) and check_negative:
+        assert np.all(pSS >= 0), f"Negative elements in steady-state: {pSS}"
+    return pSS
+
+
+def target_flux(tmatrix, pSS, ind_targets, n_bins, lagtime):
+    """Total steady-state flux into the target states, per unit lagtime.
+
+    Returns -1 if the basis cannot reach the target (caller passes
+    connectivity). Reference ``_analysis.py:317-384``.
+    """
+    ind_targets = np.asarray(ind_targets)
+    ind_not_targets = np.setdiff1d(np.arange(n_bins), ind_targets)
+    Jt = float(
+        np.sum(pSS[ind_not_targets][:, None] * tmatrix[np.ix_(ind_not_targets, ind_targets)])
+    )
+    return Jt / lagtime
+
+
+def steady_state_refined(
+    tmatrix,
+    ind_targets,
+    ind_basis,
+    n_bins,
+    lagtime,
+    flux_fractional_convergence=1e-4,
+    max_iters=10,
+):
+    """Algebraic estimate refined by sparse inverse iteration, converged on the
+    change in target flux. Reference ``get_steady_state``
+    (``_analysis.py:97-191``). Returns (pSS, JtargetSS_estimate)."""
+    sparse_mat = sparse.csr_matrix(tmatrix)
+
+    def _flux_ok():
+        return is_connected(sparse_mat, np.asarray(ind_basis), np.asarray(ind_targets))
+
+    algebraic_pss = steady_state_algebraic(tmatrix, max_iters=10, check_negative=False)
+    connected = _flux_ok()
+
+    def _flux(p):
+        if not connected:
+            return -1.0
+        return target_flux(np.asarray(tmatrix), p, ind_targets, n_bins, lagtime)
+
+    last_flux = _flux(algebraic_pss)
+    last_pSS = algebraic_pss
+    flux_warned = False
+
+    for N in range(max_iters):
+        iterated = inverse_iteration(matrix=sparse_mat, guess=last_pSS)
+        last_pSS = iterated
+        new_flux = _flux(last_pSS)
+        flux_change = new_flux - last_flux
+        last_flux = new_flux
+        criterion = last_flux * flux_fractional_convergence
+
+        if N > 0 and last_flux == 0 and not flux_warned:
+            log.warning(
+                "Flux is 0; steady-state solver will only converge after max "
+                "iterations. If you're looking for equilibrium this is probably OK."
+            )
+            flux_warned = True
+
+        if abs(flux_change) < criterion:
+            log.info(
+                f"Flux converged to {last_flux:.4e} after {N + 1} iterations of "
+                "inverse iteration."
+            )
+            break
+        elif N == max_iters - 1 and last_flux != 0:
+            log.warning("Flux is nonzero and did not converge!")
+
+    assert (last_pSS >= 0).all(), "Negative elements in pSS"
+    assert last_flux >= 0, "Negative flux estimate from this pSS"
+    return last_pSS, last_flux
+
+
+def committor(flux_matrix, ind_targets, ind_basis, n_bins, conv=1e-5):
+    """Forward committor by absorbing-boundary power iteration.
+
+    Reference ``get_committor`` (``_analysis.py:527-606``), including its
+    final-iteration convention: the stored committor is the matrix product of
+    the last clamped iterate (no re-clamp after the loop).
+    """
+    M = np.array(flux_matrix, dtype=np.float64)
+    flux_out = M.sum(axis=1)
+    pos = flux_out > 0
+    M[pos] = M[pos] / flux_out[pos, None]
+    zr = np.flatnonzero(flux_out == 0.0)
+    M[zr, zr] = 1.0
+
+    for ii in np.asarray(ind_basis):
+        M[ii, :] = 0.0
+        M[ii, ii] = 1.0
+
+    q = np.zeros((n_bins, 1))
+    q[np.asarray(ind_targets), 0] = 1.0
+    qp = np.ones_like(q)
+    dconv = np.inf
+    while dconv > conv:
+        q[np.asarray(ind_targets), 0] = 1.0
+        q[np.asarray(ind_basis), 0] = 0.0
+        q = M @ q
+        dconv = np.abs(qp - q).sum()
+        qp = q.copy()
+    return q.squeeze()
+
+
+def backwards_committor(flux_matrix, ind_targets, ind_basis, n_bins, conv):
+    """Backward committor via time reversal. Reference ``_analysis.py:609-637``."""
+    M = np.array(flux_matrix, dtype=np.float64)
+    out = M.sum(axis=1)
+    pos = out > 0
+    M[pos] = M[pos] / out[pos, None]
+    zr = np.flatnonzero(out == 0.0)
+    M[zr, zr] = 1.0
+    for ii in np.asarray(ind_targets):
+        M[ii, :] = 0.0
+        M[ii, ii] = 1.0
+    M = M.T
+    q = np.zeros((n_bins, 1))
+    q[np.asarray(ind_basis), 0] = 1.0
+    qp = np.ones_like(q)
+    dconv = np.inf
+    while dconv > conv:
+        q[np.asarray(ind_basis), 0] = 1.0
+        q[np.asarray(ind_targets), 0] = 0.0
+        q = M @ q
+        dconv = np.abs(qp - q).sum()
+        qp = q.copy()
+    return q.squeeze()
+
+
+def net_flux_profile(flux_matrix, order):
+    """Net flux through each cut of the state ordering, via 2-D cumulative sums.
+
+    ``J[order[i]] = sum(F[>i, <=i]) - sum(F[<=i, >i])`` over the *ordered*
+    matrix -- equal to P[n-1, i] - P[i, n-1] with P the 2-D inclusive cumsum.
+    Replaces the reference's O(n^3) loops (``_analysis.py:409-422``). The last
+    ordered state keeps J = 0, as in the reference (loop stops at n-1).
+    """
+    F = np.asarray(flux_matrix, dtype=np.float64)[np.ix_(order, order)]
+    n = F.shape[0]
+    P = F.cumsum(axis=0).cumsum(axis=1)
+    J = np.zeros(n)
+    idx = np.arange(n - 1)
+    J[np.asarray(order)[idx]] = P[n - 1, idx] - P[idx, n - 1]
+    return J
+
+
+# -------------------------------------------------------------------- device
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def steady_state_power_jax(T, guess, n_iters=200):
+    """Power iteration for the stationary distribution (f32 device path)."""
+
+    def body(_i, p):
+        p = T.T @ p
+        return p / jnp.maximum(p.sum(), 1e-30)
+
+    return jax.lax.fori_loop(0, n_iters, body, guess)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def committor_jax(M, target_mask, basis_mask, conv=1e-5, max_iters=10000):
+    """Device committor iteration with while_loop convergence."""
+
+    q0 = jnp.where(target_mask, 1.0, 0.0)
+
+    def cond(state):
+        q, qp, i = state
+        return (jnp.abs(qp - q).sum() > conv) & (i < max_iters)
+
+    def body(state):
+        q, _qp, i = state
+        qc = jnp.where(target_mask, 1.0, jnp.where(basis_mask, 0.0, q))
+        qn = M @ qc
+        return qn, q, i + 1
+
+    q, _, _ = jax.lax.while_loop(cond, body, (q0, jnp.full_like(q0, jnp.inf), 0))
+    return q

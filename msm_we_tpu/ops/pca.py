@@ -1,0 +1,261 @@
+"""Streaming dimensionality reduction: PCA, weighted TICA, VAMP.
+
+Parity targets: ``_hamsm/_dimensionality.py`` -- streaming IncrementalPCA with
+a variance-cutoff component count (``:142-244``), deeptime TICA/VAMP fit from
+(start, end) time-lagged pairs with WE weights (TICA only; weights are
+unsupported for VAMP, ``:303-306``), batch PCA (``:296``), and the identity
+``Coordinates`` stub (``:24-34``).
+
+Re-design: the reference runs every partial_fit in a forked subprocess purely
+to force memory release (``:174-186,220-227``). Here moments are accumulated
+streamingly -- per-batch partial sums are computed on device (one matmul for
+the second moment, MXU work), accumulated in float64 on the host, and the
+tiny (d x d) eigenproblems run in numpy. Exact PCA replaces iPCA: on the same
+data the covariance matches (the reference's own regression test compares
+covariances, ``test_msm_we.py:86-90``), without iPCA's order-dependent
+approximation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._logging import log
+
+__all__ = [
+    "IdentityCoordinates",
+    "PCAModel",
+    "TICAModel",
+    "MomentAccumulator",
+    "PairMomentAccumulator",
+]
+
+
+@jax.jit
+def _batch_moments(X, w):
+    """Per-batch weighted *centered* moments: (sum w, batch mean, M2).
+
+    Centering within the batch before the second-moment matmul keeps the f32
+    values small, so the f64 cross-batch combine (Chan et al. pairwise update)
+    avoids the catastrophic cancellation of a raw sum-of-outer-products.
+    """
+    ws = w.sum()
+    mean = (X * w[:, None]).sum(axis=0) / jnp.maximum(ws, 1e-30)
+    Xc = X - mean[None, :]
+    M2 = (Xc * w[:, None]).T @ Xc
+    return ws, mean, M2
+
+
+@jax.jit
+def _batch_pair_moments(X0, Xt, w):
+    """Weighted lagged moments for TICA/VAMP."""
+    ws = w.sum()
+    s0 = (X0 * w[:, None]).sum(axis=0)
+    st = (Xt * w[:, None]).sum(axis=0)
+    c00 = (X0 * w[:, None]).T @ X0
+    c0t = (X0 * w[:, None]).T @ Xt
+    ctt = (Xt * w[:, None]).T @ Xt
+    return ws, s0, st, c00, c0t, ctt
+
+
+class IdentityCoordinates:
+    """Identity transform -- the reference's ``Coordinates`` stub
+    (``_dimensionality.py:24-34``)."""
+
+    def transform(self, coords):
+        return coords
+
+
+class MomentAccumulator:
+    """Streaming first/second moments for PCA.
+
+    Per-batch centered moments are combined across batches with Chan's
+    pairwise update in float64. The per-batch computation runs in float64
+    numpy by default (exact covariance parity); ``dtype=np.float32`` switches
+    to the jitted device kernel for TPU-throughput runs, at the cost of a
+    ~n_batch * eps covariance error.
+    """
+
+    def __init__(self, n_features, dtype=np.float64):
+        self.n = 0.0
+        self.dtype = np.dtype(dtype)
+        self.mean = np.zeros(n_features, dtype=np.float64)
+        self.M2 = np.zeros((n_features, n_features), dtype=np.float64)
+
+    def add(self, X, weights=None):
+        if self.dtype == np.float64:
+            X = np.asarray(X, np.float64)
+            w = (
+                np.asarray(weights, np.float64)
+                if weights is not None
+                else np.ones(X.shape[0])
+            )
+            ws = w.sum()
+            if ws == 0.0:
+                return
+            mean_b = (X * w[:, None]).sum(axis=0) / ws
+            Xc = X - mean_b[None, :]
+            M2_b = (Xc * w[:, None]).T @ Xc
+        else:
+            Xj = jnp.asarray(np.asarray(X, np.float32))
+            wj = (
+                jnp.asarray(np.asarray(weights, np.float32))
+                if weights is not None
+                else jnp.ones(Xj.shape[0], jnp.float32)
+            )
+            ws, mean_b, M2_b = _batch_moments(Xj, wj)
+            ws = float(ws)
+            if ws == 0.0:
+                return
+            mean_b = np.asarray(mean_b, dtype=np.float64)
+            M2_b = np.asarray(M2_b, dtype=np.float64)
+        # Pairwise (Chan) combine of centered moments
+        n_new = self.n + ws
+        delta = mean_b - self.mean
+        self.M2 += M2_b + np.outer(delta, delta) * (self.n * ws / n_new)
+        self.mean += delta * (ws / n_new)
+        self.n = n_new
+
+    def finalize(self, variance_cutoff=0.95, n_components=None):
+        """Eigendecompose the covariance and return a :class:`PCAModel`."""
+        assert self.n > 1, "Need more than one sample for PCA"
+        mean = self.mean
+        cov = self.M2 / (self.n - 1)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1]
+        evals, evecs = np.maximum(evals[order], 0.0), evecs[:, order]
+
+        if n_components is None:
+            ratio = np.cumsum(evals) / np.maximum(evals.sum(), 1e-300)
+            n_components = int(np.argmax(ratio > variance_cutoff) + 1)
+        log.debug(f"PCA keeping {n_components} components")
+        return PCAModel(mean, evecs[:, :n_components].T, evals[:n_components], cov)
+
+
+class PCAModel:
+    """Fitted PCA transform: ``(x - mean) @ components.T``."""
+
+    def __init__(self, mean, components, explained_variance, covariance=None):
+        self.mean_ = np.asarray(mean)
+        self.components_ = np.asarray(components)  # (n_components, d)
+        self.explained_variance_ = np.asarray(explained_variance)
+        self.covariance_ = covariance
+        self.n_components = self.components_.shape[0]
+        self._jmean = jnp.asarray(self.mean_, jnp.float32)
+        self._jcomp = jnp.asarray(self.components_.T, jnp.float32)
+
+    def transform(self, coords):
+        coords = jnp.asarray(np.asarray(coords, np.float32))
+        flat = coords.reshape(coords.shape[0], -1)
+        return np.asarray((flat - self._jmean) @ self._jcomp)
+
+
+class PairMomentAccumulator:
+    """Streaming lagged moments for TICA/VAMP from (start, end) pairs."""
+
+    def __init__(self, n_features, dtype=np.float64):
+        self.n = 0.0
+        self.dtype = np.dtype(dtype)
+        self.s0 = np.zeros(n_features, dtype=np.float64)
+        self.st = np.zeros(n_features, dtype=np.float64)
+        self.c00 = np.zeros((n_features, n_features), dtype=np.float64)
+        self.c0t = np.zeros((n_features, n_features), dtype=np.float64)
+        self.ctt = np.zeros((n_features, n_features), dtype=np.float64)
+
+    def add(self, X0, Xt, weights=None):
+        if self.dtype == np.float64:
+            X0 = np.asarray(X0, np.float64)
+            Xt = np.asarray(Xt, np.float64)
+            w = (
+                np.asarray(weights, np.float64)
+                if weights is not None
+                else np.ones(X0.shape[0])
+            )
+            ws = w.sum()
+            s0 = (X0 * w[:, None]).sum(axis=0)
+            st = (Xt * w[:, None]).sum(axis=0)
+            c00 = (X0 * w[:, None]).T @ X0
+            c0t = (X0 * w[:, None]).T @ Xt
+            ctt = (Xt * w[:, None]).T @ Xt
+        else:
+            X0j = jnp.asarray(np.asarray(X0, np.float32))
+            Xtj = jnp.asarray(np.asarray(Xt, np.float32))
+            wj = (
+                jnp.asarray(np.asarray(weights, np.float32))
+                if weights is not None
+                else jnp.ones(X0j.shape[0], jnp.float32)
+            )
+            ws, s0, st, c00, c0t, ctt = _batch_pair_moments(X0j, Xtj, wj)
+        self.n += float(ws)
+        self.s0 += np.asarray(s0, dtype=np.float64)
+        self.st += np.asarray(st, dtype=np.float64)
+        self.c00 += np.asarray(c00, dtype=np.float64)
+        self.c0t += np.asarray(c0t, dtype=np.float64)
+        self.ctt += np.asarray(ctt, dtype=np.float64)
+
+    def finalize(self, method="tica", var_cutoff=0.95, epsilon=1e-10):
+        """Solve the (generalized) eigenproblem and return a :class:`TICAModel`.
+
+        ``tica``: reversible (symmetrized) estimation with kinetic-map scaling.
+        ``vamp``: non-reversible singular-value problem, kinetic-map scaling.
+        """
+        n = self.n
+        mu0 = self.s0 / n
+        mut = self.st / n
+        C00 = self.c00 / n - np.outer(mu0, mu0)
+        C0t = self.c0t / n - np.outer(mu0, mut)
+        Ctt = self.ctt / n - np.outer(mut, mut)
+
+        def inv_sqrt(C):
+            evals, evecs = np.linalg.eigh(C)
+            keep = evals > max(epsilon, epsilon * evals.max())
+            return evecs[:, keep] @ np.diag(evals[keep] ** -0.5) @ evecs[:, keep].T
+
+        if method == "tica":
+            # Reversible: symmetrize both covariances
+            C00s = 0.5 * (C00 + Ctt)
+            mu = 0.5 * (mu0 + mut)
+            C0ts = 0.5 * (C0t + C0t.T)
+            W = inv_sqrt(C00s)
+            K = W @ C0ts @ W
+            evals, evecs = np.linalg.eigh(0.5 * (K + K.T))
+            order = np.argsort(np.abs(evals))[::-1]
+            evals, evecs = evals[order], evecs[:, order]
+            components = W @ evecs
+            scales = evals  # kinetic map
+            mean = mu
+            kinetic_var = evals**2
+        elif method == "vamp":
+            W0 = inv_sqrt(C00)
+            Wt = inv_sqrt(Ctt)
+            K = W0 @ C0t @ Wt
+            U, S, _Vt = np.linalg.svd(K)
+            components = W0 @ U
+            scales = S
+            mean = mu0
+            kinetic_var = S**2
+        else:
+            raise ValueError(f"Unknown method {method}")
+
+        ratio = np.cumsum(kinetic_var) / np.maximum(kinetic_var.sum(), 1e-300)
+        n_comp = int(np.argmax(ratio >= var_cutoff) + 1) if len(ratio) else 1
+        log.debug(f"{method} keeping {n_comp} components")
+        return TICAModel(mean, components[:, :n_comp], scales[:n_comp])
+
+
+class TICAModel:
+    """Fitted TICA/VAMP transform with kinetic-map scaling."""
+
+    def __init__(self, mean, components, scales):
+        self.mean_ = np.asarray(mean)
+        self.components_ = np.asarray(components)  # (d, n_components)
+        self.scales_ = np.asarray(scales)
+        self.output_dimension = self.components_.shape[1]
+        self._jmean = jnp.asarray(self.mean_, jnp.float32)
+        self._jcomp = jnp.asarray(self.components_ * self.scales_[None, :], jnp.float32)
+
+    def transform(self, coords):
+        coords = jnp.asarray(np.asarray(coords, np.float32))
+        flat = coords.reshape(coords.shape[0], -1)
+        return np.asarray((flat - self._jmean) @ self._jcomp)

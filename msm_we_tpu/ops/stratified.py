@@ -1,0 +1,330 @@
+"""Stratified (per-WE-bin) k-means as one flattened device tensor bank.
+
+Re-design of the reference's ``StratifiedClusters`` (one sklearn
+MiniBatchKMeans per WE bin, ``stratified_clustering.py:6-212``): all bins'
+centers live in a single ``(n_bins * k, d)`` bank with per-row validity and
+owning-bin ids. Prediction is a single masked distance matmul + argmin
+(:func:`msm_we_tpu.ops.kmeans.masked_assign`) that returns the reference's
+*consecutive global cluster indices* directly, replacing the reference's
+per-frame Python loop with per-bin offsets (``stratified_clustering.py:152-203``).
+
+Supports the reference's capability surface:
+* ``we_remap`` -- unfilled/emptied bins delegate to the nearest filled bin
+  (``_clustering.py:726-731,1070-1078``);
+* basis/target short-circuit to the two extra cluster indices
+  (``stratified_clustering.py:159-169``);
+* WE-weighted clustering (``use_weights_in_clustering``,
+  ``_clustering.py:853-911``);
+* center deletion during flux-matrix cleaning (``_clustering.py:1041-1045``)
+  via validity masking -- shapes never change, so jitted kernels never
+  recompile.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._logging import log
+from .kmeans import (
+    assign_flat,
+    kmeans_plusplus,
+    lloyd,
+    masked_assign,
+    minibatch_update,
+)
+
+__all__ = ["StratifiedKmeans"]
+
+# Batches smaller than this run in plain numpy on the host: the streaming fill
+# loop sees many small ragged batches, where XLA compile time dwarfs compute.
+# Large batches (the real work) go through the jitted device kernels.
+HOST_BATCH_THRESHOLD = 4096
+
+
+def _np_kmeans_pp(rng, X, w, k):
+    """Weighted k-means++ in numpy (host fast path for small batches)."""
+    p = w / max(w.sum(), 1e-30)
+    first = rng.choice(len(X), p=p)
+    centers = [X[first]]
+    mind2 = ((X - X[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        scores = w * mind2
+        tot = scores.sum()
+        if tot <= 0:
+            nxt = rng.choice(len(X), p=p)
+        else:
+            nxt = rng.choice(len(X), p=scores / tot)
+        centers.append(X[nxt])
+        mind2 = np.minimum(mind2, ((X - X[nxt]) ** 2).sum(axis=1))
+    return np.array(centers)
+
+
+def _np_assign(X, centers):
+    d2 = (
+        (X**2).sum(1)[:, None] - 2 * X @ centers.T + (centers**2).sum(1)[None, :]
+    )
+    return d2.argmin(axis=1)
+
+
+def _np_lloyd(X, w, centers, n_iter):
+    centers = centers.copy()
+    idx = _np_assign(X, centers)
+    for _ in range(n_iter):
+        idx = _np_assign(X, centers)
+        for c in range(len(centers)):
+            m = idx == c
+            wm = w[m].sum()
+            if wm > 0:
+                centers[c] = (X[m] * w[m, None]).sum(axis=0) / wm
+    return centers, idx
+
+
+def _pad_pow2(X, w, bins=None):
+    """Pad a batch to the next power-of-2 length with zero-weight rows.
+
+    Keeps the set of distinct shapes reaching jit logarithmic in batch size, so
+    the streaming loop doesn't recompile for every batch (zero-weight rows are
+    inert in every kernel: never sampled by k-means++, no mass in updates).
+    """
+    n = len(X)
+    target = 1 << max(n - 1, 1).bit_length()
+    if target == n:
+        return X, w, bins
+    pad = target - n
+    X = np.concatenate([X, np.zeros((pad, X.shape[1]), X.dtype)])
+    w = np.concatenate([w, np.zeros(pad, w.dtype)])
+    if bins is not None:
+        bins = np.concatenate([bins, np.zeros(pad, bins.dtype)])
+    return X, w, bins
+
+
+class StratifiedKmeans:
+    """Per-WE-bin streaming k-means over a flattened center bank.
+
+    Parameters
+    ----------
+    n_bins: number of WE bins.
+    k_per_bin: cluster centers per bin (the reference's ``n_clusters``).
+    n_features: feature dimensionality.
+    seed: base RNG seed; bin ``b`` seeds with ``seed + b`` so initialization
+        is deterministic and bin-order independent.
+    """
+
+    def __init__(self, n_bins, k_per_bin, n_features, seed=0):
+        self.n_bins = int(n_bins)
+        self.k = int(k_per_bin)
+        self.d = int(n_features)
+        self.seed = int(seed)
+
+        K = self.n_bins * self.k
+        self.centers = np.zeros((K, self.d), np.float32)
+        self.counts = np.zeros(K, np.float32)
+        self.valid = np.zeros(K, bool)
+        self.center_bin = np.repeat(np.arange(self.n_bins, dtype=np.int32), self.k)
+        self.initialized = np.zeros(self.n_bins, bool)
+        self.we_remap = np.arange(self.n_bins, dtype=np.int32)
+        self._refresh_ids()
+
+    # ------------------------------------------------------------ bookkeeping
+    def _refresh_ids(self):
+        """Recompute consecutive global ids after any validity change."""
+        counts_per_bin = self.valid.reshape(self.n_bins, self.k).sum(axis=1)
+        offsets = np.concatenate([[0], np.cumsum(counts_per_bin)])[:-1]
+        gid = np.full(self.n_bins * self.k, -1, np.int64)
+        for b in range(self.n_bins):
+            rows = np.flatnonzero(self.valid[b * self.k : (b + 1) * self.k]) + b * self.k
+            gid[rows] = offsets[b] + np.arange(len(rows))
+        self.global_id = gid
+        self.offsets = offsets
+        self.n_centers_per_bin = counts_per_bin
+        self.n_total_clusters = int(counts_per_bin.sum())
+
+    @property
+    def basis_cluster_index(self):
+        return self.n_total_clusters
+
+    @property
+    def target_cluster_index(self):
+        return self.n_total_clusters + 1
+
+    def centers_of_bin(self, b):
+        """Valid centers of bin b, in global-id order (compat view)."""
+        rows = np.flatnonzero(self.valid[b * self.k : (b + 1) * self.k]) + b * self.k
+        return self.centers[rows]
+
+    # ------------------------------------------------------------- training
+    def partial_fit(self, X, seg_bins, weights=None):
+        """One streaming update with a batch of features and their WE bins.
+
+        Uninitialized bins that receive >= k members are seeded with weighted
+        k-means++ plus a few Lloyd sweeps over their batch members; already
+        initialized bins get a running-weighted-mean minibatch update.
+        Returns the set of bins updated.
+        """
+        X = np.asarray(X, np.float32)
+        seg_bins = np.asarray(seg_bins)
+        w = (
+            np.asarray(weights, np.float32)
+            if weights is not None
+            else np.ones(len(X), np.float32)
+        )
+
+        unique_bins = np.unique(seg_bins)
+
+        # Initialize any new bins that now have enough members
+        for b in unique_bins:
+            if self.initialized[b]:
+                continue
+            members = seg_bins == b
+            if members.sum() < self.k:
+                continue
+            rows = slice(b * self.k, (b + 1) * self.k)
+            if members.sum() < HOST_BATCH_THRESHOLD:
+                rng = np.random.default_rng(self.seed + int(b))
+                init = _np_kmeans_pp(rng, X[members], w[members], self.k)
+                cb, idx = _np_lloyd(X[members], w[members], init, n_iter=5)
+                wsum = np.bincount(idx, weights=w[members], minlength=self.k)
+                self.centers[rows] = cb
+                self.counts[rows] = wsum
+            else:
+                Xb_np, wb_np, _ = _pad_pow2(X[members], w[members])
+                Xb = jnp.asarray(Xb_np)
+                wb = jnp.asarray(wb_np)
+                key = jax.random.PRNGKey(self.seed + int(b))
+                init = kmeans_plusplus(key, Xb, wb, self.k)
+                cb = lloyd(Xb, wb, init, n_iter=5)
+                idx, _ = assign_flat(Xb, cb, jnp.ones(self.k, bool))
+                wsum = jax.ops.segment_sum(wb, idx, num_segments=self.k)
+                self.centers[rows] = np.array(cb)
+                self.counts[rows] = np.array(wsum)
+            self.valid[rows] = True
+            self.initialized[b] = True
+
+        # Minibatch update for all initialized bins' members in one scatter
+        live = self.initialized[seg_bins]
+        if live.any():
+            if live.sum() < HOST_BATCH_THRESHOLD:
+                Xl, wl, bl = X[live], w[live], seg_bins[live]
+                # Masked assignment in numpy: +inf outside the row's bin
+                d2 = (
+                    (Xl**2).sum(1)[:, None]
+                    - 2 * Xl @ self.centers.T
+                    + (self.centers**2).sum(1)[None, :]
+                )
+                bad = ~(self.valid[None, :] & (self.center_bin[None, :] == bl[:, None]))
+                d2[bad] = np.inf
+                idx = d2.argmin(axis=1)
+                wsum = np.bincount(idx, weights=wl, minlength=len(self.counts))
+                xsum = np.zeros_like(self.centers, dtype=np.float64)
+                np.add.at(xsum, idx, Xl * wl[:, None])
+                new_counts = self.counts + wsum
+                upd = new_counts > 0
+                self.centers[upd] = (
+                    (self.centers[upd] * self.counts[upd, None] + xsum[upd])
+                    / new_counts[upd, None]
+                ).astype(np.float32)
+                self.counts = new_counts.astype(np.float32)
+            else:
+                Xl_np, wl_np, bl_np = _pad_pow2(
+                    X[live], w[live], seg_bins[live].astype(np.int32)
+                )
+                idx = masked_assign(
+                    jnp.asarray(Xl_np),
+                    jnp.asarray(bl_np),
+                    jnp.asarray(self.centers),
+                    jnp.asarray(self.center_bin),
+                    jnp.asarray(self.valid),
+                )
+                new_centers, new_counts = minibatch_update(
+                    jnp.asarray(self.centers),
+                    jnp.asarray(self.counts),
+                    jnp.asarray(Xl_np),
+                    jnp.asarray(wl_np),
+                    idx,
+                )
+                self.centers = np.array(new_centers)
+                self.counts = np.array(new_counts)
+
+        self._refresh_ids()
+        return set(int(b) for b in unique_bins if self.initialized[b])
+
+    # ------------------------------------------------------------ prediction
+    def predict(self, X, seg_bins, is_basis=None, is_target=None):
+        """Global cluster indices for features X in WE bins ``seg_bins``.
+
+        Applies ``we_remap`` first; basis/target segments short-circuit to the
+        two extra indices (``n_total_clusters``, ``n_total_clusters + 1``).
+        """
+        X = np.asarray(X, np.float32)
+        seg_bins = self.we_remap[np.asarray(seg_bins)]
+        if not self.initialized[np.unique(seg_bins)].all():
+            missing = np.unique(seg_bins)[~self.initialized[np.unique(seg_bins)]]
+            raise RuntimeError(
+                f"Bins {missing} have no initialized cluster model and no remap. "
+                "Cluster more data or remap these bins."
+            )
+        if len(X) < HOST_BATCH_THRESHOLD:
+            d2 = (
+                (X**2).sum(1)[:, None]
+                - 2 * X @ self.centers.T
+                + (self.centers**2).sum(1)[None, :]
+            )
+            bad = ~(
+                self.valid[None, :]
+                & (self.center_bin[None, :] == seg_bins[:, None])
+            )
+            d2[bad] = np.inf
+            flat = d2.argmin(axis=1)
+        else:
+            flat = np.asarray(
+                masked_assign(
+                    jnp.asarray(X),
+                    jnp.asarray(seg_bins.astype(np.int32)),
+                    jnp.asarray(self.centers),
+                    jnp.asarray(self.center_bin),
+                    jnp.asarray(self.valid),
+                )
+            )
+        out = self.global_id[flat]
+
+        if is_basis is not None:
+            out = np.where(np.asarray(is_basis), self.basis_cluster_index, out)
+        if is_target is not None:
+            out = np.where(np.asarray(is_target), self.target_cluster_index, out)
+        return out
+
+    def device_args(self):
+        """The device-resident arrays a fused jit pipeline needs."""
+        return dict(
+            centers=jnp.asarray(self.centers),
+            center_bin=jnp.asarray(self.center_bin),
+            valid=jnp.asarray(self.valid),
+            global_id=jnp.asarray(self.global_id),
+            we_remap=jnp.asarray(self.we_remap),
+        )
+
+    # -------------------------------------------------------------- cleaning
+    def remove_global_clusters(self, global_ids_to_remove):
+        """Invalidate the centers with the given global ids.
+
+        Returns the set of WE bins left with no centers (to be remapped by the
+        caller, reference ``_clustering.py:1057-1078``). Global ids are then
+        recomputed so the surviving centers are consecutively indexed.
+        """
+        global_ids_to_remove = np.asarray(global_ids_to_remove, dtype=np.int64)
+        if len(global_ids_to_remove):
+            inverse = {g: i for i, g in enumerate(self.global_id) if g >= 0}
+            rows = np.array([inverse[g] for g in global_ids_to_remove])
+            self.valid[rows] = False
+        self._refresh_ids()
+
+        emptied = set()
+        for b in range(self.n_bins):
+            if self.initialized[b] and self.n_centers_per_bin[b] == 0:
+                emptied.add(b)
+        return emptied
+
+    def set_remap(self, bin_idx, target_bin):
+        log.debug(f"Remapping WE bin {bin_idx} -> {target_bin}")
+        self.we_remap[bin_idx] = target_bin
