@@ -7,7 +7,9 @@ path). These env vars must be set before JAX is imported anywhere.
 import os
 import tempfile
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment may pin JAX_PLATFORMS (e.g. to a remote TPU tunnel);
+# tests must run on the local CPU with virtual devices, so override hard.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,7 +22,11 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402,F401
+import pytest  # noqa: E402,F401
 
 RANDOM_SEED = 71
