@@ -1473,6 +1473,49 @@ class modelWE:
                     raise
         return model
 
+    # -------------------------------------------------------------- plotting
+    def plot_flux(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_flux(self, *args, **kwargs)
+
+    def plot_flux_committor(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_flux_committor(self, *args, **kwargs)
+
+    def plot_flux_committor_pcoordcolor(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_flux_committor_pcoordcolor(self, *args, **kwargs)
+
+    def plot_committor(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_committor(self, *args, **kwargs)
+
+    def get_coarse_flux_profile(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.get_coarse_flux_profile(self, *args, **kwargs)
+
+    def plot_coarse_flux_profile(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_coarse_flux_profile(self, *args, **kwargs)
+
+    def draw_basis_target_boundaries(self, ax, pcoord_to_use=0):
+        from . import plotting
+
+        return plotting.draw_basis_target_boundaries(self, ax, pcoord_to_use)
+
+    @staticmethod
+    def print_pseudocommittor_warning():
+        log.info(
+            "Note: for steady-state WE data this is a 'pseudocommittor', not "
+            "a true committor, as it comes from a one-way ensemble."
+        )
+
     # ------------------------------------------------------------- misc compat
     @staticmethod
     def check_connect_ray():

