@@ -444,6 +444,56 @@ class modelWE:
         self.load_iter_data(iteration)
         return self._dataset.iter_child_coords(iteration)
 
+    @property
+    def n_lag(self):
+        return self._n_lag
+
+    @n_lag.setter
+    def n_lag(self, lag):
+        """Only lag-0 is supported, as in the reference (``msm_we.py:353-359``)."""
+        if lag != 0:
+            raise NotImplementedError(
+                "Only a lag of 1 tau (n_lag = 0) is currently supported"
+            )
+        self._n_lag = lag
+
+    def get_transition_data_lag0(self):
+        """Populate ``coordPairList``/``transitionWeights``/``departureWeights``
+        for the currently loaded iteration (reference ``_data.py:254-320``)."""
+        parent, child, weights = self._dataset.iter_coord_pairs(self.n_iter)
+        self.coordPairList = np.stack([parent, child], axis=-1)
+        self.transitionWeights = weights.copy()
+        self.departureWeights = weights.copy()
+
+    def get_seg_histories(self, n_hist):
+        """Walk each current segment's ancestry ``n_hist`` iterations back.
+
+        Populates ``seg_histories`` (segment indices; negative once a walker
+        was recycled) and ``weight_histories``, as the reference does by
+        re-reading seg_index chains (``_data.py:322-421``).
+        """
+        if n_hist > self.n_iter:
+            log.warning(f"Too much history requested; reducing n_hist to {self.n_iter}")
+            n_hist = self.n_iter
+        self.n_hist = n_hist
+
+        n_seg = self.nSeg
+        seg_histories = np.zeros((n_seg, n_hist + 1), dtype=int)
+        weight_histories = np.zeros((n_seg, n_hist))
+
+        seg_histories[:, 0] = self.segindList
+        for iH in range(1, n_hist + 1):
+            iter_back = self.n_iter - iH + 1
+            d = self._dataset.iter_data(iter_back)
+            for iS in range(n_seg):
+                ind_current = seg_histories[iS, iH - 1]
+                if ind_current < 0:
+                    continue  # already recycled further back
+                seg_histories[iS, iH] = d["parent_ids"][ind_current]
+                weight_histories[iS, iH - 1] = d["weights"][ind_current]
+        self.seg_histories = seg_histories[:, :-1].astype(int)
+        self.weight_histories = weight_histories
+
     def get_coordSet(self, last_iter, streaming=None, progress_bar=None):
         """Build ``pcoordSet`` (+ ``all_coords`` when not streaming).
 
@@ -1414,63 +1464,90 @@ class modelWE:
         allow_validation_failure=False,
         step_kwargs={},
         progress_bar=None,
+        profile_dir=None,
     ):
-        """One-shot build + analysis (reference ``msm_we.py:588-882``)."""
+        """One-shot build + analysis (reference ``msm_we.py:588-882``).
+
+        Each stage's wall-clock is recorded in ``self.stage_timings``
+        (a :class:`~msm_we_tpu.tracing.StageTimer`); pass ``profile_dir`` to
+        additionally capture a JAX profiler trace of the whole build.
+        """
+        from .tracing import StageTimer, profile_trace
+
         model = self
+        timer = StageTimer()
+        model.stage_timings = timer
 
-        model.initialize(
-            file_paths,
-            ref_struct,
-            modelName,
-            basis_pcoord_bounds=basis_pcoord_bounds,
-            target_pcoord_bounds=target_pcoord_bounds,
-            dim_reduce_method=dimreduce_method,
-            tau=tau,
-            **step_kwargs.get("initialize", {}),
-        )
-        model.get_iterations()
-        _max_coord_iter = model.maxIter if max_coord_iter == -1 else max_coord_iter
-        model.get_coordSet(_max_coord_iter)
-        model.dimReduce(**step_kwargs.get("dimReduce", {}))
-        model.cluster_coordinates(
-            n_clusters=n_clusters,
-            streaming=streaming,
-            stratified=stratified,
-            store_validation_model=cross_validation_groups > 0,
-            **step_kwargs.get("clustering", {}),
-        )
-
-        _fm_iters = list(fluxmatrix_iters)
-        if _fm_iters[1] == -1:
-            _fm_iters[1] = model.maxIter
-        model.get_fluxMatrix(
-            0,
-            first_iter=_fm_iters[0],
-            last_iter=_fm_iters[1],
-            iters_to_use=fluxmatrix_iters_to_use,
-            **step_kwargs.get("fluxmatrix", {}),
-        )
-        original_clusters = model.fluxMatrixRaw.shape[0]
-        model.organize_fluxMatrix(**step_kwargs.get("organize", {}))
-        final_clusters = model.fluxMatrix.shape[0]
-        log.info(f"{original_clusters} clusters cleaned to {final_clusters}")
-
-        model.get_Tmatrix()
-        model.get_steady_state()
-        model.get_steady_state_target_flux()
-        log.info(f"Target flux: {model.JtargetSS:.2e}")
-
-        if cross_validation_groups > 0:
-            try:
-                model.do_block_validation(
-                    cross_validation_groups=cross_validation_groups,
-                    cross_validation_blocks=cross_validation_blocks,
-                    **step_kwargs.get("block_validation", {}),
+        with profile_trace(profile_dir):
+            with timer.stage("Model initialization"):
+                model.initialize(
+                    file_paths,
+                    ref_struct,
+                    modelName,
+                    basis_pcoord_bounds=basis_pcoord_bounds,
+                    target_pcoord_bounds=target_pcoord_bounds,
+                    dim_reduce_method=dimreduce_method,
+                    tau=tau,
+                    **step_kwargs.get("initialize", {}),
                 )
-            except Exception as e:
-                log.error(e)
-                if not allow_validation_failure:
-                    raise
+            with timer.stage("Loading iterations"):
+                model.get_iterations()
+                timer.set_note(f"{model.maxIter} iterations")
+            _max_coord_iter = (
+                model.maxIter if max_coord_iter == -1 else max_coord_iter
+            )
+            with timer.stage("Loading coordinates"):
+                model.get_coordSet(_max_coord_iter)
+            with timer.stage("Dimensionality reduction"):
+                model.dimReduce(**step_kwargs.get("dimReduce", {}))
+                timer.set_note(f"method={model.dimReduceMethod}, ndim={model.ndim}")
+            with timer.stage("Clustering"):
+                model.cluster_coordinates(
+                    n_clusters=n_clusters,
+                    streaming=streaming,
+                    stratified=stratified,
+                    store_validation_model=cross_validation_groups > 0,
+                    **step_kwargs.get("clustering", {}),
+                )
+            _fm_iters = list(fluxmatrix_iters)
+            if _fm_iters[1] == -1:
+                _fm_iters[1] = model.maxIter
+            with timer.stage("Flux matrix"):
+                model.get_fluxMatrix(
+                    0,
+                    first_iter=_fm_iters[0],
+                    last_iter=_fm_iters[1],
+                    iters_to_use=fluxmatrix_iters_to_use,
+                    **step_kwargs.get("fluxmatrix", {}),
+                )
+            original_clusters = model.fluxMatrixRaw.shape[0]
+            with timer.stage("Cleaning"):
+                model.organize_fluxMatrix(**step_kwargs.get("organize", {}))
+                timer.set_note(
+                    f"{original_clusters} -> {model.fluxMatrix.shape[0]} clusters"
+                )
+            with timer.stage("Transition matrix"):
+                model.get_Tmatrix()
+            with timer.stage("Steady-state distribution"):
+                model.get_steady_state()
+            with timer.stage("Steady-state target flux"):
+                model.get_steady_state_target_flux()
+                timer.set_note(f"JtargetSS={model.JtargetSS:.2e}")
+
+            if cross_validation_groups > 0:
+                with timer.stage("Cross-validation"):
+                    try:
+                        model.do_block_validation(
+                            cross_validation_groups=cross_validation_groups,
+                            cross_validation_blocks=cross_validation_blocks,
+                            **step_kwargs.get("block_validation", {}),
+                        )
+                    except Exception as e:
+                        log.error(e)
+                        if not allow_validation_failure:
+                            raise
+
+        log.info("\n" + timer.report())
         return model
 
     # -------------------------------------------------------------- plotting

@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: fused stratified assignment + flux accumulation.
+
+The haMSM hot path is, per transition: score parent/child features against
+every stratified cluster center (masked to the segment's WE bin), argmin to a
+global cluster index, apply basis/target overrides, and scatter the segment
+weight into the flux matrix. The jnp pipeline (ops/kmeans.masked_assign +
+segment_sum) materializes two (N, K) distance matrices and an (N,) index
+array in HBM between ops; this kernel keeps everything in VMEM:
+
+* grid over segment tiles; per tile, both distance computations are MXU
+  matmuls against the (K, d) center bank held in VMEM;
+* the winner's *global id* is extracted with a one-hot matmul (gather is
+  awkward on TPU; a (TN, K) one-hot times the (K,) id vector is MXU work);
+* the flux scatter becomes ``onehot_start^T @ (w * onehot_end)`` -- another
+  MXU matmul -- accumulated into a VMEM-resident (S, S) flux matrix across
+  sequential grid steps.
+
+All logically-1D per-segment and per-center vectors travel as (n, 1) arrays:
+Mosaic requires 2-D tileable layouts for small-width operands.
+
+f32 throughput tier: the numerical-parity path accumulates flux in f64 on the
+host (model.get_fluxMatrix); this kernel is for the benchmark/serving path.
+Falls back to interpreter mode off-TPU for testing.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fused_assign_flux", "pallas_available"]
+
+_BIG = 3.4e38
+
+
+def pallas_available():
+    try:
+        import jax.experimental.pallas  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(
+    fp_ref, fc_ref, pbin_ref, cbin_ref, wp_ref,
+    basis_p_ref, basis_c_ref, target_c_ref,
+    c_ref, centerbin_ref, valid_ref, gid_ref,
+    pidx_ref, cidx_ref, fm_ref,
+    *, n_states,
+):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        fm_ref[:] = jnp.zeros_like(fm_ref)
+
+    CT = c_ref[:]  # (d, K) -- pre-transposed on host: in-kernel
+    # transposes force Mosaic into broadcast-multiply-reduce lowerings that
+    # materialize a (tile, K, d) intermediate and blow scoped VMEM
+    c2 = jnp.sum(CT * CT, axis=0)[None, :]
+    center_bin = centerbin_ref[:][:, 0]  # (K,)
+    valid = valid_ref[:][:, 0]
+    gid = gid_ref[:][:, 0].astype(jnp.float32)  # exact for ids < 2^24
+
+    def assign(x, seg_bin):
+        x2 = jnp.sum(x * x, axis=1, keepdims=True)
+        d2 = x2 - 2.0 * jnp.dot(x, CT, preferred_element_type=jnp.float32) + c2
+        ok = (valid[None, :] > 0) & (center_bin[None, :] == seg_bin[:, None])
+        d2 = jnp.where(ok, d2, _BIG)
+        # First-minimum selection and global-id lookup as pure VPU
+        # reductions: argmin + dynamic gather lower poorly in Mosaic
+        # (3-D broadcast intermediates that blow scoped VMEM)
+        K = CT.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], K), 1)
+        minval = jnp.min(d2, axis=1, keepdims=True)
+        k = jnp.min(jnp.where(d2 == minval, iota, K), axis=1)
+        sel = iota == k[:, None]
+        return jnp.sum(
+            jnp.where(sel, gid[None, :], 0.0), axis=1
+        ).astype(jnp.int32)
+
+    pidx = assign(fp_ref[:], pbin_ref[:][:, 0])
+    cidx = assign(fc_ref[:], cbin_ref[:][:, 0])
+
+    basis_cluster = n_states - 2
+    target_cluster = n_states - 1
+    # Reference override order (_fluxmatrix.py:134-137)
+    cidx = jnp.where(target_c_ref[:][:, 0] > 0, target_cluster, cidx)
+    pidx = jnp.where(basis_p_ref[:][:, 0] > 0, basis_cluster, pidx)
+    cidx = jnp.where(basis_c_ref[:][:, 0] > 0, basis_cluster, cidx)
+
+    pidx_ref[:] = pidx[:, None]
+    cidx_ref[:] = cidx[:, None]
+
+    # Flux scatter as a one-hot matmul: (S, TN) @ (TN, S)
+    TN = pidx.shape[0]
+    S = fm_ref.shape[0]
+    w = wp_ref[:][:, 0]
+    oh_start = (
+        jax.lax.broadcasted_iota(jnp.int32, (TN, S), 1) == pidx[:, None]
+    ).astype(jnp.float32)
+    oh_end = (
+        jax.lax.broadcasted_iota(jnp.int32, (TN, S), 1) == cidx[:, None]
+    ).astype(jnp.float32)
+    fm_ref[:] += jax.lax.dot_general(
+        oh_start,
+        oh_end * w[:, None],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_states", "tile", "interpret"))
+def _fused_call(
+    fp, fc, pbins, cbins, w, basis_p, basis_c, target_c,
+    centers_T, center_bin, valid, global_id,
+    n_states, tile, interpret,
+):
+    import jax.experimental.pallas as pl
+
+    N = fp.shape[0]
+    S = _round_up(n_states, 128)
+    K = centers_T.shape[1]
+    grid = (N // tile,)
+
+    seg1 = pl.BlockSpec((tile, 1), lambda i: (i, 0))
+    seg2 = pl.BlockSpec((tile, fp.shape[1]), lambda i: (i, 0))
+    bank2 = pl.BlockSpec((centers_T.shape[0], K), lambda i: (0, 0))
+    bank1 = pl.BlockSpec((K, 1), lambda i: (0, 0))
+    fm_spec = pl.BlockSpec((S, S), lambda i: (0, 0))
+
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # Mosaic's conservative intermediate analysis over-estimates this
+        # kernel's footprint; the true working set is the (tile, K) distance
+        # blocks. Raise the scoped-VMEM cap accordingly.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+
+    pidx, cidx, fm = pl.pallas_call(
+        partial(_kernel, n_states=n_states),
+        grid=grid,
+        in_specs=[
+            seg2, seg2, seg1, seg1, seg1,
+            seg1, seg1, seg1,
+            bank2, bank1, bank1, bank1,
+        ],
+        out_specs=[seg1, seg1, fm_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((S, S), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(
+        fp, fc, pbins, cbins, w, basis_p, basis_c, target_c,
+        centers_T, center_bin, valid, global_id,
+    )
+    return pidx[:, 0], cidx[:, 0], fm[:n_states, :n_states]
+
+
+def fused_assign_flux(
+    fp, fc, pbins, cbins, w, basis_p, basis_c, target_c,
+    centers, center_bin, valid, global_id, n_states,
+    tile=512, interpret=None,
+):
+    """Fused stratified assign + flux accumulate.
+
+    Host-facing wrapper: pads segments to the tile size (weight 0) and the
+    center bank/dims to MXU-friendly shapes, then launches the kernel.
+    Returns (parent_idx, child_idx, flux_matrix) as numpy arrays.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    fp = np.asarray(fp, np.float32)
+    fc = np.asarray(fc, np.float32)
+    N, d = fp.shape
+    K = centers.shape[0]
+
+    N_pad = _round_up(max(N, tile), tile)
+    d_pad = _round_up(d, 128)
+    K_pad = _round_up(K, 128)
+
+    def pad2(x, rows, cols, dtype=np.float32):
+        out = np.zeros((rows, cols), dtype)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out
+
+    def col(x, rows, fill=0, dtype=np.int32):
+        out = np.full((rows, 1), fill, dtype)
+        out[: len(x), 0] = x
+        return out
+
+    args = (
+        jnp.asarray(pad2(fp, N_pad, d_pad)),
+        jnp.asarray(pad2(fc, N_pad, d_pad)),
+        jnp.asarray(col(np.asarray(pbins), N_pad, fill=-1)),
+        jnp.asarray(col(np.asarray(cbins), N_pad, fill=-1)),
+        jnp.asarray(col(np.asarray(w, np.float32), N_pad, fill=0.0, dtype=np.float32)),
+        jnp.asarray(col(np.asarray(basis_p, np.int32), N_pad)),
+        jnp.asarray(col(np.asarray(basis_c, np.int32), N_pad)),
+        jnp.asarray(col(np.asarray(target_c, np.int32), N_pad)),
+        jnp.asarray(pad2(np.asarray(centers, np.float32), K_pad, d_pad).T.copy()),
+        jnp.asarray(col(np.asarray(center_bin), K_pad, fill=-2)),
+        jnp.asarray(col(np.asarray(valid, np.int32), K_pad)),
+        jnp.asarray(col(np.asarray(global_id), K_pad)),
+    )
+    pidx, cidx, fm = _fused_call(
+        *args, n_states=n_states, tile=tile, interpret=interpret
+    )
+    return (
+        np.asarray(pidx)[:N],
+        np.asarray(cidx)[:N],
+        np.asarray(fm),
+    )
