@@ -15,9 +15,14 @@ linearly (it is strictly O(N) Python) to get the baseline wall-clock.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: repeat bench runs skip the (remote) compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/msm_we_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def make_problem(n_segments=102_400, n_raw_features=48, n_components=8,

@@ -1550,6 +1550,39 @@ class modelWE:
         log.info("\n" + timer.report())
         return model
 
+    # ---------------------------------------------------------- checkpointing
+    def save(self, path):
+        """Pickle the full model (the reference's checkpoint format:
+        ``restart_driver.py:1139-1143``, ``run_msmWE_flux.py:148-162``)."""
+        import pickle
+
+        with open(path, "wb") as fp:
+            pickle.dump(self, fp, protocol=4)
+        log.info(f"Model saved to {path}")
+
+    @classmethod
+    def load(cls, path, h5_paths=None):
+        """Unpickle a model; optionally re-anchor its west.h5 paths.
+
+        ``h5_paths`` replaces ``fileList`` and re-opens the dataset -- the
+        moved-data workaround the reference test fixtures perform by rewriting
+        pickled absolute paths (``tests/fixtures/hamsms.py:132-148``).
+        """
+        import pickle
+
+        with open(path, "rb") as fp:
+            model = pickle.load(fp)
+        if h5_paths is not None:
+            model.fileList = list(h5_paths)
+            model.n_data_files = len(model.fileList)
+            model._dataset = WEDataset(
+                model.fileList,
+                pcoord_ndim=model.pcoord_ndim,
+                auxpath=model.auxpath,
+            )
+            model._features = None  # cached features refer to the old files
+        return model
+
     # -------------------------------------------------------------- plotting
     def plot_flux(self, *args, **kwargs):
         from . import plotting

@@ -101,21 +101,21 @@ def _kernel(
     pidx_ref[:] = pidx[:, None]
     cidx_ref[:] = cidx[:, None]
 
-    # Flux scatter as a one-hot matmul: (S, TN) @ (TN, S)
+    # Flux scatter as a one-hot matmul: (S, TN) @ (TN, S). The left one-hot
+    # is constructed already-transposed (iota over dim 0) so the contraction
+    # is the standard minor-dims form -- contracting over axis 0 of both
+    # operands is a fragile Mosaic pattern.
     TN = pidx.shape[0]
     S = fm_ref.shape[0]
     w = wp_ref[:][:, 0]
-    oh_start = (
-        jax.lax.broadcasted_iota(jnp.int32, (TN, S), 1) == pidx[:, None]
+    oh_start_T = (
+        jax.lax.broadcasted_iota(jnp.int32, (S, TN), 0) == pidx[None, :]
     ).astype(jnp.float32)
     oh_end = (
         jax.lax.broadcasted_iota(jnp.int32, (TN, S), 1) == cidx[:, None]
     ).astype(jnp.float32)
-    fm_ref[:] += jax.lax.dot_general(
-        oh_start,
-        oh_end * w[:, None],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    fm_ref[:] += jnp.dot(
+        oh_start_T, oh_end * w[:, None], preferred_element_type=jnp.float32
     )
 
 

@@ -24,13 +24,17 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name, note=""):
+        # Append at entry so set_note() inside the block targets this stage
+        self.stages.append((name, 0.0, note))
+        idx = len(self.stages) - 1
         t0 = time.perf_counter()
         try:
             yield self
         finally:
             elapsed = time.perf_counter() - t0
-            self.stages.append((name, elapsed, note))
-            log.info(f"[stage] {name}: {elapsed:.3f}s {note}")
+            n, _, note_now = self.stages[idx]
+            self.stages[idx] = (n, elapsed, note_now)
+            log.info(f"[stage] {name}: {elapsed:.3f}s {note_now}")
 
     def set_note(self, note):
         if self.stages:

