@@ -13,6 +13,15 @@ import sys
 
 
 def main(argv=None):
+    import os
+
+    # Honor JAX_PLATFORMS=cpu even when an accelerator plugin tries to win
+    # backend selection (config.update takes precedence over plugin priority)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     parser = argparse.ArgumentParser(
         prog="msm-we-tpu",
         description="TPU-native haMSM estimation from weighted-ensemble data",

@@ -73,7 +73,16 @@ def _kernel(
 
     def assign(x, seg_bin):
         x2 = jnp.sum(x * x, axis=1, keepdims=True)
-        d2 = x2 - 2.0 * jnp.dot(x, CT, preferred_element_type=jnp.float32) + c2
+        d2 = (
+            x2
+            - 2.0
+            * jnp.dot(
+                x, CT,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + c2
+        )
         ok = (valid[None, :] > 0) & (center_bin[None, :] == seg_bin[:, None])
         d2 = jnp.where(ok, d2, _BIG)
         # First-minimum selection and global-id lookup as pure VPU
@@ -114,8 +123,13 @@ def _kernel(
     oh_end = (
         jax.lax.broadcasted_iota(jnp.int32, (TN, S), 1) == cidx[:, None]
     ).astype(jnp.float32)
+    # Precision.HIGHEST: the MXU truncates f32 operands to bf16 at default
+    # precision, which costs ~0.4% relative error on the weights
     fm_ref[:] += jnp.dot(
-        oh_start_T, oh_end * w[:, None], preferred_element_type=jnp.float32
+        oh_start_T,
+        oh_end * w[:, None],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -175,7 +189,7 @@ def _fused_call(
 def fused_assign_flux(
     fp, fc, pbins, cbins, w, basis_p, basis_c, target_c,
     centers, center_bin, valid, global_id, n_states,
-    tile=512, interpret=None,
+    tile=128, interpret=None,
 ):
     """Fused stratified assign + flux accumulate.
 
