@@ -494,6 +494,42 @@ class modelWE:
         self.seg_histories = seg_histories[:, :-1].astype(int)
         self.weight_histories = weight_histories
 
+    def get_traj_coordinates(self, from_iter, traj_length):
+        """Reconstruct each current walker's continuous coordinate history.
+
+        Walks ``traj_length`` iterations of ancestry back from ``from_iter``
+        and collects each ancestor's final-frame coordinates; histories are
+        truncated where a walker was recycled (parent id < 0). Populates
+        ``self.trajSet`` with one (n_steps, n_atoms, 3) array per current
+        segment (reference ``_data.py:761-806``).
+        """
+        if traj_length > from_iter:
+            traj_length = from_iter - 1
+            log.warning(f"Trajectory length too long: set to {traj_length}")
+        self.load_iter_data(from_iter)
+        self.get_seg_histories(traj_length)
+
+        n_seg = self.nSeg
+        # seg_histories[:, h] = segment index h iterations back (<0 = recycled)
+        coords_by_iter = {}
+        for h in range(traj_length):
+            it = from_iter - h
+            parent, child, _w = self._dataset.iter_coord_pairs(it)
+            coords_by_iter[it] = child
+
+        traj_set = []
+        for iS in range(n_seg):
+            frames = []
+            for h in range(traj_length - 1, -1, -1):
+                idx = self.seg_histories[iS, h] if h < self.seg_histories.shape[1] else -1
+                if idx < 0:
+                    frames = []  # recycled: history ends here
+                    continue
+                frames.append(coords_by_iter[from_iter - h][idx])
+            traj_set.append(np.array(frames))
+        self.trajSet = traj_set
+        return traj_set
+
     def get_coordSet(self, last_iter, streaming=None, progress_bar=None):
         """Build ``pcoordSet`` (+ ``all_coords`` when not streaming).
 

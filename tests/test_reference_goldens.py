@@ -116,6 +116,23 @@ def test_clustered_mfpt_bins_parity(goldens):
     assert np.allclose(optimized_bins, again), "Seeded binning is not deterministic"
 
 
+def test_cleaning_scc_selection():
+    """The cleaning step's connected-set selection reproduces the reference's
+    302 -> 194 state reduction on the raw NTL9 flux matrix (the acceptance
+    criterion of SURVEY.md section 7 hard-part 5; re-discretization itself
+    needs the full h5 inputs, which the reference mirror doesn't ship)."""
+    raw = np.load(os.path.join(GOLDEN_DIR, "fluxmatrix_raw.npy"))
+    from msm_we_tpu.utils import find_connected_sets
+
+    f = raw.copy()
+    f[-1, -2] = 1.0  # artificial target->basis recycle edge
+    sets = find_connected_sets(f, directed=True)
+    assert len(sets[0]) == 194
+    assert raw.shape[0] - sum(len(s) for s in sets[1:]) == 194
+    # Basis (300) and target (301) are in the surviving set
+    assert 300 in sets[0] and 301 in sets[0]
+
+
 def test_uniform_mfpt_bins(goldens):
     from msm_we_tpu import optimization
 
