@@ -42,6 +42,11 @@ def main(argv=None):
     build.add_argument("--target", type=float, nargs=2, required=True,
                        help="Target pcoord bounds (lower upper)")
     build.add_argument("--tau", type=float, default=1.0)
+    build.add_argument("--stratified", action="store_true",
+                       help="Per-WE-bin stratified clustering (n-clusters per bin)")
+    build.add_argument("--bin-bounds", type=float, nargs=3, default=None,
+                       metavar=("LO", "HI", "NBINS"),
+                       help="Rectilinear WE bin grid for stratified clustering")
     build.add_argument("--output", default=None, help="Write results as JSON here")
 
     info = sub.add_parser("info", help="Print package/device info")
@@ -87,7 +92,24 @@ def main(argv=None):
         model.get_iterations()
         model.get_coordSet(model.maxIter)
         model.dimReduce()
-        model.cluster_coordinates(n_clusters=args.n_clusters, stratified=False)
+        cluster_kwargs = {}
+        if args.stratified:
+            import numpy as np
+
+            from .binning import RectilinearBinMapper
+
+            if args.bin_bounds is None:
+                lo = min(args.target[0], args.basis[0])
+                hi = max(args.target[1], args.basis[1])
+                nbins = 10
+            else:
+                lo, hi, nbins = args.bin_bounds
+            cluster_kwargs["user_bin_mapper"] = RectilinearBinMapper(
+                [np.linspace(lo, hi, int(nbins) + 1)]
+            )
+        model.cluster_coordinates(
+            n_clusters=args.n_clusters, stratified=args.stratified, **cluster_kwargs
+        )
         model.get_fluxMatrix(0)
         model.organize_fluxMatrix()
         model.get_Tmatrix()
