@@ -283,7 +283,9 @@ class modelWE:
         try:
             self.load_iter_data(1)
             self.coordsExist = True
-        except (KeyError, Exception):
+        except KeyError:
+            # Only the coords-not-written-yet case is benign (reference
+            # msm_we.py:270); anything else should surface loudly
             if not _suppress_boundary_warning:
                 log.warning("Model initialized, but coordinates do not exist yet.")
             self.coordsExist = False
@@ -350,11 +352,9 @@ class modelWE:
         return centers
 
     def _in_bounds(self, pcoords, bounds):
-        pcoords = np.atleast_2d(np.asarray(pcoords, dtype=float))
-        inside = np.ones(len(pcoords), dtype=bool)
-        for d in range(self.pcoord_ndim):
-            inside &= (pcoords[:, d] > bounds[d, 0]) & (pcoords[:, d] < bounds[d, 1])
-        return inside
+        from .utils import pcoord_in_bounds
+
+        return pcoord_in_bounds(pcoords, bounds[: self.pcoord_ndim])
 
     def is_WE_basis(self, pcoords):
         """Segments whose pcoords lie inside the basis bounds (open interval,
@@ -674,55 +674,81 @@ class modelWE:
     transform once regardless of how segment counts vary per iteration --
     the padded-batch discipline of SURVEY.md P4."""
 
-    def _reduce_chunked(self, coords):
-        """processCoordinates + transform over fixed-size chunks."""
-        n = len(coords)
-        if n == 0:
-            return np.zeros((0, self.ndim or 1), np.float32)
-        C = self.FEATURE_CHUNK
-        outs = []
-        for start in range(0, n, C):
-            chunk = coords[start : start + C]
-            if len(chunk) < C and n > C:
-                pad = np.zeros((C - len(chunk),) + chunk.shape[1:], chunk.dtype)
-                padded = np.concatenate([chunk, pad])
-                outs.append(np.asarray(self.reduceCoordinates(padded))[: len(chunk)])
-            else:
-                outs.append(np.asarray(self.reduceCoordinates(chunk)))
-        return np.concatenate(outs)
+    class _StreamingReducer:
+        """Buffer raw frames and flush fixed-size chunks through a reduce fn.
+
+        Keeps only the small reduced features resident -- raw coordinates
+        never accumulate beyond one chunk (the streaming design of SURVEY.md
+        P4; for production systems the raw set can be orders of magnitude
+        larger than host RAM).
+        """
+
+        def __init__(self, reduce_fn, chunk):
+            self.reduce_fn = reduce_fn
+            self.chunk = chunk
+            self.buf = []
+            self.buffered = 0
+            self.out = []
+
+        def add(self, coords):
+            self.buf.append(coords)
+            self.buffered += len(coords)
+            while self.buffered >= self.chunk:
+                block = np.concatenate(self.buf) if len(self.buf) > 1 else self.buf[0]
+                self.out.append(np.asarray(self.reduce_fn(block[: self.chunk])))
+                rest = block[self.chunk :]
+                self.buf = [rest] if len(rest) else []
+                self.buffered = len(rest)
+
+        def finish(self):
+            if self.buffered:
+                block = np.concatenate(self.buf) if len(self.buf) > 1 else self.buf[0]
+                if self.out:  # pad to the compiled chunk shape
+                    pad = np.zeros(
+                        (self.chunk - len(block),) + block.shape[1:], block.dtype
+                    )
+                    padded = np.concatenate([block, pad])
+                    self.out.append(
+                        np.asarray(self.reduce_fn(padded))[: len(block)]
+                    )
+                else:
+                    self.out.append(np.asarray(self.reduce_fn(block)))
+            self.buf = []
+            return (
+                np.concatenate(self.out)
+                if self.out
+                else np.zeros((0, 1), np.float32)
+            )
 
     def _featurize_all(self, force=False):
         """Reduce every iteration's (parent, child) coords to features, once.
 
         Builds concatenated arrays over iterations 1..maxIter-1 (the
         discretizable range): features, pcoords, weights, per-iteration
-        offsets. NaN coordinates are zero-filled; their weight is already 0.
+        offsets. Raw coordinates stream through fixed-size chunks; NaN
+        coordinates are zero-filled (their weight is already 0).
         """
         if self._features is not None and not force:
             return self._features
 
-        parents, children = [], []
+        red_parent = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
+        red_child = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
         p0s, p1s, ws, iter_of = [], [], [], []
         offsets = [0]
         for iteration in range(1, self.maxIter):
             parent, child, weights = self._dataset.iter_coord_pairs(iteration)
             d = self._dataset.iter_data(iteration)
-            parents.append(np.nan_to_num(parent))
-            children.append(np.nan_to_num(child))
+            red_parent.add(np.nan_to_num(parent))
+            red_child.add(np.nan_to_num(child))
             p0s.append(d["pcoord0"])
             p1s.append(d["pcoord1"])
             ws.append(weights)
             iter_of.append(np.full(len(weights), iteration))
             offsets.append(offsets[-1] + len(weights))
 
-        all_parents = np.concatenate(parents)
-        all_children = np.concatenate(children)
-        f_parent = self._reduce_chunked(all_parents)
-        f_child = self._reduce_chunked(all_children)
-
         self._features = dict(
-            parent=f_parent.astype(np.float32),
-            child=f_child.astype(np.float32),
+            parent=red_parent.finish().astype(np.float32),
+            child=red_child.finish().astype(np.float32),
             pcoord0=np.concatenate(p0s),
             pcoord1=np.concatenate(p1s),
             weights=np.concatenate(ws),
@@ -853,8 +879,12 @@ class modelWE:
 
         idx = 0
         while idx < len(iters_to_use):
-            # Accumulate a batch of iterations until all seen bins are filled
-            batch_rows = []
+            # Accumulate a batch of iterations until all seen bins are filled.
+            # Bin counts update incrementally with each appended iteration --
+            # only the new iteration's rows are classified (O(N) total).
+            kept_rows = []
+            kept_bins = []
+            bin_counts = {}
             j = idx
             ran_out = False
             while True:
@@ -862,29 +892,34 @@ class modelWE:
                     ran_out = True
                     break
                 iteration = iters_to_use[j]
-                sel = feats["iteration"] == iteration
-                batch_rows.append(np.flatnonzero(sel))
-                rows = np.concatenate(batch_rows)
+                sel = np.flatnonzero(feats["iteration"] == iteration)
 
                 # Training bins come from *parent* pcoords; basis/target
                 # segments are excluded (reference _clustering.py:846-885)
-                pc = feats["pcoord0"][rows]
+                pc = feats["pcoord0"][sel]
                 keep = ~(self.is_WE_target(pc) | self.is_WE_basis(pc))
-                if keep.sum() > 0:
-                    bins = bin_mapper.assign(pc[keep])
-                    _u, counts = np.unique(bins, return_counts=True)
-                    if np.all(counts >= n_clusters):
-                        break
+                rows_it = sel[keep]
+                bins_it = (
+                    bin_mapper.assign(pc[keep])
+                    if keep.sum()
+                    else np.array([], dtype=int)
+                )
+                kept_rows.append(rows_it)
+                kept_bins.append(bins_it)
+                for b, c in zip(*np.unique(bins_it, return_counts=True)):
+                    bin_counts[int(b)] = bin_counts.get(int(b), 0) + int(c)
+
+                if bin_counts and all(
+                    c >= n_clusters for c in bin_counts.values()
+                ):
+                    break
                 j += 1
 
-            rows = np.concatenate(batch_rows) if batch_rows else np.array([], int)
+            rows = (
+                np.concatenate(kept_rows) if kept_rows else np.array([], int)
+            )
             if len(rows):
-                pc = feats["pcoord0"][rows]
-                keep = ~(self.is_WE_target(pc) | self.is_WE_basis(pc))
-                rows = rows[keep]
-
-            if len(rows):
-                bins = bin_mapper.assign(feats["pcoord0"][rows])
+                bins = np.concatenate(kept_bins)
                 X = feats["child"][rows]
                 w = (
                     feats["weights"][rows]
@@ -1176,6 +1211,14 @@ class modelWE:
                 if len(connected_sets) > 1
                 else np.array([], dtype=int)
             )
+            basis_target = {self.n_clusters, self.n_clusters + 1}
+            if basis_target & set(states_to_remove.tolist()):
+                raise RuntimeError(
+                    "The basis or target state is disconnected from the main "
+                    "flux network -- this data contains no transitions into "
+                    "the target (or out of the basis), so no steady-state "
+                    "model can be built from it."
+                )
             keep = np.setdiff1d(np.arange(self.n_clusters), states_to_remove)
             self.removed_clusters = states_to_remove
 
@@ -1196,6 +1239,12 @@ class modelWE:
         self.nBins = self.n_clusters + 2
         self.update_sorted_cluster_centers()
         self.removed_clusters = []
+
+        fcheck = self.fluxMatrix.copy()
+        fcheck[-1, -2] = 1.0
+        assert len(find_connected_sets(fcheck, directed=True)) == 1, (
+            "Still not clean after cleaning!"
+        )
 
     # ------------------------------------------------------- cluster centers
     def get_cluster_centers(self):

@@ -89,7 +89,9 @@ class NonMarkovModel(DiscreteEnsemble):
         self.n_variables = 1  # by construction
         self.discrete = True  # by construction
 
-        if (self._lag_time < 1) or (int(self._lag_time) != int(self._lag_time)):
+        # (The reference's check at nmm.py:91 compares int(lag) with itself,
+        # which never fires for non-integer lags; this is the intended check.)
+        if (self._lag_time < 1) or (int(self._lag_time) != self._lag_time):
             raise ValueError("The lag time should be an integer greater than 1")
 
         if clean_traj:

@@ -128,7 +128,13 @@ class MomentAccumulator:
 
         if n_components is None:
             ratio = np.cumsum(evals) / np.maximum(evals.sum(), 1e-300)
-            n_components = int(np.argmax(ratio > variance_cutoff) + 1)
+            crossed = ratio >= variance_cutoff
+            # No element may cross the cutoff (variance_cutoff=1.0, the
+            # batch-pca path, under float rounding): keep everything then
+            if crossed.any():
+                n_components = int(np.argmax(crossed) + 1)
+            else:
+                n_components = len(ratio)
         log.debug(f"PCA keeping {n_components} components")
         return PCAModel(mean, evecs[:, :n_components].T, evals[:n_components], cov)
 

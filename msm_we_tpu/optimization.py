@@ -127,18 +127,15 @@ class _BoundsModel:
         self.target_pcoord_bounds = np.asarray(target_pcoord_bounds, dtype=float)
         self.pcoord1List = None
 
-    def _in(self, pcoords, bounds):
-        pcoords = np.atleast_2d(np.asarray(pcoords, dtype=float))
-        inside = np.ones(len(pcoords), dtype=bool)
-        for d in range(self.pcoord_ndim):
-            inside &= (pcoords[:, d] > bounds[d, 0]) & (pcoords[:, d] < bounds[d, 1])
-        return inside
-
     def is_WE_basis(self, pcoords):
-        return self._in(pcoords, self.basis_pcoord_bounds)
+        from .utils import pcoord_in_bounds
+
+        return pcoord_in_bounds(pcoords, self.basis_pcoord_bounds[: self.pcoord_ndim])
 
     def is_WE_target(self, pcoords):
-        return self._in(pcoords, self.target_pcoord_bounds)
+        from .utils import pcoord_in_bounds
+
+        return pcoord_in_bounds(pcoords, self.target_pcoord_bounds[: self.pcoord_ndim])
 
 
 class OptimizedBinMapper:

@@ -43,6 +43,22 @@ __all__ = [
 ]
 
 
+def pcoord_in_bounds(pcoords, bounds):
+    """Open-interval membership of pcoords in per-dimension [lower, upper].
+
+    The single source of truth for WE basis/target state membership
+    (reference semantics: strict inequalities, ``msm_we.py:480-527``); used by
+    both the model facade and the optimized bin mapper so the two can never
+    diverge. NaN pcoords are never in bounds.
+    """
+    pcoords = np.atleast_2d(np.asarray(pcoords, dtype=float))
+    bounds = np.asarray(bounds, dtype=float)
+    inside = np.ones(len(pcoords), dtype=bool)
+    for d in range(bounds.shape[0]):
+        inside &= (pcoords[:, d] > bounds[d, 0]) & (pcoords[:, d] < bounds[d, 1])
+    return inside
+
+
 def find_connected_sets(C, directed=True):
     """Strongly (or weakly) connected components of the graph with edge weights C.
 

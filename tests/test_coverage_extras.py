@@ -69,6 +69,9 @@ def test_multi_file_model_build(two_files):
 def test_dimreduce_methods(two_files, method):
     model = _build(two_files[:1], method)
     assert model.ndim >= 1
+    if method == "batch-pca":
+        # Reference batch-pca keeps ALL components (sklearn PCA(n_components=None))
+        assert model.ndim == 4 * 3
     coords = model._dataset.iter_child_coords(2)
     reduced = model.reduceCoordinates(coords)
     assert reduced.shape == (len(coords), model.ndim)
