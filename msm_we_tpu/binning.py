@@ -107,9 +107,12 @@ def bin_centers_of(bin_mapper):
     if hasattr(bin_mapper, "boundaries"):
         bounds = [np.asarray(b, dtype=float) for b in bin_mapper.boundaries]
         mids = [dim[:-1] + (dim[1:] - dim[:-1]) / 2 for dim in bounds]
-        return (
-            np.array(np.meshgrid(*mids)).T.squeeze().reshape(-1, len(bounds))
-        )
+        # indexing='ij' so the flattened center order matches the C-order
+        # flat bin indices of RectilinearBinMapper.assign. (The reference's
+        # 'xy' meshgrid + .T walks the wrong axis for >=3 pcoord dims,
+        # _clustering.py:1374-1380.)
+        grids = np.meshgrid(*mids, indexing="ij")
+        return np.stack([g.reshape(-1) for g in grids], axis=1)
     raise TypeError(f"Cannot derive bin centers from {type(bin_mapper)}")
 
 

@@ -56,21 +56,38 @@ class WEDataset:
 
     # ------------------------------------------------------------------ scan
     def _scan(self):
-        """Find every usable iteration and its segment counts per file."""
+        """Find every usable iteration and its segment counts per file.
+
+        Opens each file exactly once and enumerates its iteration groups
+        (the reference re-opens every file for every iteration,
+        ``_data.py:955-989``).
+        """
+        # Per file: {n_iter: n_segs} for iterations whose successor also
+        # exists in the same file (the last iteration is incomplete)
+        per_file_counts = []
+        for path in self.file_list:
+            with h5py.File(path, "r") as h5:
+                counts = {}
+                if "iterations" in h5:
+                    present = {}
+                    for key in h5["iterations"]:
+                        grp = h5["iterations"][key]
+                        if "seg_index" in grp:
+                            present[int(key.split("_")[1])] = grp["seg_index"].shape[0]
+                    for n, count in present.items():
+                        if n + 1 in present:
+                            counts[n] = count
+                per_file_counts.append(counts)
+
         num_segments = []
         n_iter = 1
         while True:
-            per_file = []
-            total = 0
-            for file_idx, path in enumerate(self.file_list):
-                with h5py.File(path, "r") as h5:
-                    name = _iter_name(n_iter)
-                    has_it = f"{name}/seg_index" in h5
-                    has_next = f"{_iter_name(n_iter + 1)}/seg_index" in h5
-                    if has_it and has_next:
-                        n = h5[f"{name}/seg_index"].shape[0]
-                        per_file.append((file_idx, n))
-                        total += n
+            per_file = [
+                (file_idx, counts[n_iter])
+                for file_idx, counts in enumerate(per_file_counts)
+                if n_iter in counts
+            ]
+            total = sum(n for _idx, n in per_file)
             if total == 0:
                 break
             self._iter_index[n_iter] = per_file

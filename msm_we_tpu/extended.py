@@ -302,7 +302,15 @@ class ExtendedModelWE(modelWE):
         """Weights of recycled walkers per iteration, via parent ids
         (reference ``_untested.py:798-822``)."""
         warped_weights = []
-        for iS in range(first_iter + 1, last_iter + 1):
+        # iS + 1 must be a usable iteration; the dataset excludes the final
+        # incomplete one, so clamp (the reference reads the raw h5 directly)
+        usable_last = min(last_iter, self.maxIter - 1)
+        if usable_last < last_iter:
+            log.warning(
+                f"Clamping last_iter to {usable_last}: iteration "
+                f"{last_iter + 1} is not usable."
+            )
+        for iS in range(first_iter + 1, usable_last + 1):
             self.load_iter_data(iS + 1)
             self.get_seg_histories(2)
             parent_list = self.seg_histories[:, 1]

@@ -482,13 +482,20 @@ class modelWE:
         weight_histories = np.zeros((n_seg, n_hist))
 
         seg_histories[:, 0] = self.segindList
+        warped = np.zeros(n_seg, dtype=bool)
         for iH in range(1, n_hist + 1):
             iter_back = self.n_iter - iH + 1
             d = self._dataset.iter_data(iter_back)
             for iS in range(n_seg):
                 ind_current = seg_histories[iS, iH - 1]
+                if warped[iS]:
+                    continue
                 if ind_current < 0:
-                    continue  # already recycled further back
+                    # Recycled: the ancestry ends permanently here (the
+                    # reference's 'warped' latch, _data.py:392-398); without
+                    # it the walk would resume from segment 0's data
+                    warped[iS] = True
+                    continue
                 seg_histories[iS, iH] = d["parent_ids"][ind_current]
                 weight_histories[iS, iH - 1] = d["weights"][ind_current]
         self.seg_histories = seg_histories[:, :-1].astype(int)
@@ -584,21 +591,27 @@ class modelWE:
             return
 
         if method == "pca":
-            blocks = []
+            # Stream one iteration at a time -- raw coordinates never
+            # accumulate in host RAM (the accumulator's default f64 path is
+            # plain numpy, so ragged per-iteration shapes cost nothing)
+            acc = None
             for i in range(first_iter, last_iter, fine_stride):
                 c = self._dataset.iter_child_coords(i)
-                if c.shape[0]:
-                    blocks.append(c)
-            coords = np.concatenate(blocks)
-            feats = np.asarray(self.processCoordinates(coords))
-            acc = MomentAccumulator(feats.shape[1])
-            self._chunked_accumulate(acc.add, feats)
+                if not c.shape[0]:
+                    continue
+                feats = np.asarray(self.processCoordinates(c))
+                if acc is None:
+                    acc = MomentAccumulator(feats.shape[1])
+                acc.add(feats)
             self.coordinates = acc.finalize(variance_cutoff=variance_cutoff)
             self.ndim = self.coordinates.n_components
             return
 
         if method in ("tica", "vamp", "batch-pca"):
-            f0s, f1s, ws = [], [], []
+            # Streamed per iteration, as above
+            flat_acc = None
+            pair_acc = None
+            use_w = use_weights and method == "tica"
             for iteration in range(first_iter, last_iter, fine_stride):
                 parent, child, weights = self._dataset.iter_coord_pairs(iteration)
                 good = ~(
@@ -607,24 +620,24 @@ class modelWE:
                 )
                 if good.sum() == 0:
                     continue
-                f0s.append(parent[good])
-                f1s.append(child[good])
-                ws.append(weights[good])
-            f0 = np.asarray(self.processCoordinates(np.concatenate(f0s)))
-            f1 = np.asarray(self.processCoordinates(np.concatenate(f1s)))
-            w = np.concatenate(ws)
+                f0 = np.asarray(self.processCoordinates(parent[good]))
+                f1 = np.asarray(self.processCoordinates(child[good]))
+                w = weights[good]
+
+                if method == "batch-pca":
+                    if flat_acc is None:
+                        flat_acc = MomentAccumulator(f0.shape[1])
+                    flat_acc.add(f0)
+                    flat_acc.add(f1)
+                else:
+                    if pair_acc is None:
+                        pair_acc = PairMomentAccumulator(f0.shape[1])
+                    pair_acc.add(f0, f1, w if use_w else None)
 
             if method == "batch-pca":
-                flat_acc = MomentAccumulator(f0.shape[1])
-                self._chunked_accumulate(flat_acc.add, np.concatenate([f0, f1]))
                 self.coordinates = flat_acc.finalize(variance_cutoff=1.0)
                 self.ndim = self.coordinates.n_components
             else:
-                pair_acc = PairMomentAccumulator(f0.shape[1])
-                use_w = use_weights and method == "tica"
-                self._chunked_accumulate(
-                    pair_acc.add, f0, f1, weights=w if use_w else None
-                )
                 self.coordinates = pair_acc.finalize(
                     method=method, var_cutoff=variance_cutoff
                 )
@@ -632,33 +645,6 @@ class modelWE:
             return
 
         raise NotImplementedError(f"dimReduceMethod {method}")
-
-    def _chunked_accumulate(self, add_fn, X, X2=None, weights=None):
-        """Feed fixed-size zero-weight-padded chunks to a moment accumulator.
-
-        One jit shape regardless of dataset size (zero-weight rows are inert
-        in the weighted moment math).
-        """
-        C = self.FEATURE_CHUNK
-        n = len(X)
-        if weights is None:
-            weights = np.ones(n, np.float32)
-        for s in range(0, n, C):
-            xc = X[s : s + C]
-            wc = weights[s : s + C]
-            x2c = X2[s : s + C] if X2 is not None else None
-            if len(xc) < C and n > C:
-                pad = C - len(xc)
-                xc = np.concatenate([xc, np.zeros((pad,) + xc.shape[1:], xc.dtype)])
-                wc = np.concatenate([wc, np.zeros(pad, np.float32)])
-                if x2c is not None:
-                    x2c = np.concatenate(
-                        [x2c, np.zeros((pad,) + x2c.shape[1:], x2c.dtype)]
-                    )
-            if x2c is not None:
-                add_fn(xc, x2c, wc)
-            else:
-                add_fn(xc, wc)
 
     def reduceCoordinates(self, coords):
         """processCoordinates then the fitted transform (reference
@@ -875,7 +861,6 @@ class modelWE:
         )
 
         all_filled = set()
-        all_unfilled = set()
 
         idx = 0
         while idx < len(iters_to_use):
@@ -939,13 +924,9 @@ class modelWE:
                     for ub in unfilled:
                         nearest = find_nearest_bin(bin_mapper, int(ub), list(filled))
                         bins[bins == ub] = nearest
-                        all_unfilled.add(int(ub))
 
                 updated = strat.partial_fit(X, bins, weights=w)
                 all_filled.update(updated)
-                all_unfilled.update(
-                    int(b) for b in unique_bins if int(b) not in updated
-                )
 
             idx = j + 1
 
@@ -1266,8 +1247,7 @@ class modelWE:
         for cluster in range(n):
             rows = child_idx == cluster
             if rows.sum() == 0:
-                if cluster != n + 1:
-                    log.warning(f"No trajectories in cluster {cluster}!")
+                log.warning(f"No trajectories in cluster {cluster}!")
                 continue
             centers[cluster] = np.nanmean(p1[rows], axis=0)
             crange[cluster, :, 0] = np.nanmin(p1[rows], axis=0)

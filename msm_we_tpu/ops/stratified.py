@@ -258,10 +258,13 @@ class StratifiedKmeans:
         """
         X = np.asarray(X, np.float32)
         seg_bins = self.we_remap[np.asarray(seg_bins)]
-        if not self.initialized[np.unique(seg_bins)].all():
-            missing = np.unique(seg_bins)[~self.initialized[np.unique(seg_bins)]]
+        present = np.unique(seg_bins)
+        bad = present[
+            ~self.initialized[present] | (self.n_centers_per_bin[present] == 0)
+        ]
+        if len(bad):
             raise RuntimeError(
-                f"Bins {missing} have no initialized cluster model and no remap. "
+                f"Bins {bad} have no live cluster centers and no remap. "
                 "Cluster more data or remap these bins."
             )
         if len(X) < HOST_BATCH_THRESHOLD:
@@ -328,3 +331,11 @@ class StratifiedKmeans:
     def set_remap(self, bin_idx, target_bin):
         log.debug(f"Remapping WE bin {bin_idx} -> {target_bin}")
         self.we_remap[bin_idx] = target_bin
+        # Path-compress chains: a bin remapped to B where B was later
+        # remapped to C must resolve to C, or predict would score against
+        # B's invalidated centers and silently return garbage ids
+        for _ in range(self.n_bins):
+            chained = self.we_remap[self.we_remap]
+            if np.array_equal(chained, self.we_remap):
+                break
+            self.we_remap = chained

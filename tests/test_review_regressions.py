@@ -1,0 +1,118 @@
+"""Regression tests pinning the fixes from code review."""
+import numpy as np
+import pytest
+
+from msm_we_tpu.binning import RectilinearBinMapper, bin_centers_of
+from msm_we_tpu.data import generate_west_h5
+from msm_we_tpu.model import modelWE
+from msm_we_tpu.msm.nmm import NonMarkovModel
+from msm_we_tpu.ops.pca import MomentAccumulator
+from msm_we_tpu.ops.stratified import StratifiedKmeans
+
+
+def test_batch_pca_keeps_all_components():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(300, 7))
+    acc = MomentAccumulator(7)
+    acc.add(X)
+    assert acc.finalize(variance_cutoff=1.0).n_components == 7
+
+
+def test_noninteger_lag_rejected():
+    with pytest.raises(ValueError, match="lag time"):
+        NonMarkovModel([np.array([0, 1, 2, 0])], stateA=[0], stateB=[2], lag_time=2.5)
+
+
+@pytest.mark.parametrize("ndims", [1, 2, 3])
+def test_rectilinear_centers_self_assign(ndims):
+    """bin_centers_of must order centers consistently with assign's flat
+    indices for every dimensionality (the reference's meshgrid walks the
+    wrong axis for >=3 dims)."""
+    bounds = [np.linspace(0, d + 2, d + 3) for d in range(ndims)]
+    mapper = RectilinearBinMapper(bounds)
+    centers = bin_centers_of(mapper)
+    assert np.array_equal(mapper.assign(centers), np.arange(mapper.nbins))
+
+
+def test_seg_histories_stop_at_recycle(tmp_path):
+    """After a recycle event the ancestry walk must stop permanently --
+    not resume from segment 0."""
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=30, n_segments=16, seed=11)
+    model = modelWE()
+    model.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "sh",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    model.get_iterations()
+    # Find an iteration with a recycled walker (parent_id < 0)
+    for it in range(5, model.maxIter):
+        model.load_iter_data(it)
+        model.get_seg_histories(4)
+        hist = model.seg_histories
+        recycled_rows = np.flatnonzero((hist < 0).any(axis=1))
+        if len(recycled_rows):
+            for r in recycled_rows:
+                h0 = int(np.argmax(hist[r] < 0))
+                # Everything after the recycle marker stays at the initial 0
+                # fill AND weight histories carry no other walker's data
+                assert (hist[r, h0:] <= 0).all()
+            return
+    pytest.skip("no recycle event found in history window")
+
+
+def test_chained_remap_resolves():
+    """A bin remapped to a bin that is later remapped elsewhere must resolve
+    transitively, and predict must reject truly dead bins loudly."""
+    sk = StratifiedKmeans(n_bins=3, k_per_bin=2, n_features=1, seed=0)
+    rng = np.random.default_rng(0)
+    X01 = np.concatenate([rng.normal(0, 0.1, 40), rng.normal(5, 0.1, 40)])[:, None]
+    bins01 = np.array([0] * 40 + [1] * 40)
+    sk.partial_fit(X01.astype(np.float32), bins01)
+
+    # Bin 2 never filled: remap to 1. Then bin 1 is emptied and remapped to 0.
+    sk.set_remap(2, 1)
+    sk.remove_global_clusters([g for g in sk.global_id[2 * 2 : 3 * 2] if g >= 0])
+    emptied = sk.remove_global_clusters(
+        [g for g in sk.global_id[1 * 2 : 2 * 2] if g >= 0]
+    )
+    assert 1 in emptied
+    sk.set_remap(1, 0)
+    # Chain 2 -> 1 -> 0 must now resolve to 0
+    assert sk.we_remap[2] == 0
+
+    out = sk.predict(np.zeros((3, 1), np.float32), np.array([2, 2, 2]))
+    assert (out >= 0).all()
+
+
+def test_initialize_does_not_swallow_real_errors(tmp_path):
+    """A malformed west.h5 must fail loudly, not warn-and-continue."""
+    import h5py
+
+    bad = str(tmp_path / "bad.h5")
+    with h5py.File(bad, "w") as h5:
+        # seg_index exists but is garbage (not a structured array)
+        for i in (1, 2):
+            h5.create_dataset(
+                f"iterations/iter_{i:08d}/seg_index", data=np.zeros(4)
+            )
+            h5.create_dataset(
+                f"iterations/iter_{i:08d}/pcoord", data=np.zeros((4, 2, 1))
+            )
+    model = modelWE()
+    with pytest.raises(Exception) as excinfo:
+        model.initialize(
+            [bad],
+            {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            "bad",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dim_reduce_method="none",
+            tau=1.0,
+        )
+    assert not isinstance(excinfo.value, KeyError)
