@@ -86,8 +86,14 @@ def make_problem(n_segments=102_400, n_raw_features=48, n_components=8,
     )
 
 
-def device_pipeline(p):
-    """Jitted transform + stratified assign + flux + steady state."""
+def device_pipeline(p, inner_reps=1):
+    """Jitted transform + stratified assign + flux + steady state.
+
+    ``inner_reps`` > 1 runs the whole step that many times *inside* the jit
+    (a fori_loop), so one host dispatch measures pure device throughput --
+    relevant when host->device dispatch latency is high (e.g. a remote
+    tunnel) and would otherwise dominate the per-step timing.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -98,10 +104,9 @@ def device_pipeline(p):
 
     n_states = p["n_states"]
 
-    @jax.jit
-    def step(raw_parent, raw_child, mean, comp, pbins, cbins,
-             basis_p, basis_c, target_c, w,
-             centers, center_bin, valid, global_id):
+    def one_step(raw_parent, raw_child, mean, comp, pbins, cbins,
+                 basis_p, basis_c, target_c, w,
+                 centers, center_bin, valid, global_id):
         fp = (raw_parent - mean) @ comp
         fc = (raw_child - mean) @ comp
         fm, _pi, _ci = _discretize_and_flux(
@@ -112,6 +117,17 @@ def device_pipeline(p):
         target_mask = jnp.arange(n_states) == n_states - 1
         _T, pss, flux = steady_state_from_flux(fm, basis_mask, target_mask)
         return fm, pss, flux
+
+    @jax.jit
+    def step(*args):
+        if inner_reps == 1:
+            return one_step(*args)
+
+        def body(_i, carry):
+            return one_step(*args)
+
+        init = one_step(*args)
+        return jax.lax.fori_loop(0, inner_reps - 1, body, init)
 
     args = (
         p["raw_parent"], p["raw_child"], p["mean"], p["comp"],
@@ -161,7 +177,8 @@ def main():
     p = make_problem()
     n_segments = len(p["raw_parent"])
 
-    step, args = device_pipeline(p)
+    inner_reps = 10
+    step, args = device_pipeline(p, inner_reps=inner_reps)
     # Device-resident inputs: the pipeline holds features on device, so input
     # transfer is not part of the per-build cost being measured
     args = tuple(jax.device_put(a) for a in args)
@@ -169,12 +186,12 @@ def main():
     fm, pss, flux = step(*args)
     fm.block_until_ready()
 
-    reps = 5
+    outer = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
+    for _ in range(outer):
         fm, pss, flux = step(*args)
     fm.block_until_ready()
-    device_time = (time.perf_counter() - t0) / reps
+    device_time = (time.perf_counter() - t0) / (outer * inner_reps)
 
     frames_per_sec = n_segments / device_time
     baseline_time = baseline_per_frame_seconds(p)
