@@ -53,6 +53,7 @@ class WEDataset:
 
         # Per-iteration caches populated lazily
         self._iter_data = {}
+        self._pcoord_shape_warned = False
 
     # ------------------------------------------------------------------ scan
     def _scan(self):
@@ -126,6 +127,16 @@ class WEDataset:
                 except (KeyError, ValueError):
                     # Positional field 1, as the reference indexes it
                     parents.append(np.array([row[1] for row in seg_index]))
+                if pcoord.shape[2] != self.pcoord_ndim and not self._pcoord_shape_warned:
+                    # Expected when pcoords were extended by the optimization
+                    # flow; warn once (reference ``_data.py:878-889``)
+                    log.warning(
+                        f"pcoord in {self.file_list[file_idx]} has "
+                        f"{pcoord.shape[2]} dims; loading only the first "
+                        f"{self.pcoord_ndim}. This is expected if you're "
+                        "extending your pcoord (e.g. in an optimization flow)."
+                    )
+                    self._pcoord_shape_warned = True
                 p0.append(pcoord[:, 0, : self.pcoord_ndim])
                 p1.append(pcoord[:, -1, : self.pcoord_ndim])
                 west_idx.append(np.full(n, file_idx, dtype=int))

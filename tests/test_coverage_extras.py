@@ -120,6 +120,23 @@ def test_nlag_guard(two_files):
         model.n_lag = 1
 
 
+def test_equilibrium_tmatrix(two_files):
+    """get_eqTmatrix drops basis/target and row-normalizes (reference
+    ``_analysis.py:81-95``)."""
+    model = _build(two_files[:1], "none")
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 11)])
+    model.cluster_coordinates(n_clusters=2, stratified=True, user_bin_mapper=mapper)
+    model.get_fluxMatrix(0)
+    model.organize_fluxMatrix()
+    model.get_eqTmatrix()
+    T = model.Tmatrix
+    assert T.shape == (model.nBins - 2, model.nBins - 2)
+    assert np.allclose(T.sum(axis=1), 1.0)
+    # Equilibrium steady state from this matrix
+    pss = model.get_steady_state_algebraic(set=False)
+    assert np.isclose(pss.sum(), 1.0)
+
+
 def test_corr_function():
     np.random.seed(5)
     trajs = [np.random.randint(0, 3, 20000)]
