@@ -25,6 +25,25 @@ from .msm import (  # noqa: F401
     PathEnsemble,
 )
 
-# Heavier, JAX-dependent pieces are imported lazily by users:
-#   from msm_we_tpu.model import modelWE
-#   from msm_we_tpu import optimization
+# Heavier, JAX-dependent pieces load lazily so that
+# `from msm_we_tpu import modelWE` works like the reference's
+# `from msm_we import modelWE` without paying the JAX import cost for
+# kinetics-only use.
+
+
+def __getattr__(name):
+    if name == "modelWE":
+        from .model import modelWE
+
+        return modelWE
+    if name == "ExtendedModelWE":
+        from .extended import ExtendedModelWE
+
+        return ExtendedModelWE
+    if name == "optimization":
+        # importlib (not `from . import`) -- the latter re-enters this
+        # __getattr__ while the submodule attribute isn't set yet
+        import importlib
+
+        return importlib.import_module(".optimization", __name__)
+    raise AttributeError(f"module 'msm_we_tpu' has no attribute {name!r}")
