@@ -124,7 +124,15 @@ def device_pipeline(p, inner_reps=1):
             return one_step(*args)
 
         def body(_i, carry):
-            return one_step(*args)
+            _fm, _pss, flux = carry
+            # Thread the previous step's flux into the weights: a genuine
+            # data dependence, so XLA cannot hoist/CSE the loop-invariant
+            # body and execute the step only once (which would inflate the
+            # reported throughput by inner_reps)
+            perturbed = list(args)
+            perturbed[0] = args[0] + flux * 1e-30  # raw_parent
+            perturbed[1] = args[1] + flux * 1e-30  # raw_child
+            return one_step(*perturbed)
 
         init = one_step(*args)
         return jax.lax.fori_loop(0, inner_reps - 1, body, init)

@@ -10,12 +10,9 @@ Run:  python examples/hamsm_construction.py [output_dir]
 import os
 import sys
 
-# Honor JAX_PLATFORMS=cpu even when an accelerator plugin tries to win the
-# backend selection (config.update takes precedence over plugin priority)
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    import jax
+from msm_we_tpu.utils import force_cpu_if_requested
 
-    jax.config.update("jax_platforms", "cpu")
+force_cpu_if_requested()
 
 import numpy as np
 

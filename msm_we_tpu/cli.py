@@ -13,14 +13,9 @@ import sys
 
 
 def main(argv=None):
-    import os
+    from .utils import force_cpu_if_requested
 
-    # Honor JAX_PLATFORMS=cpu even when an accelerator plugin tries to win
-    # backend selection (config.update takes precedence over plugin priority)
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
 
     parser = argparse.ArgumentParser(
         prog="msm-we-tpu",
@@ -99,8 +94,14 @@ def main(argv=None):
             from .binning import RectilinearBinMapper
 
             if args.bin_bounds is None:
-                lo = min(args.target[0], args.basis[0])
-                hi = max(args.target[1], args.basis[1])
+                # Default grid from the data's actual pcoord range, padded so
+                # no coordinate falls outside the half-open boxes
+                pcs = model.pcoordSet[:, 0]
+                lo = float(np.nanmin(pcs))
+                hi = float(np.nanmax(pcs))
+                span = max(hi - lo, 1e-9)
+                lo -= 0.001 * span
+                hi += 0.001 * span
                 nbins = 10
             else:
                 lo, hi, nbins = args.bin_bounds

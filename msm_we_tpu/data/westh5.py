@@ -127,7 +127,13 @@ class WEDataset:
                 except (KeyError, ValueError):
                     # Positional field 1, as the reference indexes it
                     parents.append(np.array([row[1] for row in seg_index]))
-                if pcoord.shape[2] != self.pcoord_ndim and not self._pcoord_shape_warned:
+                if pcoord.shape[2] < self.pcoord_ndim:
+                    raise ValueError(
+                        f"pcoord in {self.file_list[file_idx]} has only "
+                        f"{pcoord.shape[2]} dims but pcoord_ndim="
+                        f"{self.pcoord_ndim} was requested"
+                    )
+                if pcoord.shape[2] > self.pcoord_ndim and not self._pcoord_shape_warned:
                     # Expected when pcoords were extended by the optimization
                     # flow; warn once (reference ``_data.py:878-889``)
                     log.warning(
@@ -151,6 +157,25 @@ class WEDataset:
             seg_idx=np.concatenate(seg_idx),
         )
         data["n_segs"] = len(data["weights"])
+
+        # Parent ids in seg_index are local to each file's previous
+        # iteration; offset them into the *concatenated* previous-iteration
+        # ordering so ancestry walks work on multi-file datasets (the
+        # reference instead re-matches (segind, westfile) pairs,
+        # ``_data.py:785-795``). Negative ids (recycled) stay negative.
+        prev = self._iter_index.get(n_iter - 1, [])
+        offsets_prev = {}
+        running = 0
+        for f_idx, n in prev:
+            offsets_prev[f_idx] = running
+            running += n
+        global_parents = data["parent_ids"].copy()
+        for f_idx in np.unique(data["west_idx"]):
+            rows = data["west_idx"] == f_idx
+            pos = rows & (global_parents >= 0)
+            global_parents[pos] += offsets_prev.get(int(f_idx), 0)
+        data["parent_ids_global"] = global_parents
+
         self._iter_data[n_iter] = data
         return data
 

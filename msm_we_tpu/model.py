@@ -481,7 +481,11 @@ class modelWE:
         seg_histories = np.zeros((n_seg, n_hist + 1), dtype=int)
         weight_histories = np.zeros((n_seg, n_hist))
 
-        seg_histories[:, 0] = self.segindList
+        # Indices are positions in the *concatenated* per-iteration arrays
+        # (globalized parent ids), so multi-file datasets walk correctly --
+        # the reference instead stores file-local ids plus a westList to
+        # re-match (``_data.py:785-795``)
+        seg_histories[:, 0] = np.arange(n_seg)
         warped = np.zeros(n_seg, dtype=bool)
         for iH in range(1, n_hist + 1):
             iter_back = self.n_iter - iH + 1
@@ -496,7 +500,7 @@ class modelWE:
                     # it the walk would resume from segment 0's data
                     warped[iS] = True
                     continue
-                seg_histories[iS, iH] = d["parent_ids"][ind_current]
+                seg_histories[iS, iH] = d["parent_ids_global"][ind_current]
                 weight_histories[iS, iH - 1] = d["weights"][ind_current]
         self.seg_histories = seg_histories[:, :-1].astype(int)
         self.weight_histories = weight_histories

@@ -127,14 +127,17 @@ class MomentAccumulator:
         evals, evecs = np.maximum(evals[order], 0.0), evecs[:, order]
 
         if n_components is None:
-            ratio = np.cumsum(evals) / np.maximum(evals.sum(), 1e-300)
-            crossed = ratio >= variance_cutoff
-            # No element may cross the cutoff (variance_cutoff=1.0, the
-            # batch-pca path, under float rounding): keep everything then
-            if crossed.any():
-                n_components = int(np.argmax(crossed) + 1)
+            if variance_cutoff >= 1.0:
+                # batch-pca parity: sklearn PCA(n_components=None) keeps every
+                # component, including trailing zero-variance directions that
+                # a cumulative-ratio test would drop on rank-deficient data
+                n_components = len(evals)
             else:
-                n_components = len(ratio)
+                ratio = np.cumsum(evals) / np.maximum(evals.sum(), 1e-300)
+                crossed = ratio >= variance_cutoff
+                n_components = (
+                    int(np.argmax(crossed) + 1) if crossed.any() else len(ratio)
+                )
         log.debug(f"PCA keeping {n_components} components")
         return PCAModel(mean, evecs[:, :n_components].T, evals[:n_components], cov)
 

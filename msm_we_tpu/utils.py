@@ -43,6 +43,23 @@ __all__ = [
 ]
 
 
+def force_cpu_if_requested():
+    """Honor ``JAX_PLATFORMS=cpu`` even when an accelerator plugin would win
+    backend selection (``jax.config.update`` takes precedence over plugin
+    priority). Call before first JAX use; no-op otherwise. Shared by the CLI,
+    examples, and test config so the workaround has one source of truth.
+    """
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # pragma: no cover - backend already initialized
+            pass
+
+
 def pcoord_in_bounds(pcoords, bounds):
     """Open-interval membership of pcoords in per-dimension [lower, upper].
 

@@ -18,6 +18,43 @@ def test_batch_pca_keeps_all_components():
     assert acc.finalize(variance_cutoff=1.0).n_components == 7
 
 
+def test_batch_pca_keeps_zero_variance_components():
+    """Rank-deficient data: sklearn PCA(n_components=None) keeps trailing
+    zero-variance components; cutoff=1.0 must too."""
+    rng = np.random.default_rng(1)
+    X = np.zeros((200, 5))
+    X[:, :2] = rng.normal(size=(200, 2))  # rank 2; 3 constant columns
+    acc = MomentAccumulator(5)
+    acc.add(X)
+    assert acc.finalize(variance_cutoff=1.0).n_components == 5
+
+
+def test_multifile_ancestry_globalized(tmp_path):
+    """Parent ids from multi-file datasets must be offset into the
+    concatenated ordering, so trajectory reconstruction is continuous."""
+    p1 = str(tmp_path / "a.h5")
+    p2 = str(tmp_path / "b.h5")
+    generate_west_h5(p1, n_iterations=15, n_segments=10, seed=61)
+    generate_west_h5(p2, n_iterations=15, n_segments=10, seed=62)
+    model = modelWE()
+    model.initialize(
+        [p1, p2],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "mf",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    model.get_iterations()
+    trajs = model.get_traj_coordinates(8, 4)
+    parent, _child, _w = model._dataset.iter_coord_pairs(8)
+    for i, t in enumerate(trajs):
+        if len(t) >= 2:
+            # Second-to-last frame must be this walker's own start structure
+            assert np.allclose(t[-2], parent[i], atol=1e-6)
+
+
 def test_noninteger_lag_rejected():
     with pytest.raises(ValueError, match="lag time"):
         NonMarkovModel([np.array([0, 1, 2, 0])], stateA=[0], stateB=[2], lag_time=2.5)
