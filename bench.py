@@ -20,9 +20,12 @@ import time
 
 import numpy as np
 
-# Persistent XLA compile cache: repeat bench runs skip the (remote) compile
+# Persistent XLA compile cache: repeat bench runs skip the (remote) compile.
+# Min compile time 0: on remote-AOT backends the locally-measured compile
+# time can be tiny even when the wall wait was minutes, which would skip
+# caching exactly the entries that matter.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/msm_we_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 
 def make_problem(n_segments=102_400, n_raw_features=48, n_components=8,
