@@ -1695,6 +1695,94 @@ class modelWE:
             "a true committor, as it comes from a one-way ensemble."
         )
 
+    # ---------------------------------------------- reference-API compat shims
+    @staticmethod
+    def find_nearest_bin(bin_mapper, bin_idx, filled_bins):
+        """Reference ``_clustering.py:1331-1396``; delegates to binning."""
+        return find_nearest_bin(bin_mapper, bin_idx, filled_bins)
+
+    def load_iter_coordinates(self):
+        """Set ``cur_iter_coords`` to the current iteration's final-frame
+        coordinates (reference ``_data.py:557-618``); NaN rows preserved."""
+        _parent, child, _w = self._dataset.iter_coord_pairs(self.n_iter)
+        self.cur_iter_coords = child
+
+    def load_iter_coordinates0(self):
+        """Set ``cur_iter_coords`` to the iteration's *initial* coordinates
+        (reference ``_data.py:620-645``)."""
+        parent, _child, _w = self._dataset.iter_coord_pairs(self.n_iter)
+        self.cur_iter_coords = parent
+
+    def get_iter_fluxMatrix(self, n_iter):
+        """Single-iteration flux matrix (reference ``_fluxmatrix.py:21-72``)."""
+        d = self._dataset.iter_data(n_iter)
+        _p, _c, weights = self._dataset.iter_coord_pairs(n_iter)
+        pairs = np.asarray(self.pair_dtrajs[n_iter - 1])
+        start_idx, end_idx = pairs[:, 0].copy(), pairs[:, 1].copy()
+        n_states = self.n_clusters + 2
+        end_idx = np.where(self.is_WE_target(d["pcoord1"]), self.n_clusters + 1, end_idx)
+        start_idx = np.where(self.is_WE_basis(d["pcoord0"]), self.n_clusters, start_idx)
+        end_idx = np.where(self.is_WE_basis(d["pcoord1"]), self.n_clusters, end_idx)
+        flat = start_idx.astype(np.int64) * n_states + end_idx.astype(np.int64)
+        return np.bincount(flat, weights=weights, minlength=n_states**2).reshape(
+            n_states, n_states
+        )
+
+    def get_transition_data(self, n_lag):
+        """Lag > 0 transitions are unsupported, as upstream (the reference's
+        n_lag setter raises for any lag != 0, ``msm_we.py:353-359``)."""
+        if n_lag == 0:
+            return self.get_transition_data_lag0()
+        raise NotImplementedError(
+            "Only a lag of 1 tau (n_lag = 0) is currently supported"
+        )
+
+    def get_iterations_iters(self, first_iter, last_iter):
+        """Segment counts over an iteration range (reference ``_data.py:995-1040``)."""
+        self.numSegments = np.array(
+            [
+                float(self._dataset.iter_data(i)["n_segs"])
+                for i in range(first_iter, last_iter + 1)
+                if i in self._dataset._iter_index
+            ]
+        )
+        self.maxIter = last_iter
+
+    def get_coordinates(self, first_iter, last_iter):
+        """Reference ``_data.py:647-675`` (it warns 'not tested or supported')."""
+        log.warning("This function is not tested or supported, use at your own risk!")
+        self.first_iter = first_iter
+        self.last_iter = last_iter
+        blocks = []
+        for i in range(first_iter, last_iter + 1):
+            _p, child, _w = self._dataset.iter_coord_pairs(i)
+            blocks.append(child)
+        self.all_coords = np.concatenate(blocks)
+
+    def collect_iter_coordinates(self):
+        """Post-hoc augmentation now lives in
+        :func:`msm_we_tpu.scripts.augment_west_h5` (working replacement for the
+        reference's AMBER-specific example, ``_data.py:423-529``)."""
+        raise NotImplementedError(
+            "Use msm_we_tpu.scripts.augment_west_h5(west_h5, topology, ...) to "
+            "write auxdata coordinates after a run."
+        )
+
+    def launch_ray_discretization(self, progress_bar=None):
+        """Compat alias: discretization is one batched device call now."""
+        return self.launch_discretization(progress_bar=progress_bar)
+
+    def organize_aggregated(self, use_ray=False, **args):
+        """The reference's organize_aggregated is deprecated and raises
+        (``_fluxmatrix.py:452-454``); this delegates to the working SCC-based
+        equivalent."""
+        return self.organize_aggregated_simple()
+
+    def check_display_overcorrection_warning(self, ax):
+        from . import plotting
+
+        return plotting._check_display_overcorrection_warning(self, ax)
+
     # ------------------------------------------------------------- misc compat
     @staticmethod
     def check_connect_ray():
