@@ -193,7 +193,9 @@ def write_restart_artifacts(
             else:
                 structure_filename = _write_structure_file(
                     model, structure, struct_directory, msm_bin_idx, struct_idx,
-                    struct_filetype,
+                    _resolve_callable(struct_filetype)
+                    if isinstance(struct_filetype, str)
+                    else struct_filetype,
                 )
             fp.write(f"b{msm_bin_idx}_s{struct_idx} {weight} {structure_filename}\n")
 
@@ -318,10 +320,12 @@ class RestartDriver(HAMSMDriver):
         self.cache_pcoords = plugin_config.get("cache_pcoords", True)
         self.restarts_to_use = plugin_config.get("n_restarts_to_use", self.n_restarts)
 
-        struct_filetype = plugin_config.get(
+        # Resolved lazily: only needed when start-state structures are
+        # written to disk (not for hdf:/SynD references), and the default
+        # requires mdtraj
+        self._struct_filetype_spec = plugin_config.get(
             "struct_filetype", "mdtraj.formats.PDBTrajectoryFile"
         )
-        self.struct_filetype = _resolve_callable(struct_filetype)
 
         # Runs LAST: it closes the h5 file and starts a new WE run
         self.priority = plugin_config.get("priority", 100)
@@ -340,6 +344,10 @@ class RestartDriver(HAMSMDriver):
         self.pcoord_cache = None
         self.model = None
         self.base_path = plugin_config.get("base_path", os.getcwd())
+
+    @property
+    def struct_filetype(self):
+        return _resolve_callable(self._struct_filetype_spec)
 
     @property
     def cur_iter(self):
@@ -643,7 +651,7 @@ class RestartDriver(HAMSMDriver):
             model,
             restart_directory,
             store_h5=getattr(self.data_manager, "store_h5", False),
-            struct_filetype=self.struct_filetype,
+            struct_filetype=self._struct_filetype_spec,
             synd_reverse_coord_map=synd_reverse_map,
         )
         bstates_filename, tstates_filename = write_basis_target_states(
