@@ -61,6 +61,22 @@ def test_validation_required_without_suppress(plot_model):
         plot_model.plot_flux()
 
 
+def test_plot_with_validation_models(plot_model):
+    """Overlays for validation models render without suppress_validation."""
+    plot_model.post_cluster_model = None
+    import copy
+
+    # Fake two validation models by reusing the built model
+    plot_model.validation_models = [copy.deepcopy(plot_model) for _ in range(2)]
+    try:
+        ax = plot_model.plot_flux()
+        assert ax is not None
+        ax2 = plot_model.plot_flux_committor()
+        assert ax2 is not None
+    finally:
+        plot_model.validation_models = []
+
+
 def test_coarse_flux_profile(plot_model):
     fluxes, boundaries = plot_model.get_coarse_flux_profile()
     assert len(fluxes) == len(boundaries)
