@@ -217,6 +217,7 @@ class modelWE:
         self._features = None  # dict with concatenated parent/child features
         self._strat = None
         self._bin_mapper = None
+        self._mesh = None
         self._fluxMatrixParams = None
         self._cluster_seed = 0
 
@@ -944,6 +945,8 @@ class modelWE:
             log.debug(f"Remapped {ub} to {remap}")
 
         self._strat = strat
+        if getattr(self, "_mesh", None) is not None:
+            strat.use_mesh(self._mesh)
         self.clusters = StratifiedClustersShim(bin_mapper, self, strat)
         # Reference sets the *nominal* total here (``_clustering.py:742``);
         # never-visited clusters are cleaned away in organize_fluxMatrix
@@ -1619,7 +1622,31 @@ class modelWE:
         log.info("\n" + timer.report())
         return model
 
+    # ---------------------------------------------------------------- meshes
+    def enable_mesh(self, mesh=None):
+        """Run discretization data-parallel over a device mesh.
+
+        With no argument, builds a ('data', 'model') mesh over all visible
+        devices (``parallel.make_mesh``). Results are identical to the
+        single-device path; segments shard over 'data', the center bank over
+        'model' (SURVEY.md P1's TPU-native replacement for Ray fan-out).
+        Call after ``cluster_coordinates`` or before -- the mesh attaches to
+        the stratified bank when available.
+        """
+        from .parallel import make_mesh
+
+        self._mesh = mesh if mesh is not None else make_mesh()
+        if self._strat is not None:
+            self._strat.use_mesh(self._mesh)
+        return self._mesh
+
     # ---------------------------------------------------------- checkpointing
+    def __getstate__(self):
+        # Device meshes are process-local; call enable_mesh() again after load
+        state = self.__dict__.copy()
+        state["_mesh"] = None
+        return state
+
     def save(self, path):
         """Pickle the full model (the reference's checkpoint format:
         ``restart_driver.py:1139-1143``, ``run_msmWE_flux.py:148-162``)."""

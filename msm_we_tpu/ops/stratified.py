@@ -116,6 +116,7 @@ class StratifiedKmeans:
         self.k = int(k_per_bin)
         self.d = int(n_features)
         self.seed = int(seed)
+        self.mesh = None  # set via use_mesh() for multi-device prediction
 
         K = self.n_bins * self.k
         self.centers = np.zeros((K, self.d), np.float32)
@@ -267,6 +268,8 @@ class StratifiedKmeans:
                 f"Bins {bad} have no live cluster centers and no remap. "
                 "Cluster more data or remap these bins."
             )
+        if self.mesh is not None and len(X) >= HOST_BATCH_THRESHOLD:
+            return self._predict_sharded(X, seg_bins, is_basis, is_target)
         if len(X) < HOST_BATCH_THRESHOLD:
             d2 = (
                 (X**2).sum(1)[:, None]
@@ -291,6 +294,57 @@ class StratifiedKmeans:
             )
         out = self.global_id[flat]
 
+        if is_basis is not None:
+            out = np.where(np.asarray(is_basis), self.basis_cluster_index, out)
+        if is_target is not None:
+            out = np.where(np.asarray(is_target), self.target_cluster_index, out)
+        return out
+
+    def use_mesh(self, mesh):
+        """Route large predictions through a (data, model) device mesh."""
+        self.mesh = mesh
+        self._sharded_assign = None
+
+    def __getstate__(self):
+        # Meshes/jitted callables are process-local; checkpoints re-enable
+        # the mesh after loading
+        state = self.__dict__.copy()
+        state["mesh"] = None
+        state["_sharded_assign"] = None
+        return state
+
+    def _predict_sharded(self, X, seg_bins, is_basis, is_target):
+        """Mesh-sharded prediction: segments data-parallel, bank
+        tensor-parallel. Identical results to the single-device path
+        (equivalence tested on the virtual CPU mesh)."""
+        from ..parallel.sharded import build_sharded_assign
+
+        if getattr(self, "_sharded_assign", None) is None:
+            self._sharded_assign = build_sharded_assign(self.mesh)
+
+        data_size = self.mesh.shape["data"]
+        model_size = self.mesh.shape["model"]
+        N = len(X)
+        K = len(self.centers)
+        N_pad = -(-N // data_size) * data_size
+        K_pad = -(-K // model_size) * model_size
+
+        Xp = np.zeros((N_pad, X.shape[1]), np.float32)
+        Xp[:N] = X
+        bp = np.full(N_pad, -1, np.int32)
+        bp[:N] = seg_bins
+        Cp = np.zeros((K_pad, self.centers.shape[1]), np.float32)
+        Cp[:K] = self.centers
+        cbp = np.full(K_pad, -2, np.int32)
+        cbp[:K] = self.center_bin
+        vp = np.zeros(K_pad, bool)
+        vp[:K] = self.valid
+        gp = np.full(K_pad, -1, np.int64)
+        gp[:K] = self.global_id
+
+        out = np.asarray(
+            self._sharded_assign(Xp, bp, Cp, cbp, vp, gp)
+        )[:N]
         if is_basis is not None:
             out = np.where(np.asarray(is_basis), self.basis_cluster_index, out)
         if is_target is not None:

@@ -123,6 +123,33 @@ def build_sharded_step(mesh, n_states):
     return jax.jit(sharded)
 
 
+def build_sharded_assign(mesh):
+    """Jitted data-parallel stratified assignment over ``mesh``.
+
+    Shards segments over 'data' and the center bank over 'model'; returns the
+    flat *global cluster ids* for every row. Used by the model facade for
+    multi-chip discretization (``modelWE.enable_mesh``); N must divide the
+    data axis and K the model axis (callers pad).
+    """
+
+    def body(X, seg_bin, centers, center_bin, valid, global_id):
+        local_min, local_gid = _local_masked_min(
+            X, seg_bin, centers, center_bin, valid, global_id
+        )
+        gid = _combine_argmin(local_min, local_gid, "model")
+        # Identity on already-identical values; lets the compiler prove
+        # replication over 'model' for the out_specs
+        return jax.lax.pmax(gid, "model")
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("model"), P("model"), P("model"), P("model")),
+        out_specs=P("data"),
+    )
+    return jax.jit(sharded)
+
+
 @partial(jax.jit, static_argnames=("n_states",))
 def fused_step_single(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
