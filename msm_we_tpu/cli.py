@@ -94,11 +94,19 @@ def main(argv=None):
             from .binning import RectilinearBinMapper
 
             if args.bin_bounds is None:
-                # Default grid from the data's actual pcoord range, padded so
-                # no coordinate falls outside the half-open boxes
-                pcs = model.pcoordSet[:, 0]
-                lo = float(np.nanmin(pcs))
-                hi = float(np.nanmax(pcs))
+                # Default grid spanning everything discretization will ever
+                # assign: parent AND child pcoords across all iterations, the
+                # basis/target bounds, and 0.0 (NaN pcoords are zero-filled)
+                extremes = [0.0, args.basis[0], args.basis[1],
+                            args.target[0], args.target[1]]
+                for i in range(1, model.maxIter):
+                    d = model._dataset.iter_data(i)
+                    for key in ("pcoord0", "pcoord1"):
+                        vals = d[key][:, 0]
+                        if np.isfinite(vals).any():
+                            extremes.append(float(np.nanmin(vals)))
+                            extremes.append(float(np.nanmax(vals)))
+                lo, hi = min(extremes), max(extremes)
                 span = max(hi - lo, 1e-9)
                 lo -= 0.001 * span
                 hi += 0.001 * span

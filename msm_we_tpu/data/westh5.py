@@ -173,6 +173,13 @@ class WEDataset:
         for f_idx in np.unique(data["west_idx"]):
             rows = data["west_idx"] == f_idx
             pos = rows & (global_parents >= 0)
+            if pos.any() and n_iter > 1 and int(f_idx) not in offsets_prev:
+                raise ValueError(
+                    f"{self.file_list[int(f_idx)]} has segments in iteration "
+                    f"{n_iter} with parents, but no usable iteration "
+                    f"{n_iter - 1} -- cannot globalize its parent ids "
+                    "(truncated or mid-run file?)"
+                )
             global_parents[pos] += offsets_prev.get(int(f_idx), 0)
         data["parent_ids_global"] = global_parents
 

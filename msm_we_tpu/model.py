@@ -1647,6 +1647,20 @@ class modelWE:
         state["_mesh"] = None
         return state
 
+    def __deepcopy__(self, memo):
+        # __getstate__ also governs deepcopy, which would silently strip the
+        # mesh from validation-model copies; keep the live mesh attached
+        import copy as _copy
+
+        mesh = self._mesh
+        cls = self.__class__
+        new = cls.__new__(cls)
+        memo[id(self)] = new
+        new.__dict__.update(_copy.deepcopy(self.__getstate__(), memo))
+        if mesh is not None:
+            new.enable_mesh(mesh)
+        return new
+
     def save(self, path):
         """Pickle the full model (the reference's checkpoint format:
         ``restart_driver.py:1139-1143``, ``run_msmWE_flux.py:148-162``)."""
@@ -1765,12 +1779,16 @@ class modelWE:
         )
 
     def get_iterations_iters(self, first_iter, last_iter):
-        """Segment counts over an iteration range (reference ``_data.py:995-1040``)."""
+        """Segment counts over an iteration range (reference ``_data.py:995-1040``).
+
+        Metadata only: counts come from the scan index, no per-iteration I/O.
+        """
+        index = self._dataset._iter_index
         self.numSegments = np.array(
             [
-                float(self._dataset.iter_data(i)["n_segs"])
+                float(sum(n for _f, n in index[i]))
                 for i in range(first_iter, last_iter + 1)
-                if i in self._dataset._iter_index
+                if i in index
             ]
         )
         self.maxIter = last_iter

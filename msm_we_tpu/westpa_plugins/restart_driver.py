@@ -178,6 +178,7 @@ def write_restart_artifacts(
 
     ss_dist = model.pSS
     sstates_filename = f"{restart_directory}/startstates.txt"
+    resolved_filetype = None  # resolved once, lazily: the default needs mdtraj
     with open(sstates_filename, "w") as fp:
         for msm_bin_idx, struct_idx, weight, structure in start_state_entries(
             model, ss_dist
@@ -191,11 +192,11 @@ def write_restart_artifacts(
                 ][struct_idx]
                 structure_filename = f"hdf:{h5_file}:{iteration}:{seg_id}"
             else:
+                if resolved_filetype is None:
+                    resolved_filetype = _resolve_callable(struct_filetype)
                 structure_filename = _write_structure_file(
                     model, structure, struct_directory, msm_bin_idx, struct_idx,
-                    _resolve_callable(struct_filetype)
-                    if isinstance(struct_filetype, str)
-                    else struct_filetype,
+                    resolved_filetype,
                 )
             fp.write(f"b{msm_bin_idx}_s{struct_idx} {weight} {structure_filename}\n")
 
