@@ -133,6 +133,76 @@ def _kernel(
     )
 
 
+def _assign_kernel(
+    fp_ref, fc_ref, pbin_ref, cbin_ref,
+    c_ref, centerbin_ref, valid_ref, gid_ref,
+    pidx_ref, cidx_ref,
+):
+    """Assignment-only kernel: fused transform-free distance + argmin + id
+    lookup, no flux accumulation (XLA's native scatter wins that op)."""
+    CT = c_ref[:]
+    c2 = jnp.sum(CT * CT, axis=0)[None, :]
+    center_bin = centerbin_ref[:][:, 0]
+    valid = valid_ref[:][:, 0]
+    gid = gid_ref[:][:, 0].astype(jnp.float32)
+
+    def assign(x, seg_bin):
+        x2 = jnp.sum(x * x, axis=1, keepdims=True)
+        d2 = (
+            x2
+            - 2.0
+            * jnp.dot(x, CT, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+            + c2
+        )
+        ok = (valid[None, :] > 0) & (center_bin[None, :] == seg_bin[:, None])
+        d2 = jnp.where(ok, d2, _BIG)
+        K = CT.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], K), 1)
+        minval = jnp.min(d2, axis=1, keepdims=True)
+        k = jnp.min(jnp.where(d2 == minval, iota, K), axis=1)
+        sel = iota == k[:, None]
+        return jnp.sum(jnp.where(sel, gid[None, :], 0.0), axis=1).astype(jnp.int32)
+
+    pidx_ref[:] = assign(fp_ref[:], pbin_ref[:][:, 0])[:, None]
+    cidx_ref[:] = assign(fc_ref[:], cbin_ref[:][:, 0])[:, None]
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def _assign_call(fp, fc, pbins, cbins, centers_T, center_bin, valid, global_id,
+                 tile, interpret):
+    import jax.experimental.pallas as pl
+
+    N = fp.shape[0]
+    K = centers_T.shape[1]
+    grid = (N // tile,)
+    seg1 = pl.BlockSpec((tile, 1), lambda i: (i, 0))
+    seg2 = pl.BlockSpec((tile, fp.shape[1]), lambda i: (i, 0))
+    bank2 = pl.BlockSpec((centers_T.shape[0], K), lambda i: (0, 0))
+    bank1 = pl.BlockSpec((K, 1), lambda i: (0, 0))
+
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    pidx, cidx = pl.pallas_call(
+        _assign_kernel,
+        grid=grid,
+        in_specs=[seg2, seg2, seg1, seg1, bank2, bank1, bank1, bank1],
+        out_specs=[seg1, seg1],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(fp, fc, pbins, cbins, centers_T, center_bin, valid, global_id)
+    return pidx[:, 0], cidx[:, 0]
+
+
 @partial(jax.jit, static_argnames=("n_states", "tile", "interpret"))
 def _fused_call(
     fp, fc, pbins, cbins, w, basis_p, basis_c, target_c,

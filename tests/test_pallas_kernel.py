@@ -34,6 +34,49 @@ def problem():
     )
 
 
+def test_assign_only_kernel_matches_jnp(problem):
+    import numpy as _np
+
+    from msm_we_tpu.ops.pallas_kernels import _assign_call, _round_up
+
+    p = problem
+    tile = 128
+    N, d = p["fp"].shape
+    K = len(p["centers"])
+    Np, dp, Kp = _round_up(N, tile), _round_up(d, 128), _round_up(K, 128)
+
+    def pad2(x, r, c):
+        o = _np.zeros((r, c), _np.float32)
+        o[: x.shape[0], : x.shape[1]] = x
+        return o
+
+    def col(x, r, fill=0, dt=_np.int32):
+        o = _np.full((r, 1), fill, dt)
+        o[: len(x), 0] = x
+        return o
+
+    pidx, cidx = _assign_call(
+        pad2(p["fp"], Np, dp), pad2(p["fc"], Np, dp),
+        col(p["pbins"], Np, -1), col(p["cbins"], Np, -1),
+        pad2(p["centers"], Kp, dp).T.copy(), col(p["center_bin"], Kp, -2),
+        col(p["valid"].astype(_np.int32), Kp), col(p["global_id"], Kp),
+        tile=tile, interpret=True,
+    )
+    from msm_we_tpu.ops.kmeans import masked_assign
+    import jax.numpy as jnp
+
+    ref = p["global_id"][
+        _np.asarray(
+            masked_assign(
+                jnp.asarray(p["fp"]), jnp.asarray(p["pbins"]),
+                jnp.asarray(p["centers"]), jnp.asarray(p["center_bin"]),
+                jnp.asarray(p["valid"]),
+            )
+        )
+    ]
+    assert _np.array_equal(_np.asarray(pidx)[:N], ref)
+
+
 def test_fused_kernel_matches_jnp(problem):
     p = problem
     fm_ref, pidx_ref, cidx_ref = fused_step_single(
