@@ -189,6 +189,92 @@ def test_restart_driver_full_cycle(fake_westpa):
     assert new_init["sstate_file"].endswith("startstates.txt")
 
 
+def test_restart_driver_mid_marathon_run(fake_westpa):
+    """With n_runs=3, finishing run 1 must archive it, re-init from the
+    initialization JSON, and relaunch -- without building an haMSM."""
+    from msm_we_tpu.westpa_plugins.restart_driver import RestartDriver
+
+    dm = FakeDataManager("west.h5")
+    sm = FakeSimManager(dm, max_iters=25)
+    fake_westpa["westpa"].rc.sim_manager = sm
+
+    driver = RestartDriver(
+        sm,
+        {
+            "n_restarts": 2,
+            "n_runs": 3,
+            "model_name": "x",
+            "n_clusters": 2,
+            "tau": 1.0,
+            "basis_pcoord_bounds": [[9.0, 10.0]],
+            "target_pcoord_bounds": [[0.0, 1.0]],
+        },
+    )
+    driver.prepare_new_we()
+
+    state = json.load(open("restart.dat"))
+    assert state == {"restarts_completed": 0, "runs_completed": 1}
+    assert os.path.exists("restart0/run1/west.h5")
+    calls = fake_westpa["calls"]
+    assert len(calls["w_init"]) == 1
+    assert calls["w_init"][0]["bstate_file"] == "b.txt"  # from the init JSON
+    assert calls["w_run"] == 1
+    assert driver.model is None  # no haMSM built mid-marathon
+
+
+def test_restart_driver_extension_when_target_unreached(fake_westpa):
+    """First restart with zero recycling events and extension_iters > 0 must
+    enter extension mode: lockfile written, runs_completed reset, data
+    re-linked, and the run continued."""
+    import h5py
+
+    from msm_we_tpu.westpa_plugins.restart_driver import (
+        EXTENSION_LOCKFILE,
+        RestartDriver,
+    )
+
+    # Strip all recycling events from the data
+    with h5py.File("west.h5", "a") as h5:
+        for key in h5["iterations"]:
+            seg_index = h5[f"iterations/{key}/seg_index"]
+            data = seg_index[:]
+            data["endpoint_type"] = 1
+            seg_index[...] = data
+
+    # west.cfg for the max-iteration rewrite
+    with open("west.cfg", "w") as fp:
+        fp.write("west:\n  propagation:\n    max_total_iterations: 25\n")
+
+    dm = FakeDataManager("west.h5")
+    dm.open_backing = lambda: None
+    sm = FakeSimManager(dm, max_iters=25)
+    fake_westpa["westpa"].rc.sim_manager = sm
+
+    driver = RestartDriver(
+        sm,
+        {
+            "n_restarts": 2,
+            "n_runs": 1,
+            "extension_iters": 10,
+            "model_name": "x",
+            "n_clusters": 2,
+            "tau": 1.0,
+            "basis_pcoord_bounds": [[9.0, 10.0]],
+            "target_pcoord_bounds": [[0.0, 1.0]],
+        },
+    )
+    driver.prepare_new_we()
+
+    assert os.path.exists(EXTENSION_LOCKFILE)
+    state = json.load(open("restart.dat"))
+    assert state == {"restarts_completed": 0, "runs_completed": 0}
+    assert os.path.islink("traj_segs")
+    assert "max_total_iterations: 35" in open("west.cfg").read()
+    assert fake_westpa["westpa"].rc.sim_manager.max_total_iterations == 35
+    assert fake_westpa["calls"]["w_run"] == 1
+    assert fake_westpa["calls"]["w_init"] == []  # extensions don't re-init
+
+
 def test_restart_driver_skips_mid_run(fake_westpa):
     """Nothing happens when it's not the final iteration."""
     from msm_we_tpu.westpa_plugins.restart_driver import RestartDriver
