@@ -120,6 +120,52 @@ def test_nlag_guard(two_files):
         model.n_lag = 1
 
 
+def test_deprecated_compat_paths(two_files):
+    """Space-separated fileSpecifier strings and the WE*p1_bounds aliases."""
+    model = modelWE()
+    model.initialize(
+        two_files[0],  # plain string (deprecated single-file form)
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "compat",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    assert model.fileList == [two_files[0]]
+    # Deprecated 1-D aliases delegate to the N-D properties
+    assert np.allclose(model.WEbasisp1_bounds, [[9.0, 10.0]])
+    assert np.allclose(model.WEtargetp1_bounds, [[0.0, 1.0]])
+    model.WEbasisp1_bounds = [[8.5, 10.0]]
+    assert np.allclose(model.basis_pcoord_bounds, [[8.5, 10.0]])
+    assert np.isclose(model.basis_bin_centers[0], 9.25)
+
+
+def test_pcoord_len_gt2(tmp_path):
+    """Datasets with more than 2 pcoord frames use frames 0 and -1."""
+    from msm_we_tpu.data.synthetic import SynthWESettings, generate_west_h5
+
+    path = str(tmp_path / "long.h5")
+    generate_west_h5(
+        path,
+        settings=SynthWESettings(
+            n_iterations=11, n_segments=12, pcoord_len=5, seed=3, warmup=5
+        ),
+    )
+    from msm_we_tpu.data import WEDataset
+
+    ds = WEDataset([path])
+    assert ds.maxIter == 10
+    d = ds.iter_data(3)
+    import h5py
+
+    with h5py.File(path) as h5:
+        pc = h5["iterations/iter_00000003/pcoord"][:]
+    assert pc.shape[1] == 5
+    assert np.allclose(d["pcoord0"][:, 0], pc[:, 0, 0])
+    assert np.allclose(d["pcoord1"][:, 0], pc[:, -1, 0])
+
+
 def test_equilibrium_tmatrix(two_files):
     """get_eqTmatrix drops basis/target and row-normalizes (reference
     ``_analysis.py:81-95``)."""
