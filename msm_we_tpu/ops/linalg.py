@@ -190,12 +190,17 @@ def steady_state_refined(
     return last_pSS, last_flux
 
 
-def committor(flux_matrix, ind_targets, ind_basis, n_bins, conv=1e-5):
+def committor(flux_matrix, ind_targets, ind_basis, n_bins, conv=1e-5,
+              max_iters=100_000):
     """Forward committor by absorbing-boundary power iteration.
 
     Reference ``get_committor`` (``_analysis.py:527-606``), including its
     final-iteration convention: the stored committor is the matrix product of
     the last clamped iterate (no re-clamp after the loop).
+
+    Unlike the reference's unbounded ``while`` (which hangs on matrices whose
+    non-absorbing block mixes arbitrarily slowly), iteration stops after
+    ``max_iters`` with a warning -- matching the jitted ``committor_jax``.
     """
     M = np.array(flux_matrix, dtype=np.float64)
     flux_out = M.sum(axis=1)
@@ -212,17 +217,28 @@ def committor(flux_matrix, ind_targets, ind_basis, n_bins, conv=1e-5):
     q[np.asarray(ind_targets), 0] = 1.0
     qp = np.ones_like(q)
     dconv = np.inf
+    iters = 0
     while dconv > conv:
+        if iters >= max_iters:
+            log.warning(
+                f"Committor iteration did not converge below {conv} within "
+                f"{max_iters} iterations (residual {dconv:.3e}); returning the "
+                "current iterate."
+            )
+            break
         q[np.asarray(ind_targets), 0] = 1.0
         q[np.asarray(ind_basis), 0] = 0.0
         q = M @ q
         dconv = np.abs(qp - q).sum()
         qp = q.copy()
+        iters += 1
     return q.squeeze()
 
 
-def backwards_committor(flux_matrix, ind_targets, ind_basis, n_bins, conv):
-    """Backward committor via time reversal. Reference ``_analysis.py:609-637``."""
+def backwards_committor(flux_matrix, ind_targets, ind_basis, n_bins, conv,
+                        max_iters=100_000):
+    """Backward committor via time reversal. Reference ``_analysis.py:609-637``,
+    plus the same ``max_iters`` cap as :func:`committor`."""
     M = np.array(flux_matrix, dtype=np.float64)
     out = M.sum(axis=1)
     pos = out > 0
@@ -237,12 +253,21 @@ def backwards_committor(flux_matrix, ind_targets, ind_basis, n_bins, conv):
     q[np.asarray(ind_basis), 0] = 1.0
     qp = np.ones_like(q)
     dconv = np.inf
+    iters = 0
     while dconv > conv:
+        if iters >= max_iters:
+            log.warning(
+                f"Backward-committor iteration did not converge below {conv} "
+                f"within {max_iters} iterations (residual {dconv:.3e}); "
+                "returning the current iterate."
+            )
+            break
         q[np.asarray(ind_basis), 0] = 1.0
         q[np.asarray(ind_targets), 0] = 0.0
         q = M @ q
         dconv = np.abs(qp - q).sum()
         qp = q.copy()
+        iters += 1
     return q.squeeze()
 
 

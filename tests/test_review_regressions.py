@@ -153,3 +153,56 @@ def test_initialize_does_not_swallow_real_errors(tmp_path):
             tau=1.0,
         )
     assert not isinstance(excinfo.value, KeyError)
+
+
+def test_committor_iteration_cap_on_slow_mixing_matrix(caplog):
+    """A near-periodic non-absorbing block mixes at rate ~(1 - 1e-12) per
+    iteration -- the reference's unbounded ``while dconv > conv`` loop would
+    effectively hang. The capped loop must return (with a warning) instead.
+
+    States: 0=basis, 3=target; 1 -> 2 always, 2 -> 1 except a 1e-12 leak to
+    the target.
+    """
+    import logging
+
+    from msm_we_tpu._logging import log as pkg_log
+    from msm_we_tpu.ops import linalg
+
+    # Random-walk chain over 40 states (basis at 0, target at the end):
+    # mixing time is O(n^2), so with a near-machine-precision tolerance the
+    # iteration needs thousands of steps; a cap of 10 must fire.
+    n = 40
+    F = np.zeros((n, n))
+    for i in range(n):
+        F[i, max(i - 1, 0)] += 0.5
+        F[i, min(i + 1, n - 1)] += 0.5
+    # The package logger doesn't propagate to root, so attach caplog's
+    # handler to it directly
+    pkg_log.addHandler(caplog.handler)
+    try:
+        with caplog.at_level(logging.WARNING, logger="msm_we_tpu"):
+            q = linalg.committor(F, [n - 1], [0], n, conv=1e-14, max_iters=10)
+        assert q.shape == (n,)
+        assert np.all(np.isfinite(q))
+        assert any("did not converge" in r.message for r in caplog.records)
+
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="msm_we_tpu"):
+            qm = linalg.backwards_committor(
+                F, [n - 1], [0], n, conv=1e-14, max_iters=10
+            )
+        assert qm.shape == (n,)
+        assert any("did not converge" in r.message for r in caplog.records)
+    finally:
+        pkg_log.removeHandler(caplog.handler)
+
+
+def test_committor_cap_does_not_change_converging_result():
+    """On a well-mixing matrix the capped committor equals the uncapped one."""
+    from msm_we_tpu.ops import linalg
+
+    rng = np.random.default_rng(5)
+    F = rng.random((6, 6))
+    q_capped = linalg.committor(F, [5], [0], 6, conv=1e-10, max_iters=100_000)
+    q_loose = linalg.committor(F, [5], [0], 6, conv=1e-10, max_iters=10**9)
+    np.testing.assert_allclose(q_capped, q_loose)
