@@ -1541,16 +1541,21 @@ class modelWE:
         """One-shot build + analysis (reference ``msm_we.py:588-882``).
 
         Each stage's wall-clock is recorded in ``self.stage_timings``
-        (a :class:`~msm_we_tpu.tracing.StageTimer`); pass ``profile_dir`` to
-        additionally capture a JAX profiler trace of the whole build.
+        (a :class:`~msm_we_tpu.tracing.StageTimer`); ``show_live_display``
+        renders a rich Live step table as stages progress (the reference's
+        ``new_table``/``do_step`` display, ``msm_we.py:529-586``); pass
+        ``profile_dir`` to additionally capture a JAX profiler trace of the
+        whole build.
         """
-        from .tracing import StageTimer, profile_trace
+        from .tracing import StageTimer, live_stage_display, profile_trace
 
         model = self
         timer = StageTimer()
         model.stage_timings = timer
 
-        with profile_trace(profile_dir):
+        with profile_trace(profile_dir), live_stage_display(
+            timer, enabled=show_live_display
+        ):
             with timer.stage("Model initialization"):
                 model.initialize(
                     file_paths,

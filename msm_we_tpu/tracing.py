@@ -13,33 +13,64 @@ import time
 
 from ._logging import log
 
-__all__ = ["StageTimer", "profile_trace"]
+__all__ = ["StageTimer", "profile_trace", "live_stage_display"]
 
 
 class StageTimer:
-    """Collects named stage durations; renderable as text or JSON."""
+    """Collects named stage durations; renderable as text or JSON.
 
-    def __init__(self):
+    An optional ``on_change`` callback fires whenever a stage starts,
+    finishes, or gains a note -- the hook :func:`live_stage_display` uses to
+    refresh its table.
+    """
+
+    def __init__(self, on_change=None):
         self.stages = []  # list of (name, seconds, note)
+        self.failed = set()  # indices of stages that raised
+        self.running = None  # index of the currently running stage
+        self._on_change = on_change
+
+    def _notify(self):
+        if self._on_change is not None:
+            try:
+                self._on_change()
+            except Exception:  # display failures must never kill the build
+                pass
 
     @contextlib.contextmanager
     def stage(self, name, note=""):
         # Append at entry so set_note() inside the block targets this stage
         self.stages.append((name, 0.0, note))
         idx = len(self.stages) - 1
+        self.running = idx
+        self._notify()
         t0 = time.perf_counter()
         try:
             yield self
+        except BaseException:
+            self.failed.add(idx)
+            raise
         finally:
             elapsed = time.perf_counter() - t0
             n, _, note_now = self.stages[idx]
             self.stages[idx] = (n, elapsed, note_now)
+            self.running = None
+            self._notify()
             log.info(f"[stage] {name}: {elapsed:.3f}s {note_now}")
 
     def set_note(self, note):
         if self.stages:
             name, elapsed, _ = self.stages[-1]
             self.stages[-1] = (name, elapsed, note)
+            self._notify()
+
+    def __getstate__(self):
+        # The change callback may close over a live terminal display;
+        # pickles and the mid-build validation-model deepcopy must not
+        # carry it
+        state = self.__dict__.copy()
+        state["_on_change"] = None
+        return state
 
     @property
     def total(self):
@@ -64,6 +95,59 @@ class StageTimer:
     def to_json(self, path):
         with open(path, "w") as fp:
             json.dump(self.as_dict(), fp, indent=2)
+
+
+@contextlib.contextmanager
+def live_stage_display(timer, enabled=True):
+    """Rich ``Live`` pipeline-step table driven by a :class:`StageTimer`.
+
+    The TPU-native equivalent of the reference's step table
+    (``msm_we.py:529-586``): one row per stage with a running/check/cross
+    marker, elapsed seconds, and the stage note, refreshed as stages progress.
+    Degrades to a no-op when ``enabled`` is False or rich is unavailable, so
+    ``build_analyze_model(show_live_display=...)`` is safe everywhere
+    (including headless CI).
+    """
+    if not enabled:
+        yield None
+        return
+    try:
+        from rich.live import Live
+        from rich.table import Table
+    except Exception:  # pragma: no cover - rich is an optional nicety
+        log.debug("rich unavailable; live display disabled")
+        yield None
+        return
+
+    def render():
+        table = Table(title="haMSM build")
+        table.add_column("")
+        table.add_column("Step")
+        table.add_column("Time", justify="right")
+        table.add_column("Note")
+        for idx, (name, seconds, note) in enumerate(timer.stages):
+            if idx in timer.failed:
+                mark = "[red]x[/]"
+            elif idx == timer.running:
+                mark = "[yellow]>[/]"
+            else:
+                mark = "[green]OK[/]"
+            shown = (
+                f"{seconds:.2f}s"
+                if (seconds or idx != timer.running)
+                else "..."
+            )
+            table.add_row(mark, name, shown, str(note))
+        return table
+
+    with Live(render(), refresh_per_second=4, transient=False) as live:
+        prev = timer._on_change
+        timer._on_change = lambda: live.update(render())
+        try:
+            yield live
+        finally:
+            live.update(render())
+            timer._on_change = prev
 
 
 @contextlib.contextmanager
