@@ -222,10 +222,14 @@ class PairMomentAccumulator:
             return evecs[:, keep] @ np.diag(evals[keep] ** -0.5) @ evecs[:, keep].T
 
         if method == "tica":
-            # Reversible: symmetrize both covariances
-            C00s = 0.5 * (C00 + Ctt)
+            # Reversible symmetrized estimator, centered at the symmetrized
+            # mean mu = (mu0 + mut)/2 (the deeptime convention the reference
+            # inherits via ``_dimensionality.py:288-311``): both covariances
+            # are built from the raw second moments around mu, then
+            # symmetrized
             mu = 0.5 * (mu0 + mut)
-            C0ts = 0.5 * (C0t + C0t.T)
+            C00s = 0.5 * (self.c00 + self.ctt) / n - np.outer(mu, mu)
+            C0ts = 0.5 * (self.c0t + self.c0t.T) / n - np.outer(mu, mu)
             W = inv_sqrt(C00s)
             K = W @ C0ts @ W
             evals, evecs = np.linalg.eigh(0.5 * (K + K.T))
