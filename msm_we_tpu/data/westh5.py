@@ -225,6 +225,101 @@ class WEDataset:
             weights[bad] = 0.0
         return parent, child, weights
 
+    def ancestor_ids(self, n_iter, n_lag):
+        """Vectorized ancestry walk: each segment's ancestor ``n_lag``
+        iterations back.
+
+        Returns ``(anc, warped)``: ``anc[s]`` is the index (into iteration
+        ``n_iter - n_lag``'s concatenated ordering) of segment ``s``'s
+        ancestor, and ``warped[s]`` is True when the lineage was recycled
+        anywhere inside the window (in which case ``anc[s]`` is -1).
+
+        The reference walks the same chains one Python h5 read per segment
+        per step (``get_seg_histories``, ``_data.py:322-421``); here each
+        step is one gather on the cached ``parent_ids_global`` arrays.
+        """
+        if n_lag < 0 or n_iter - n_lag < 1:
+            raise ValueError(
+                f"Iteration {n_iter} has no ancestry {n_lag} iterations back"
+            )
+        n = self.iter_data(n_iter)["n_segs"]
+        anc = np.arange(n)
+        warped = np.zeros(n, dtype=bool)
+        for h in range(1, n_lag + 1):
+            parents = self.iter_data(n_iter - h + 1)["parent_ids_global"]
+            step = np.where(warped, -1, parents[np.where(warped, 0, anc)])
+            warped |= step < 0
+            anc = np.where(warped, -1, step)
+        return anc, warped
+
+    def iter_transition_pairs(self, n_iter, n_lag, basis_coords=None):
+        """Transition pairs at lag ``n_lag`` ending in iteration ``n_iter``.
+
+        Semantics (a clean generalization of the lag-0 rule; the reference
+        carries an unreachable, self-inconsistent lag>0 path at
+        ``_data.py:48-252``, so this *exceeds* it):
+
+        * start = frame 0 of the segment's ancestor ``n_lag`` iterations
+          back; end = the segment's final frame. At ``n_lag=0`` this is
+          exactly :meth:`iter_coord_pairs`.
+        * a lineage recycled inside the window starts from ``basis_coords``
+          instead (the post-warp trajectory was born in the basis); target
+          absorption needs no special casing because end-in-target segments
+          are overridden to the target state downstream, same as lag 0.
+        * ``weights`` (transition weights) are the current iteration's;
+          ``departure_weights`` are the ancestor's at ``n_iter - n_lag``
+          (current weight for warped lineages).
+
+        Returns a dict with ``start``, ``end``, ``weights``,
+        ``departure_weights``, ``start_pcoord``, ``warped``, ``anc``.
+        """
+        if n_lag == 0:
+            parent, child, weights = self.iter_coord_pairs(n_iter)
+            d = self.iter_data(n_iter)
+            return dict(
+                start=parent, end=child, weights=weights,
+                departure_weights=weights.copy(),
+                start_pcoord=d["pcoord0"].copy(),
+                warped=np.zeros(d["n_segs"], bool),
+                anc=np.arange(d["n_segs"]),
+            )
+
+        anc, warped = self.ancestor_ids(n_iter, n_lag)
+        if warped.any() and basis_coords is None:
+            raise ValueError(
+                f"Iteration {n_iter} has lineages recycled within the lag-"
+                f"{n_lag} window; basis_coords is required to substitute "
+                "their start structures (reference semantics, _data.py:170-182)"
+            )
+
+        d_now = self.iter_data(n_iter)
+        d_lag = self.iter_data(n_iter - n_lag)
+        start_all, _child_lag, _w_lag = self.iter_coord_pairs(n_iter - n_lag)
+        _parent_now, end, weights = self.iter_coord_pairs(n_iter)
+
+        safe = np.where(warped, 0, anc)
+        start = start_all[safe].copy()
+        start_pcoord = d_lag["pcoord0"][safe].copy()
+        departure = d_lag["weights"][safe].copy()
+        if warped.any():
+            start[warped] = np.asarray(basis_coords, dtype=start.dtype)
+            # A recycled lineage has no ancestor pcoord; NaN start pcoords
+            # tell the caller to treat these rows as basis departures
+            start_pcoord[warped] = np.nan
+            departure[warped] = d_now["weights"][warped]
+
+        # NaN start coordinates zero the transition weight, the lag-0
+        # convention (``_data.py:303-313``) applied to the lagged frame
+        flat_axes = tuple(range(1, start.ndim))
+        bad = np.isnan(start).any(axis=flat_axes) & ~warped
+        w = weights.copy()
+        if bad.any():
+            w[bad] = 0.0
+        return dict(
+            start=start, end=end, weights=w, departure_weights=departure,
+            start_pcoord=start_pcoord, warped=warped, anc=anc,
+        )
+
     def iter_child_coords(self, n_iter):
         """Final-frame coordinates of each segment (reference
         ``load_iter_coordinates``, ``_data.py:557-618``). NaN rows dropped."""

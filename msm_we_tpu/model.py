@@ -451,10 +451,16 @@ class modelWE:
 
     @n_lag.setter
     def n_lag(self, lag):
-        """Only lag-0 is supported, as in the reference (``msm_we.py:353-359``)."""
-        if lag != 0:
-            raise NotImplementedError(
-                "Only a lag of 1 tau (n_lag = 0) is currently supported"
+        """Any lag >= 0. The reference gates this to 0 (``msm_we.py:353-359``)
+        even though it carries (unreachable) lag machinery; here lag > 0 is a
+        supported extension (see ``WEDataset.iter_transition_pairs``)."""
+        lag = int(lag)
+        if lag < 0:
+            raise ValueError(f"n_lag must be >= 0, got {lag}")
+        if lag > 0:
+            log.info(
+                f"Using lag n_lag={lag} ({lag + 1} tau transitions); this "
+                "extends the reference, which only supports n_lag=0."
             )
         self._n_lag = lag
 
@@ -1035,37 +1041,68 @@ class modelWE:
         expensive part -- discretization -- already ran on device. The fused
         f32 device path (ops.fluxmatrix.flux_accumulate + psum) is used by the
         sharded benchmark pipeline.
+
+        ``n_lag > 0`` builds (n_lag+1)-tau transitions: the start state is the
+        *ancestor's* frame-0 assignment ``n_lag`` iterations back (already
+        discretized -- lagged starts reuse the parent-feature assignments, no
+        new device work), with recycled-within-window lineages departing from
+        the basis state. Extends the reference, whose lag machinery is gated
+        (``msm_we.py:353-359``).
         """
         self._fluxMatrixParams = [n_lag, first_iter, last_iter, iters_to_use]
-        assert n_lag == 0, "Only lag-0 flux matrices are supported (as upstream)"
 
         if iters_to_use is None:
             if last_iter is None:
                 last_iter = self.maxIter
-            iters_to_use = range(first_iter + 1, last_iter)
-        iters_to_use = list(iters_to_use)
+            iters_to_use = range(max(first_iter + 1, n_lag + 1), last_iter)
+        iters_to_use = [i for i in iters_to_use if i - n_lag >= 1]
+        assert iters_to_use, "No iterations have enough history for this lag"
 
         self.n_lag = n_lag
         self.errorWeight = 0.0
         self.errorCount = 0
 
         feats = self._featurize_all()
-        sel = np.isin(feats["iteration"], iters_to_use)
-
-        start_idx = self._parent_idx[sel].astype(np.int32)
-        end_idx = self._child_idx[sel].astype(np.int32)
-        weights = feats["weights"][sel]
-        p0 = feats["pcoord0"][sel]
-        p1 = feats["pcoord1"][sel]
-
         n_states = self.n_clusters + 2
+
+        if n_lag == 0:
+            sel = np.isin(feats["iteration"], iters_to_use)
+            start_idx = self._parent_idx[sel].astype(np.int64)
+            end_idx = self._child_idx[sel].astype(np.int64)
+            weights = feats["weights"][sel]
+            p0 = feats["pcoord0"][sel]
+            p1 = feats["pcoord1"][sel]
+            basis_start = self.is_WE_basis(p0)
+        else:
+            offsets = feats["offsets"]
+            starts, ends, ws, p0s, p1s, warps = [], [], [], [], [], []
+            for it in iters_to_use:
+                anc, warped = self._dataset.ancestor_ids(it, n_lag)
+                rows_now = np.arange(offsets[it - 1], offsets[it])
+                rows_lag = offsets[it - n_lag - 1] + np.where(warped, 0, anc)
+                starts.append(self._parent_idx[rows_lag])
+                ends.append(self._child_idx[rows_now])
+                ws.append(feats["weights"][rows_now])
+                p0s.append(feats["pcoord0"][rows_lag])
+                p1s.append(feats["pcoord1"][rows_now])
+                warps.append(warped)
+            start_idx = np.concatenate(starts).astype(np.int64)
+            end_idx = np.concatenate(ends).astype(np.int64)
+            weights = np.concatenate(ws)
+            p0 = np.concatenate(p0s)
+            p1 = np.concatenate(p1s)
+            warped_all = np.concatenate(warps)
+            # Recycled lineages depart from the basis state regardless of
+            # the (meaningless) ancestor pcoord gathered at the safe index
+            basis_start = self.is_WE_basis(p0) | warped_all
+
         # Basis/target overrides, reference order (_fluxmatrix.py:134-137):
         # end-in-target, then start-in-basis, then end-in-basis
         end_idx = np.where(self.is_WE_target(p1), self.n_clusters + 1, end_idx)
-        start_idx = np.where(self.is_WE_basis(p0), self.n_clusters, start_idx)
+        start_idx = np.where(basis_start, self.n_clusters, start_idx)
         end_idx = np.where(self.is_WE_basis(p1), self.n_clusters, end_idx)
 
-        flat = start_idx.astype(np.int64) * n_states + end_idx.astype(np.int64)
+        flat = start_idx * n_states + end_idx
         fm = np.bincount(
             flat, weights=weights, minlength=n_states * n_states
         ).reshape(n_states, n_states)
@@ -1775,13 +1812,24 @@ class modelWE:
         )
 
     def get_transition_data(self, n_lag):
-        """Lag > 0 transitions are unsupported, as upstream (the reference's
-        n_lag setter raises for any lag != 0, ``msm_we.py:353-359``)."""
+        """Populate ``coordPairList``/``transitionWeights``/``departureWeights``
+        at lag ``n_lag`` for the currently loaded iteration.
+
+        Start structures come from the segment's ancestor ``n_lag``
+        iterations back; recycled lineages substitute ``basis_coords``
+        (``set_basis``). Exceeds the reference, whose lag>0 path is gated off
+        (``msm_we.py:353-359``) and internally unreachable
+        (``_data.py:48-252``).
+        """
         if n_lag == 0:
             return self.get_transition_data_lag0()
-        raise NotImplementedError(
-            "Only a lag of 1 tau (n_lag = 0) is currently supported"
+        tp = self._dataset.iter_transition_pairs(
+            self.n_iter, n_lag, basis_coords=self.basis_coords
         )
+        self.n_lag = n_lag
+        self.coordPairList = np.stack([tp["start"], tp["end"]], axis=-1)
+        self.transitionWeights = tp["weights"]
+        self.departureWeights = tp["departure_weights"]
 
     def get_iterations_iters(self, first_iter, last_iter):
         """Segment counts over an iteration range (reference ``_data.py:995-1040``).

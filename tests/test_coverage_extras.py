@@ -115,9 +115,14 @@ def test_transition_data_lag0_compat(two_files):
 
 
 def test_nlag_guard(two_files):
+    """Negative lags rejected; lag > 0 is now a supported extension (the
+    reference raises for any lag != 0, ``msm_we.py:353-359``)."""
     model = _build(two_files[:1], "none")
-    with pytest.raises(NotImplementedError):
-        model.n_lag = 1
+    with pytest.raises(ValueError):
+        model.n_lag = -1
+    model.n_lag = 1
+    assert model.n_lag == 1
+    model.n_lag = 0
 
 
 def test_deprecated_compat_paths(two_files):
