@@ -11,9 +11,8 @@ also exists in the same file (the last iteration is incomplete,
 
 Redesign: instead of a mutable god-object re-reading HDF5 per call, the reader
 scans once, caches per-iteration index data (tiny), and streams coordinate
-blocks on demand -- either per iteration or padded into fixed-shape device
-batches (segments padded to the per-dataset max, weight 0 on padding), the
-layout the jitted TPU pipeline consumes.
+blocks on demand; the facade's feature pipeline packs them into fixed-size
+device chunks (``modelWE._StreamingReducer``).
 """
 from __future__ import annotations
 
@@ -326,39 +325,6 @@ class WEDataset:
         parent, child, _w = self.iter_coord_pairs(n_iter)
         good = ~np.isnan(child).any(axis=tuple(range(1, child.ndim)))
         return child[good]
-
-    # ------------------------------------------------------- padded batches
-    def padded_index_arrays(self, iters_to_use=None):
-        """Fixed-shape (n_iters, max_segs, ...) arrays + mask for the device path.
-
-        Padding has weight 0 and pcoord NaN; the mask marks real segments.
-        """
-        if iters_to_use is None:
-            iters_to_use = range(1, self.maxIter + 1)
-        iters_to_use = list(iters_to_use)
-        n_it = len(iters_to_use)
-        S = self.max_segs
-        D = self.pcoord_ndim
-
-        weights = np.zeros((n_it, S))
-        pcoord0 = np.full((n_it, S, D), np.nan)
-        pcoord1 = np.full((n_it, S, D), np.nan)
-        mask = np.zeros((n_it, S), dtype=bool)
-
-        for row, n_iter in enumerate(iters_to_use):
-            d = self.iter_data(n_iter)
-            n = d["n_segs"]
-            weights[row, :n] = d["weights"]
-            pcoord0[row, :n] = d["pcoord0"]
-            pcoord1[row, :n] = d["pcoord1"]
-            mask[row, :n] = True
-        return dict(
-            iters=np.array(iters_to_use),
-            weights=weights,
-            pcoord0=pcoord0,
-            pcoord1=pcoord1,
-            mask=mask,
-        )
 
     def n_atoms_coord_ndim(self):
         """(n_atoms, coord_ndim) of the augmented coordinates."""

@@ -491,24 +491,23 @@ class modelWE:
         # Indices are positions in the *concatenated* per-iteration arrays
         # (globalized parent ids), so multi-file datasets walk correctly --
         # the reference instead stores file-local ids plus a westList to
-        # re-match (``_data.py:785-795``)
+        # re-match (``_data.py:785-795``). Each history step is one gather
+        # over all segments (the reference walks one python h5 read per
+        # segment per step, ``_data.py:322-421``).
         seg_histories[:, 0] = np.arange(n_seg)
         warped = np.zeros(n_seg, dtype=bool)
         for iH in range(1, n_hist + 1):
             iter_back = self.n_iter - iH + 1
             d = self._dataset.iter_data(iter_back)
-            for iS in range(n_seg):
-                ind_current = seg_histories[iS, iH - 1]
-                if warped[iS]:
-                    continue
-                if ind_current < 0:
-                    # Recycled: the ancestry ends permanently here (the
-                    # reference's 'warped' latch, _data.py:392-398); without
-                    # it the walk would resume from segment 0's data
-                    warped[iS] = True
-                    continue
-                seg_histories[iS, iH] = d["parent_ids_global"][ind_current]
-                weight_histories[iS, iH - 1] = d["weights"][ind_current]
+            cur = seg_histories[:, iH - 1]
+            # Recycled: the ancestry ends permanently here (the reference's
+            # 'warped' latch, _data.py:392-398); without it the walk would
+            # resume from segment 0's data
+            warped |= cur < 0
+            active = ~warped
+            idx = cur[active]
+            seg_histories[active, iH] = d["parent_ids_global"][idx]
+            weight_histories[active, iH - 1] = d["weights"][idx]
         self.seg_histories = seg_histories[:, :-1].astype(int)
         self.weight_histories = weight_histories
 
@@ -1313,30 +1312,56 @@ class modelWE:
 
     def update_cluster_structures(self, build_pcoord_cache=False):
         """Map each cluster to its member structures, weights, and provenance
-        (reference ``_clustering.py:1398-1526``)."""
+        (reference ``_clustering.py:1398-1526``).
+
+        Grouping is one stable argsort + split over the concatenated arrays
+        instead of the reference's per-segment python loop -- O(N log N)
+        array work, so it stays off the critical path even at millions of
+        segments (the restart driver calls this every restart).
+        """
         assert self.clusters is not None, "Clusters have not been computed!"
+
+        coords_parts, weights_parts, dtraj_parts = [], [], []
+        iter_parts, segidx_parts, westidx_parts, pcoord_parts = [], [], [], []
+        for iteration in range(1, self.maxIter - 1):
+            d = self._dataset.iter_data(iteration)
+            _parent, child, _w = self._dataset.iter_coord_pairs(iteration)
+            coords_parts.append(child)
+            weights_parts.append(d["weights"])
+            dtraj_parts.append(np.asarray(self.dtrajs[iteration - 1]))
+            iter_parts.append(np.full(d["n_segs"], iteration))
+            segidx_parts.append(d["seg_idx"])
+            westidx_parts.append(d["west_idx"])
+            if build_pcoord_cache:
+                pcoord_parts.append(d["pcoord1"])
+
+        dtraj = np.concatenate(dtraj_parts)
+        order = np.argsort(dtraj, kind="stable")
+        sorted_clusters = dtraj[order]
+        uniq, starts = np.unique(sorted_clusters, return_index=True)
+        bounds = np.append(starts[1:], len(sorted_clusters))
+
+        coords = np.concatenate(coords_parts)[order]
+        weights = np.concatenate(weights_parts)[order]
+        iters = np.concatenate(iter_parts)[order]
+        segidx = np.concatenate(segidx_parts)[order]
+        westidx = np.concatenate(westidx_parts)[order]
+        pcoords = np.concatenate(pcoord_parts)[order] if build_pcoord_cache else None
 
         cluster_structures = {}
         cluster_structure_weights = {}
         structure_iteration_segments = {}
         pcoord_cache = {} if build_pcoord_cache else None
-
-        for iteration in range(1, self.maxIter - 1):
-            d = self._dataset.iter_data(iteration)
-            _parent, child, _w = self._dataset.iter_coord_pairs(iteration)
-            dtraj = self.dtrajs[iteration - 1]
-            for seg in range(d["n_segs"]):
-                cluster_idx = int(dtraj[seg])
-                cluster_structures.setdefault(cluster_idx, []).append(child[seg])
-                cluster_structure_weights.setdefault(cluster_idx, []).append(
-                    d["weights"][seg]
-                )
-                structure_iteration_segments.setdefault(cluster_idx, []).append(
-                    [iteration, int(d["seg_idx"][seg]),
-                     self.fileList[int(d["west_idx"][seg])]]
-                )
-                if build_pcoord_cache:
-                    pcoord_cache.setdefault(cluster_idx, []).append(d["pcoord1"][seg])
+        for c, a, b in zip(uniq, starts, bounds):
+            c = int(c)
+            cluster_structures[c] = list(coords[a:b])
+            cluster_structure_weights[c] = list(weights[a:b])
+            structure_iteration_segments[c] = [
+                [int(it), int(si), self.fileList[int(wi)]]
+                for it, si, wi in zip(iters[a:b], segidx[a:b], westidx[a:b])
+            ]
+            if build_pcoord_cache:
+                pcoord_cache[c] = list(pcoords[a:b])
 
         self.cluster_structures = cluster_structures
         self.cluster_structure_weights = cluster_structure_weights
