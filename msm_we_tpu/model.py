@@ -218,6 +218,7 @@ class modelWE:
         self._strat = None
         self._bin_mapper = None
         self._mesh = None
+        self._flux_step_cache = None  # compiled sharded flux steps, by n_states
         self._fluxMatrixParams = None
         self._cluster_seed = 0
 
@@ -1064,6 +1065,18 @@ class modelWE:
         feats = self._featurize_all()
         n_states = self.n_clusters + 2
 
+        if (
+            n_lag == 0
+            and self._mesh is not None
+            and self._strat is not None
+        ):
+            # Production device path: one fused shard_map program
+            # (discretize -> f64 scatter -> psum) over the mesh
+            self.fluxMatrixRaw = self._device_flux_lag0(iters_to_use) / len(
+                iters_to_use
+            )
+            return
+
         if n_lag == 0:
             sel = np.isin(feats["iteration"], iters_to_use)
             start_idx = self._parent_idx[sel].astype(np.int64)
@@ -1106,6 +1119,96 @@ class modelWE:
             flat, weights=weights, minlength=n_states * n_states
         ).reshape(n_states, n_states)
         self.fluxMatrixRaw = fm / len(iters_to_use)
+
+    def _device_flux_lag0(self, iters_to_use):
+        """Fused mesh-sharded flux matrix: discretize + f64 scatter + psum.
+
+        One shard_map program over the ('data', 'model') mesh -- segments
+        data-parallel, the stratified center bank tensor-parallel -- with the
+        flux accumulated and psum-reduced in float64 while the distance
+        matmuls stay f32 (``jax.enable_x64`` scopes the trace). This is the
+        TPU-native replacement for the reference's Ray gather + driver-side
+        f64 summation (``_fluxmatrix.py:311-342``), reachable from
+        ``build_analyze_model`` via ``enable_mesh``/``device_pipeline``.
+
+        Results match the host bincount path to f64 summation-order (the
+        parity test asserts JtargetSS equality through the full build).
+        """
+        import jax
+
+        from .parallel.sharded import build_sharded_step
+
+        feats = self._featurize_all()
+        strat = self._strat
+        mesh = self._mesh
+
+        sel = np.isin(feats["iteration"], list(iters_to_use))
+        fp = feats["parent"][sel]
+        fc = feats["child"][sel]
+        w = feats["weights"][sel].astype(np.float64)
+        p0 = feats["pcoord0"][sel]
+        p1 = feats["pcoord1"][sel]
+
+        remap = strat.we_remap
+        pbins = remap[self._bin_mapper.assign(np.nan_to_num(p0))].astype(np.int32)
+        cbins = remap[self._bin_mapper.assign(np.nan_to_num(p1))].astype(np.int32)
+        basis_p = np.asarray(self.is_WE_basis(p0))
+        target_p = np.asarray(self.is_WE_target(p0))
+        basis_c = np.asarray(self.is_WE_basis(p1))
+        target_c = np.asarray(self.is_WE_target(p1))
+
+        n_states = self.n_clusters + 2
+        data_size = mesh.shape["data"]
+        model_size = mesh.shape["model"]
+        N = len(w)
+        K = len(strat.centers)
+        N_pad = -(-N // data_size) * data_size
+        K_pad = -(-K // model_size) * model_size
+
+        def pad_rows(a, fill):
+            if N_pad == N:
+                return a
+            out = np.full((N_pad,) + a.shape[1:], fill, dtype=a.dtype)
+            out[:N] = a
+            return out
+
+        def pad_bank(a, fill):
+            if K_pad == K:
+                return a
+            out = np.full((K_pad,) + a.shape[1:], fill, dtype=a.dtype)
+            out[:K] = a
+            return out
+
+        # Padded rows carry weight 0 (their scatter adds nothing) and bin -1
+        # (matches no center); padded bank rows are invalid
+        args = (
+            pad_rows(fp.astype(np.float32), 0.0),
+            pad_rows(fc.astype(np.float32), 0.0),
+            pad_rows(pbins, -1),
+            pad_rows(cbins, -1),
+            pad_rows(basis_p, False),
+            pad_rows(basis_c, False),
+            pad_rows(target_c, False),
+            pad_rows(w, 0.0),
+            pad_bank(strat.centers, 0.0),
+            pad_bank(strat.center_bin, -2),
+            pad_bank(strat.valid, False),
+            pad_bank(strat.global_id, -1),
+            pad_rows(target_p, False),
+        )
+
+        if not hasattr(self, "_flux_step_cache") or self._flux_step_cache is None:
+            self._flux_step_cache = {}
+        key = n_states
+        step = self._flux_step_cache.get(key)
+        if step is None:
+            step = build_sharded_step(mesh, n_states, with_target_p=True)
+            self._flux_step_cache[key] = step
+        with jax.enable_x64(True):
+            fm = step(*args)
+        fm = np.asarray(fm, dtype=np.float64)
+        assert fm.shape == (n_states, n_states)
+        return fm
 
     def organize_fluxMatrix(self, use_ray=False, progress_bar=None, **args):
         """Clean the flux matrix (reference ``organize_fluxMatrix``,
@@ -1599,6 +1702,7 @@ class modelWE:
         step_kwargs={},
         progress_bar=None,
         profile_dir=None,
+        device_pipeline=False,
     ):
         """One-shot build + analysis (reference ``msm_we.py:588-882``).
 
@@ -1608,10 +1712,18 @@ class modelWE:
         ``new_table``/``do_step`` display, ``msm_we.py:529-586``); pass
         ``profile_dir`` to additionally capture a JAX profiler trace of the
         whole build.
+
+        ``device_pipeline=True`` enables a device mesh over all visible chips
+        (``enable_mesh``): discretization and the flux matrix then run as
+        mesh-sharded programs (f32 assignment matmuls, f64 flux scatter +
+        psum) with results identical to the host path. The analysis tail
+        stays in host float64 (the SURVEY section 7 precision split).
         """
         from .tracing import StageTimer, live_stage_display, profile_trace
 
         model = self
+        if device_pipeline and model._mesh is None:
+            model.enable_mesh()
         timer = StageTimer()
         model.stage_timings = timer
 
@@ -1709,9 +1821,11 @@ class modelWE:
 
     # ---------------------------------------------------------- checkpointing
     def __getstate__(self):
-        # Device meshes are process-local; call enable_mesh() again after load
+        # Device meshes and compiled steps are process-local; call
+        # enable_mesh() again after load
         state = self.__dict__.copy()
         state["_mesh"] = None
+        state["_flux_step_cache"] = None
         return state
 
     def __deepcopy__(self, memo):

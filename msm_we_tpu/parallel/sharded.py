@@ -65,8 +65,18 @@ def _combine_argmin(local_min, local_gid, axis_name):
 def _discretize_and_flux(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
     centers, center_bin, valid, global_id, n_states, model_axis=None,
+    target_p=None,
 ):
-    """Shared kernel body: assign parent+child, apply overrides, scatter flux."""
+    """Shared kernel body: assign parent+child, apply overrides, scatter flux.
+
+    The scatter accumulates in the dtype of ``w``: trace under
+    ``jax.enable_x64(True)`` with float64 weights and the flux matrix is
+    accumulated (and psum-reduced) in f64 while the distance matmuls stay
+    f32 -- the facade's parity-grade device path. WE weights span hundreds
+    of orders of magnitude (the reference does all accumulation in host
+    f64, ``_fluxmatrix.py:311-342``), so an f32 scatter would flush small
+    weights to zero and could silently disconnect low-weight states.
+    """
     pmin, pgid = _local_masked_min(fp, pbins, centers, center_bin, valid, global_id)
     cmin, cgid = _local_masked_min(fc, cbins, centers, center_bin, valid, global_id)
     if model_axis is not None:
@@ -77,9 +87,14 @@ def _discretize_and_flux(
 
     basis_cluster = n_states - 2
     target_cluster = n_states - 1
-    # Reference override order (_fluxmatrix.py:134-137)
+    # Reference override order (_fluxmatrix.py:134-137), composed with the
+    # predict-time overrides the host path bakes into pair_dtrajs
+    # (stratified_clustering.py:159-169): parent-in-target wins over
+    # parent-in-basis; child-in-basis wins over child-in-target
     cidx = jnp.where(target_c, target_cluster, cidx)
     pidx = jnp.where(basis_p, basis_cluster, pidx)
+    if target_p is not None:
+        pidx = jnp.where(target_p, target_cluster, pidx)
     cidx = jnp.where(basis_c, basis_cluster, cidx)
 
     flat = pidx.astype(jnp.int32) * n_states + cidx.astype(jnp.int32)
@@ -87,21 +102,27 @@ def _discretize_and_flux(
     return fm.reshape(n_states, n_states), pidx, cidx
 
 
-def build_sharded_step(mesh, n_states):
+def build_sharded_step(mesh, n_states, with_target_p=False):
     """Jitted (data, model)-sharded discretize+flux step over ``mesh``.
 
     Inputs (global shapes): parent/child features (N, d); parent/child WE bin
     ids, basis/target masks, weights (N,); center bank arrays (K, ...).
     N must divide the data axis, K the model axis. Returns the replicated
     (n_states, n_states) flux matrix.
+
+    ``with_target_p`` appends a parent-in-target mask argument (the facade's
+    parity path needs it; the benchmark/entry shapes don't carry one).
+    Trace/call under ``jax.enable_x64(True)`` with f64 weights for the
+    f64-accumulating production variant.
     """
 
     def body(fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-             centers, center_bin, valid, global_id):
+             centers, center_bin, valid, global_id, *rest):
         fm, _pidx, _cidx = _discretize_and_flux(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
             centers, center_bin, valid, global_id, n_states,
             model_axis="model",
+            target_p=rest[0] if rest else None,
         )
         # Sum partial flux matrices over the segment shards. Every model rank
         # computed identical values; the pmean is a semantic no-op that lets
@@ -110,16 +131,14 @@ def build_sharded_step(mesh, n_states):
 
     data_spec = P("data")
     model_spec = P("model")
-    sharded = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            data_spec, data_spec, data_spec, data_spec,
-            data_spec, data_spec, data_spec, data_spec,
-            model_spec, model_spec, model_spec, model_spec,
-        ),
-        out_specs=P(),
+    in_specs = (
+        data_spec, data_spec, data_spec, data_spec,
+        data_spec, data_spec, data_spec, data_spec,
+        model_spec, model_spec, model_spec, model_spec,
     )
+    if with_target_p:
+        in_specs = in_specs + (data_spec,)
+    sharded = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P())
     return jax.jit(sharded)
 
 
@@ -153,12 +172,13 @@ def build_sharded_assign(mesh):
 @partial(jax.jit, static_argnames=("n_states",))
 def fused_step_single(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-    centers, center_bin, valid, global_id, n_states,
+    centers, center_bin, valid, global_id, n_states, target_p=None,
 ):
     """Single-device fused discretize+flux (the benchmark hot path)."""
     fm, pidx, cidx = _discretize_and_flux(
         fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
         centers, center_bin, valid, global_id, n_states, model_axis=None,
+        target_p=target_p,
     )
     return fm, pidx, cidx
 

@@ -59,6 +59,69 @@ def test_build_analyze_model_live_display(west_h5, capsys):
     assert model.post_cluster_model.stage_timings._on_change is None
 
 
+def test_device_pipeline_matches_host_full_build(west_h5):
+    """VERDICT round-1 acceptance: the full build_analyze_model must produce
+    identical JtargetSS via the host path and the fused mesh-sharded device
+    path (f32 assignment + f64 scatter + psum), on the 8-device virtual mesh
+    and on a single-device mesh."""
+    import jax
+
+    host = _build(west_h5, show_live_display=False)
+
+    meshed = _build(west_h5, show_live_display=False, device_pipeline=True)
+    assert meshed._mesh is not None
+    np.testing.assert_allclose(
+        meshed.fluxMatrixRaw, host.fluxMatrixRaw, rtol=1e-12
+    )
+    np.testing.assert_allclose(meshed.fluxMatrix, host.fluxMatrix, rtol=1e-12)
+    np.testing.assert_allclose(meshed.pSS, host.pSS, rtol=1e-8, atol=1e-15)
+    assert meshed.JtargetSS == pytest.approx(host.JtargetSS, rel=1e-6)
+
+    # Single-device mesh: same fused program, trivial 1x1 mesh
+    single = modelWE()
+    from msm_we_tpu.parallel import make_mesh
+
+    single.enable_mesh(make_mesh(jax.devices()[:1]))
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 11)])
+    single.build_analyze_model(
+        file_paths=[west_h5],
+        ref_struct={"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        modelName="synth",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dimreduce_method="pca",
+        tau=1.0,
+        n_clusters=2,
+        cross_validation_groups=0,
+        show_live_display=False,
+        step_kwargs={"clustering": {"user_bin_mapper": mapper}},
+    )
+    assert single.JtargetSS == pytest.approx(host.JtargetSS, rel=1e-6)
+
+
+def test_device_flux_survives_extreme_weight_range(west_h5):
+    """WE weights span hundreds of orders of magnitude; the device flux path
+    accumulates in f64, so 1e-250-scale weights must neither flush to zero
+    nor vanish against O(1) cellmates."""
+    model = _build(west_h5, show_live_display=False, device_pipeline=True)
+    feats = model._featurize_all()
+    scale = np.ones(len(feats["weights"]))
+    scale[::7] = 1e-250  # every 7th transition becomes astronomically light
+    feats["weights"] = feats["weights"] * scale
+
+    model.get_fluxMatrix(0)
+    device_fm = model.fluxMatrixRaw.copy()
+
+    model._mesh = None  # force the host bincount path
+    model.get_fluxMatrix(0)
+    host_fm = model.fluxMatrixRaw.copy()
+
+    np.testing.assert_allclose(device_fm, host_fm, rtol=1e-12)
+    assert (device_fm[device_fm > 0] < 1e-200).any(), (
+        "tiny-weight transitions vanished from the device flux matrix"
+    )
+
+
 def test_live_stage_display_unit():
     """Display updates fire on stage start/finish and failures get a cross."""
     timer = StageTimer()
