@@ -108,3 +108,12 @@ def test_steady_state_from_flux(problem):
     assert np.allclose(np.asarray(T).sum(1), 1.0, atol=1e-5)
     assert np.isclose(float(np.asarray(pss).sum()), 1.0, atol=1e-5)
     assert float(flux) >= 0
+
+
+def test_multihost_style_ingest():
+    """Per-'host' local shards assembled via make_array_from_single_device_
+    arrays must produce the identical flux matrix to the single-array path
+    (the multi-host ingest boundary, docs/multihost.md)."""
+    import __graft_entry__ as graft
+
+    graft.dryrun_multihost(8)
