@@ -1,18 +1,27 @@
-"""Benchmark: stratified discretization + flux-matrix build throughput.
+"""Benchmark: haMSM hot path + end-to-end build, with speed-of-light analysis.
 
-Measures the framework's hot path -- PCA transform -> stratified cluster
-assignment -> weighted flux-matrix accumulation -> steady state -- on an
-NTL9-scale problem (~100k WE segments, 250 stratified cluster centers across
-10 WE bins; the reference regression set is 100 iters / 300 clusters,
-``tests/fixtures/hamsms.py:63-72`` there).
+Two measurements:
+
+1. **Hot path** -- the fused device step (PCA transform -> stratified cluster
+   assignment -> weighted flux scatter -> steady state) at realistic shapes:
+   raw featurization dim 900 (~300 atoms x 3, NTL9-scale) projected to 30
+   components on device, 102k WE segments, 250 stratified centers. Reports
+   frames/s, achieved TFLOP/s, fraction of peak FLOPs, and fraction of the
+   roofline speed-of-light (the transform at d=30 components is HBM-bound:
+   arithmetic intensity ~15 FLOP/byte vs the v5e ridge at ~240).
+
+2. **End-to-end** -- h5 ingest -> featurize -> stratified cluster -> flux ->
+   clean -> steady state (``build_analyze_model(device_pipeline=True)``) on a
+   100k-segment synthetic WE dataset, the BASELINE.md north-star shape
+   (100 iters, ~300 clusters). Two builds run back-to-back; the second
+   (warm-compile) wall-clock is reported, with the per-stage breakdown.
 
 Baseline: the reference's hottest loop is one sklearn ``predict([coord])``
 call per frame inside ``StratifiedClusters.predict``
-(``stratified_clustering.py:152-203``), plus per-iteration scipy coo_matrix
-summation. That per-frame path is timed here on a subsample and scaled
-linearly (it is strictly O(N) Python) to get the baseline wall-clock.
+(``stratified_clustering.py:152-203``). That per-frame path is timed on a
+subsample and scaled linearly (it is strictly O(N) Python).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -27,13 +36,37 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/msm_we_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+# (peak_flops_f32_matmul, hbm_bytes_per_s) by TPU generation. v5e MXU peak is
+# 197 TFLOP/s in bf16; XLA's default f32 matmul precision on TPU runs the MXU
+# in bf16-input mode, so the bf16 figure is the honest peak for these kernels.
+DEVICE_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5": (459e12, 1228e9),
+    "TPU v4": (275e12, 1228e9),
+}
 
-def make_problem(n_segments=102_400, n_raw_features=48, n_components=8,
+
+def device_peaks():
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return None, None
+    kind = getattr(dev, "device_kind", "")
+    for key, peaks in DEVICE_PEAKS.items():
+        if key in kind:
+            return peaks
+    return DEVICE_PEAKS["TPU v5 lite"]
+
+
+def make_problem(n_segments=102_400, n_raw_features=900, n_components=30,
                  n_bins=10, k_per_bin=25, seed=0):
-    """Synthesize an NTL9-scale stratified-assignment problem."""
+    """Synthesize an NTL9-scale stratified-assignment problem.
+
+    Raw features are ~300 atoms x 3 coords; the PCA projection runs on
+    device, so the MXU sees the real (N, 900) @ (900, 30) transform.
+    """
     rng = np.random.default_rng(seed)
-    # Double-well-ish pcoord population over [0, 10]
-    pc_parent = np.abs(rng.normal(0, 1, n_segments)) % 10
     pc_parent = 10 * rng.beta(0.7, 0.7, n_segments)
     pc_child = np.clip(pc_parent + rng.normal(0, 0.7, n_segments), 1e-3, 10 - 1e-3)
 
@@ -44,8 +77,8 @@ def make_problem(n_segments=102_400, n_raw_features=48, n_components=8,
     raw_parent = embed(pc_parent)
     raw_child = embed(pc_child)
 
-    # PCA transform fitted on a subsample
-    sub = raw_child[:: max(1, n_segments // 8192)]
+    # PCA transform fitted on a subsample (host, not timed)
+    sub = raw_child[:: max(1, n_segments // 4096)]
     mean = sub.mean(0)
     cov = np.cov((sub - mean).T)
     evals, evecs = np.linalg.eigh(cov)
@@ -56,10 +89,10 @@ def make_problem(n_segments=102_400, n_raw_features=48, n_components=8,
     cbins = np.clip(np.digitize(pc_child, edges) - 1, 0, n_bins - 1).astype(np.int32)
 
     # Stratified centers: fit per bin on a subsample (host, not timed)
-    feats_sub = ((sub - mean) @ comp)
+    feats_sub = (sub - mean) @ comp
     K = n_bins * k_per_bin
     centers = np.zeros((K, n_components), np.float32)
-    sub_pc = pc_child[:: max(1, n_segments // 8192)]
+    sub_pc = pc_child[:: max(1, n_segments // 4096)]
     sub_bins = np.clip(np.digitize(sub_pc, edges) - 1, 0, n_bins - 1)
     for b in range(n_bins):
         members = feats_sub[sub_bins == b]
@@ -89,6 +122,26 @@ def make_problem(n_segments=102_400, n_raw_features=48, n_components=8,
     )
 
 
+def step_flops_bytes(p, ss_iters=300):
+    """Matmul FLOPs and minimum HBM traffic of one fused step."""
+    N, Draw = p["raw_parent"].shape
+    Dc = p["comp"].shape[1]
+    K = len(p["centers"])
+    S = p["n_states"]
+    flops = (
+        2 * (2.0 * N * Draw * Dc)      # parent+child PCA transforms
+        + 2 * (2.0 * N * Dc * K)       # parent+child distance matmuls
+        + ss_iters * 2.0 * S * S       # steady-state power iteration
+    )
+    bytes_moved = (
+        2 * N * Draw * 4               # raw coords read (dominant)
+        + 2 * (2 * N * Dc * 4)         # feature write + read
+        + 2 * N * K * 4                # distance matrices write (argmin fused read)
+        + N * (4 * 4)                  # bins/masks/weights
+    )
+    return flops, bytes_moved
+
+
 def device_pipeline(p, inner_reps=1):
     """Jitted transform + stratified assign + flux + steady state.
 
@@ -106,15 +159,20 @@ def device_pipeline(p, inner_reps=1):
     )
 
     n_states = p["n_states"]
+    n_bins = int(p["center_bin"].max()) + 1
 
     def one_step(raw_parent, raw_child, mean, comp, pbins, cbins,
                  basis_p, basis_c, target_c, w,
                  centers, center_bin, valid, global_id):
-        fp = (raw_parent - mean) @ comp
-        fc = (raw_child - mean) @ comp
+        # Centering folded into a bias: (x - mu) @ C == x @ C - mu @ C.
+        # The transform is HBM-bound, so the elementwise (x - mu) pre-pass
+        # would cost as much as the matmul itself.
+        offset = mean @ comp
+        fp = raw_parent @ comp - offset[None, :]
+        fc = raw_child @ comp - offset[None, :]
         fm, _pi, _ci = _discretize_and_flux(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-            centers, center_bin, valid, global_id, n_states,
+            centers, center_bin, valid, global_id, n_states, n_bins=n_bins,
         )
         basis_mask = jnp.arange(n_states) == n_states - 2
         target_mask = jnp.arange(n_states) == n_states - 1
@@ -128,13 +186,15 @@ def device_pipeline(p, inner_reps=1):
 
         def body(_i, carry):
             _fm, _pss, flux = carry
-            # Thread the previous step's flux into the weights: a genuine
+            # Thread the previous step's flux into the inputs: a genuine
             # data dependence, so XLA cannot hoist/CSE the loop-invariant
             # body and execute the step only once (which would inflate the
-            # reported throughput by inner_reps)
+            # reported throughput by inner_reps). The dependence goes
+            # through the TINY projection matrix (900x30), not the raw
+            # coordinate arrays -- perturbing those would add two 737 MB
+            # copies per iteration and the harness would dwarf the step.
             perturbed = list(args)
-            perturbed[0] = args[0] + flux * 1e-30  # raw_parent
-            perturbed[1] = args[1] + flux * 1e-30  # raw_child
+            perturbed[3] = args[3] + flux * 1e-30  # comp (projection)
             return one_step(*perturbed)
 
         init = one_step(*args)
@@ -155,14 +215,19 @@ def baseline_per_frame_seconds(p, sample=2000):
     frames, each computing the per-bin offset by summing model sizes and
     calling sklearn ``predict`` on a single row
     (``stratified_clustering.py:173-195``), for parent and child coords.
-    Scaling is linear because the loop is O(N) Python.
+    Scaling is linear because the loop is O(N) Python. The (vectorized numpy)
+    PCA transform is included at host speed.
     """
     from sklearn.cluster import MiniBatchKMeans
 
+    t_feat0 = time.perf_counter()
     feats = ((p["raw_child"][:sample] - p["mean"]) @ p["comp"]).astype(np.float64)
-    k = p["centers"].shape[0] // 10
+    feat_time = time.perf_counter() - t_feat0
+
+    n_bins = int(p["center_bin"].max()) + 1
+    k = p["centers"].shape[0] // n_bins
     models = []
-    for b in range(10):
+    for b in range(n_bins):
         m = MiniBatchKMeans(n_clusters=k, n_init=1)
         m.fit(p["centers"][b * k : (b + 1) * k])  # seed with the same centers
         m.cluster_centers_ = p["centers"][b * k : (b + 1) * k].astype(np.float64)
@@ -179,7 +244,47 @@ def baseline_per_frame_seconds(p, sample=2000):
 
     n = len(p["raw_parent"])
     # Two assignments per segment (parent + child), as in the flux build
-    return elapsed / sample * n * 2
+    return (elapsed + feat_time) / sample * n * 2
+
+
+def run_end_to_end():
+    """h5 -> JtargetSS via build_analyze_model(device_pipeline=True) on a
+    100k-segment dataset (the north-star shape). Returns the warm-compile
+    wall-clock and the per-stage breakdown of the warm run."""
+    from msm_we_tpu.binning import RectilinearBinMapper
+    from msm_we_tpu.data import generate_west_h5
+    from msm_we_tpu.model import modelWE
+
+    path = "/tmp/msm_we_tpu_bench_100k.h5"
+    if not os.path.exists(path):
+        generate_west_h5(path, n_iterations=101, n_segments=1000, seed=17)
+
+    def build():
+        mapper = RectilinearBinMapper([np.linspace(0, 10, 13)])
+        model = modelWE()
+        t0 = time.perf_counter()
+        model.build_analyze_model(
+            file_paths=[path],
+            ref_struct={"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            modelName="bench",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dimreduce_method="pca",
+            tau=1.0,
+            n_clusters=25,
+            cross_validation_groups=0,
+            show_live_display=False,
+            device_pipeline=True,
+            step_kwargs={"clustering": {"user_bin_mapper": mapper}},
+        )
+        return time.perf_counter() - t0, model
+
+    _cold, _m = build()  # compiles
+    warm_s, model = build()
+    stages = {
+        name: round(secs, 3) for name, secs, _note in model.stage_timings.stages
+    }
+    return warm_s, stages, float(model.JtargetSS)
 
 
 def main():
@@ -208,15 +313,39 @@ def main():
     baseline_time = baseline_per_frame_seconds(p)
     vs_baseline = baseline_time / device_time
 
+    flops, bytes_moved = step_flops_bytes(p)
+    achieved_tflops = flops / device_time / 1e12
+    peak_flops, peak_bw = device_peaks()
+    pct_peak = 100 * achieved_tflops * 1e12 / peak_flops if peak_flops else None
+    if peak_flops:
+        sol_time = max(flops / peak_flops, bytes_moved / peak_bw)
+        sol_fraction = sol_time / device_time
+        bound = "hbm" if bytes_moved / peak_bw > flops / peak_flops else "mxu"
+    else:
+        sol_fraction = None
+        bound = None
+
+    end_to_end_s, stages, j_e2e = run_end_to_end()
+
     result = {
-        "metric": "stratified cluster-assign + fluxmatrix + steady-state throughput",
+        "metric": "PCA-transform + stratified-assign + fluxmatrix + steady-state throughput",
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 1),
         "device_time_s": round(device_time, 5),
         "baseline_time_s_scaled": round(baseline_time, 3),
         "n_segments": n_segments,
+        "raw_dim": int(p["raw_parent"].shape[1]),
+        "n_components": int(p["comp"].shape[1]),
         "n_states": p["n_states"],
+        "achieved_tflops": round(achieved_tflops, 3),
+        "pct_peak": round(pct_peak, 2) if pct_peak is not None else None,
+        "sol_fraction": round(sol_fraction, 3) if sol_fraction is not None else None,
+        "roofline_bound": bound,
+        "end_to_end_s": round(end_to_end_s, 2),
+        "end_to_end_stages": stages,
+        "end_to_end_JtargetSS": j_e2e,
+        "north_star_met": bool(end_to_end_s < 10.0),
         "backend": jax.default_backend(),
         "JtargetSS": float(flux),
     }

@@ -1202,7 +1202,9 @@ class modelWE:
         key = n_states
         step = self._flux_step_cache.get(key)
         if step is None:
-            step = build_sharded_step(mesh, n_states, with_target_p=True)
+            step = build_sharded_step(
+                mesh, n_states, with_target_p=True, n_bins=strat.n_bins
+            )
             self._flux_step_cache[key] = step
         with jax.enable_x64(True):
             fm = step(*args)

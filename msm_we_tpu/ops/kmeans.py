@@ -56,8 +56,15 @@ def assign_flat(X, C, valid):
     return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
 
 
-@jax.jit
-def masked_assign(X, seg_bin, C, center_bin, valid):
+_PEN = jnp.float32(1e30)
+
+# Above this many WE bins the one-hot penalty block would dominate the GEMM
+# contraction dimension; fall back to the elementwise mask
+_MAX_ONEHOT_BINS = 64
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def masked_assign(X, seg_bin, C, center_bin, valid, n_bins=None):
     """Stratified assignment: nearest valid center *within each row's WE bin*.
 
     Parameters
@@ -67,9 +74,23 @@ def masked_assign(X, seg_bin, C, center_bin, valid):
     C: (K, d) flattened center bank.
     center_bin: (K,) int32 -- owning WE bin of each center row.
     valid: (K,) bool -- live centers (False = padding or cleaned).
+    n_bins: static WE bin count; when given (and modest), the bin mask is
+        folded into the GEMM as a one-hot X block x penalty C block --
+        matched entries score exactly ``|c|^2 - 2 x.c`` (the row-constant
+        |x|^2 drops out of the argmin) and no (N, K) elementwise mask pass
+        breaks the matmul->argmin fusion.
 
     Returns the flat center-row index (into C) of the winner for each segment.
     """
+    if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:
+        c2v = jnp.where(valid, jnp.sum(C * C, axis=1), _PEN)
+        onehot = jax.nn.one_hot(seg_bin, n_bins, dtype=X.dtype)
+        Xa = jnp.concatenate([X, onehot], axis=1)
+        pen_block = jnp.where(
+            center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
+        )
+        Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
+        return jnp.argmin(Xa @ Ca + c2v[None, :], axis=1)
     d2 = pairwise_dist2(X, C)
     ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
     d2 = jnp.where(ok, d2, _BIG)

@@ -142,6 +142,13 @@ class MomentAccumulator:
         return PCAModel(mean, evecs[:, :n_components].T, evals[:n_components], cov)
 
 
+# Below this many MFLOPs a projection runs in host numpy: a device round
+# trip (transfer + dispatch + readback -- potentially milliseconds through a
+# remote tunnel) dwarfs the matmul for small chunks, while NTL9-scale raw
+# dims (hundreds of atoms) clear the threshold and use the device.
+_DEVICE_TRANSFORM_MIN_FLOPS = 5e7
+
+
 class PCAModel:
     """Fitted PCA transform: ``(x - mean) @ components.T``."""
 
@@ -151,13 +158,23 @@ class PCAModel:
         self.explained_variance_ = np.asarray(explained_variance)
         self.covariance_ = covariance
         self.n_components = self.components_.shape[0]
-        self._jmean = jnp.asarray(self.mean_, jnp.float32)
-        self._jcomp = jnp.asarray(self.components_.T, jnp.float32)
+        self._f32comp = self.components_.T.astype(np.float32)
+        # (x - mu) @ C == x @ C - mu @ C: folding the centering into a
+        # precomputed offset removes a full elementwise pass over the raw
+        # matrix (at NTL9 scale the transform is HBM-bound, so that pass
+        # costs as much as the matmul itself). Offset in f64 for accuracy.
+        self._offset = (self.mean_ @ self.components_.T.astype(np.float64)).astype(
+            np.float32
+        )
 
     def transform(self, coords):
-        coords = jnp.asarray(np.asarray(coords, np.float32))
-        flat = coords.reshape(coords.shape[0], -1)
-        return np.asarray((flat - self._jmean) @ self._jcomp)
+        flat = np.asarray(coords, np.float32).reshape(len(coords), -1)
+        if 2.0 * flat.size * self.n_components < _DEVICE_TRANSFORM_MIN_FLOPS:
+            return flat @ self._f32comp - self._offset
+        out = jnp.asarray(flat) @ jnp.asarray(self._f32comp) - jnp.asarray(
+            self._offset
+        )
+        return np.asarray(out)
 
 
 class PairMomentAccumulator:
@@ -265,10 +282,17 @@ class TICAModel:
         self.components_ = np.asarray(components)  # (d, n_components)
         self.scales_ = np.asarray(scales)
         self.output_dimension = self.components_.shape[1]
-        self._jmean = jnp.asarray(self.mean_, jnp.float32)
-        self._jcomp = jnp.asarray(self.components_ * self.scales_[None, :], jnp.float32)
+        self._f32comp = (self.components_ * self.scales_[None, :]).astype(np.float32)
+        # Centering folded into a precomputed offset (see PCAModel)
+        self._offset = (
+            self.mean_ @ (self.components_ * self.scales_[None, :]).astype(np.float64)
+        ).astype(np.float32)
 
     def transform(self, coords):
-        coords = jnp.asarray(np.asarray(coords, np.float32))
-        flat = coords.reshape(coords.shape[0], -1)
-        return np.asarray((flat - self._jmean) @ self._jcomp)
+        flat = np.asarray(coords, np.float32).reshape(len(coords), -1)
+        if 2.0 * flat.size * self.output_dimension < _DEVICE_TRANSFORM_MIN_FLOPS:
+            return flat @ self._f32comp - self._offset
+        out = jnp.asarray(flat) @ jnp.asarray(self._f32comp) - jnp.asarray(
+            self._offset
+        )
+        return np.asarray(out)

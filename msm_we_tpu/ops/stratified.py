@@ -236,6 +236,7 @@ class StratifiedKmeans:
                     jnp.asarray(self.centers),
                     jnp.asarray(self.center_bin),
                     jnp.asarray(self.valid),
+                    n_bins=self.n_bins,
                 )
                 new_centers, new_counts = minibatch_update(
                     jnp.asarray(self.centers),
@@ -290,6 +291,7 @@ class StratifiedKmeans:
                     jnp.asarray(self.centers),
                     jnp.asarray(self.center_bin),
                     jnp.asarray(self.valid),
+                    n_bins=self.n_bins,
                 )
             )
         out = self.global_id[flat]
@@ -320,7 +322,7 @@ class StratifiedKmeans:
         from ..parallel.sharded import build_sharded_assign
 
         if getattr(self, "_sharded_assign", None) is None:
-            self._sharded_assign = build_sharded_assign(self.mesh)
+            self._sharded_assign = build_sharded_assign(self.mesh, n_bins=self.n_bins)
 
         data_size = self.mesh.shape["data"]
         model_size = self.mesh.shape["model"]

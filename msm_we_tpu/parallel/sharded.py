@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 try:  # jax >= 0.6
@@ -38,20 +39,43 @@ except ImportError:  # pragma: no cover - older jax
 __all__ = ["build_sharded_step", "fused_step_single"]
 
 _BIG = jnp.float32(3.4e38)
+_PEN = jnp.float32(1e30)
+
+# Above this many WE bins the one-hot penalty block would dominate the GEMM
+# contraction dimension; fall back to the elementwise mask
+_MAX_ONEHOT_BINS = 64
 
 
-def _local_masked_min(X, seg_bin, C, center_bin, valid, global_id):
+def _local_masked_min(X, seg_bin, C, center_bin, valid, global_id, n_bins=None):
     """Nearest valid same-bin center within the local center shard.
 
-    Returns (min_dist, best_global_id) per row.
+    Returns (min_score, best_global_id) per row, where score = |c|^2 - 2 x.c
+    -- the squared distance minus the row-constant |x|^2, which preserves
+    the argmin and is comparable across center shards.
+
+    With ``n_bins`` given (static), the bin mask is folded INTO the GEMM:
+    X gains a one-hot(bin) block and C^T a (n_bins, K) penalty block that
+    contributes exactly 0 to same-bin entries and +1e30 otherwise. Matched
+    scores are bit-identical to the unmasked ones, and no (N, K) elementwise
+    mask pass exists to break XLA's matmul->argmin fusion (measured ~40%
+    of the assignment kernel's time on v5e as a separate where-pass).
     """
-    x2 = jnp.sum(X * X, axis=1, keepdims=True)
-    c2 = jnp.sum(C * C, axis=1)[None, :]
-    d2 = x2 - 2.0 * (X @ C.T) + c2
-    ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
-    d2 = jnp.where(ok, d2, _BIG)
-    k = jnp.argmin(d2, axis=1)
-    return jnp.take_along_axis(d2, k[:, None], axis=1)[:, 0], global_id[k]
+    c2 = jnp.sum(C * C, axis=1)
+    if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:
+        c2v = jnp.where(valid, c2, _PEN)
+        onehot = jax.nn.one_hot(seg_bin, n_bins, dtype=X.dtype)
+        Xa = jnp.concatenate([X, onehot], axis=1)
+        pen_block = jnp.where(
+            center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
+        )
+        Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
+        scores = Xa @ Ca + c2v[None, :]
+    else:
+        scores = c2[None, :] - 2.0 * (X @ C.T)
+        ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
+        scores = jnp.where(ok, scores, _BIG)
+    k = jnp.argmin(scores, axis=1)
+    return jnp.take_along_axis(scores, k[:, None], axis=1)[:, 0], global_id[k]
 
 
 def _combine_argmin(local_min, local_gid, axis_name):
@@ -65,7 +89,7 @@ def _combine_argmin(local_min, local_gid, axis_name):
 def _discretize_and_flux(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
     centers, center_bin, valid, global_id, n_states, model_axis=None,
-    target_p=None,
+    target_p=None, n_bins=None,
 ):
     """Shared kernel body: assign parent+child, apply overrides, scatter flux.
 
@@ -77,8 +101,12 @@ def _discretize_and_flux(
     f64, ``_fluxmatrix.py:311-342``), so an f32 scatter would flush small
     weights to zero and could silently disconnect low-weight states.
     """
-    pmin, pgid = _local_masked_min(fp, pbins, centers, center_bin, valid, global_id)
-    cmin, cgid = _local_masked_min(fc, cbins, centers, center_bin, valid, global_id)
+    pmin, pgid = _local_masked_min(
+        fp, pbins, centers, center_bin, valid, global_id, n_bins=n_bins
+    )
+    cmin, cgid = _local_masked_min(
+        fc, cbins, centers, center_bin, valid, global_id, n_bins=n_bins
+    )
     if model_axis is not None:
         pidx = _combine_argmin(pmin, pgid, model_axis)
         cidx = _combine_argmin(cmin, cgid, model_axis)
@@ -102,8 +130,15 @@ def _discretize_and_flux(
     return fm.reshape(n_states, n_states), pidx, cidx
 
 
-def build_sharded_step(mesh, n_states, with_target_p=False):
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def build_sharded_step(mesh, n_states, with_target_p=False, n_bins=None):
     """Jitted (data, model)-sharded discretize+flux step over ``mesh``.
+
+    Memoized: repeated builds over the same mesh/shape reuse one jit object,
+    so warm pipelines skip re-tracing (meshes hash by device assignment).
 
     Inputs (global shapes): parent/child features (N, d); parent/child WE bin
     ids, basis/target masks, weights (N,); center bank arrays (K, ...).
@@ -123,6 +158,7 @@ def build_sharded_step(mesh, n_states, with_target_p=False):
             centers, center_bin, valid, global_id, n_states,
             model_axis="model",
             target_p=rest[0] if rest else None,
+            n_bins=n_bins,
         )
         # Sum partial flux matrices over the segment shards. Every model rank
         # computed identical values; the pmean is a semantic no-op that lets
@@ -142,8 +178,10 @@ def build_sharded_step(mesh, n_states, with_target_p=False):
     return jax.jit(sharded)
 
 
-def build_sharded_assign(mesh):
-    """Jitted data-parallel stratified assignment over ``mesh``.
+@lru_cache(maxsize=64)
+def build_sharded_assign(mesh, n_bins=None):
+    """Jitted data-parallel stratified assignment over ``mesh`` (memoized,
+    as :func:`build_sharded_step`).
 
     Shards segments over 'data' and the center bank over 'model'; returns the
     flat *global cluster ids* for every row. Used by the model facade for
@@ -153,7 +191,7 @@ def build_sharded_assign(mesh):
 
     def body(X, seg_bin, centers, center_bin, valid, global_id):
         local_min, local_gid = _local_masked_min(
-            X, seg_bin, centers, center_bin, valid, global_id
+            X, seg_bin, centers, center_bin, valid, global_id, n_bins=n_bins
         )
         gid = _combine_argmin(local_min, local_gid, "model")
         # Identity on already-identical values; lets the compiler prove
@@ -169,26 +207,33 @@ def build_sharded_assign(mesh):
     return jax.jit(sharded)
 
 
-@partial(jax.jit, static_argnames=("n_states",))
+@partial(jax.jit, static_argnames=("n_states", "n_bins"))
 def fused_step_single(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
     centers, center_bin, valid, global_id, n_states, target_p=None,
+    n_bins=None,
 ):
     """Single-device fused discretize+flux (the benchmark hot path)."""
     fm, pidx, cidx = _discretize_and_flux(
         fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
         centers, center_bin, valid, global_id, n_states, model_axis=None,
-        target_p=target_p,
+        target_p=target_p, n_bins=n_bins,
     )
     return fm, pidx, cidx
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
-def steady_state_from_flux(fm, basis_mask, target_mask, n_iters=300):
-    """f32 device tail: row-normalize with sink recycling + power iteration.
+def steady_state_from_flux(fm, basis_mask, target_mask, n_iters=512):
+    """f32 device tail: row-normalize with sink recycling + matrix powering.
 
     The parity path solves this in f64 on the host (ops.linalg); this fused
     variant keeps the whole step on-device for the benchmark/entry point.
+
+    The stationary vector is computed as ``p0 @ T^n`` with ``T^n`` built by
+    repeated squaring: ceil(log2(n_iters)) sequential (S, S) matmuls instead
+    of n_iters dependent matvecs -- the matvec chain is pure sequential
+    latency on an accelerator (hundreds of tiny dispatch-bound ops), while
+    ~9 squarings cost microseconds and converge at least as fast.
     """
     out = fm.sum(axis=1)
     T = jnp.where(out[:, None] > 0, fm / jnp.maximum(out, 1e-30)[:, None], 0.0)
@@ -200,12 +245,14 @@ def steady_state_from_flux(fm, basis_mask, target_mask, n_iters=300):
     recycle_row = jnp.where(basis_mask, 1.0 / n_basis, 0.0)
     T = jnp.where(target_mask[:, None], recycle_row[None, :], T)
 
-    p = jnp.ones(fm.shape[0]) / fm.shape[0]
+    squarings = max(int(np.ceil(np.log2(max(n_iters, 2)))), 1)
+    Tn = T
+    for _ in range(squarings):
+        Tn = Tn @ Tn
+        # Renormalize rows: f32 powering drifts row sums off 1 geometrically
+        Tn = Tn / jnp.maximum(Tn.sum(axis=1, keepdims=True), 1e-30)
 
-    def body(_i, p):
-        p = T.T @ p
-        return p / jnp.maximum(p.sum(), 1e-30)
-
-    p = jax.lax.fori_loop(0, n_iters, body, p)
+    p = (jnp.ones(fm.shape[0]) / fm.shape[0]) @ Tn
+    p = p / jnp.maximum(p.sum(), 1e-30)
     flux = jnp.sum(jnp.where(target_mask[None, :], T, 0.0) * p[:, None])
     return T, p, flux

@@ -80,7 +80,7 @@ def test_sharded_matches_single(problem, model_parallel):
         pytest.skip("needs 8 virtual devices")
     p = problem
     mesh = make_mesh(jax.devices()[:8], model_parallel=model_parallel)
-    step = build_sharded_step(mesh, p["n_states"])
+    step = build_sharded_step(mesh, p["n_states"], n_bins=int(p["center_bin"].max()) + 1)
     # Pad the center bank so it divides the model axis
     K = len(p["centers"])
     mp = model_parallel
