@@ -117,7 +117,6 @@ def make_problem(n_segments=102_400, n_raw_features=900, n_components=30,
         centers=centers,
         center_bin=np.repeat(np.arange(n_bins, dtype=np.int32), k_per_bin),
         valid=np.ones(K, bool),
-        global_id=np.arange(K, dtype=np.int64),
         n_states=K + 2,
     )
 
@@ -163,7 +162,7 @@ def device_pipeline(p, inner_reps=1):
 
     def one_step(raw_parent, raw_child, mean, comp, pbins, cbins,
                  basis_p, basis_c, target_c, w,
-                 centers, center_bin, valid, global_id):
+                 centers, center_bin, valid):
         # Centering folded into a bias: (x - mu) @ C == x @ C - mu @ C.
         # The transform is HBM-bound, so the elementwise (x - mu) pre-pass
         # would cost as much as the matmul itself.
@@ -172,7 +171,7 @@ def device_pipeline(p, inner_reps=1):
         fc = raw_child @ comp - offset[None, :]
         fm, _pi, _ci = _discretize_and_flux(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-            centers, center_bin, valid, global_id, n_states, n_bins=n_bins,
+            centers, center_bin, valid, n_states, n_bins=n_bins,
         )
         basis_mask = jnp.arange(n_states) == n_states - 2
         target_mask = jnp.arange(n_states) == n_states - 1
@@ -203,7 +202,7 @@ def device_pipeline(p, inner_reps=1):
     args = (
         p["raw_parent"], p["raw_child"], p["mean"], p["comp"],
         p["pbins"], p["cbins"], p["basis_p"], p["basis_c"], p["target_c"],
-        p["w"], p["centers"], p["center_bin"], p["valid"], p["global_id"],
+        p["w"], p["centers"], p["center_bin"], p["valid"],
     )
     return step, args
 

@@ -1161,7 +1161,7 @@ class modelWE:
         data_size = mesh.shape["data"]
         model_size = mesh.shape["model"]
         N = len(w)
-        K = len(strat.centers)
+        K = strat.n_total_clusters
         N_pad = -(-N // data_size) * data_size
         K_pad = -(-K // model_size) * model_size
 
@@ -1172,15 +1172,10 @@ class modelWE:
             out[:N] = a
             return out
 
-        def pad_bank(a, fill):
-            if K_pad == K:
-                return a
-            out = np.full((K_pad,) + a.shape[1:], fill, dtype=a.dtype)
-            out[:K] = a
-            return out
-
         # Padded rows carry weight 0 (their scatter adds nothing) and bin -1
-        # (matches no center); padded bank rows are invalid
+        # (matches no center); the compact bank (argmin row == global id,
+        # no device gather) pads with invalid rows
+        centersC, center_binC, validC = strat.compact_bank(pad_to=K_pad)
         args = (
             pad_rows(fp.astype(np.float32), 0.0),
             pad_rows(fc.astype(np.float32), 0.0),
@@ -1190,10 +1185,9 @@ class modelWE:
             pad_rows(basis_c, False),
             pad_rows(target_c, False),
             pad_rows(w, 0.0),
-            pad_bank(strat.centers, 0.0),
-            pad_bank(strat.center_bin, -2),
-            pad_bank(strat.valid, False),
-            pad_bank(strat.global_id, -1),
+            centersC,
+            center_binC,
+            validC,
             pad_rows(target_p, False),
         )
 

@@ -46,19 +46,25 @@ _PEN = jnp.float32(1e30)
 _MAX_ONEHOT_BINS = 64
 
 
-def _local_masked_min(X, seg_bin, C, center_bin, valid, global_id, n_bins=None):
+def _local_masked_min(X, seg_bin, C, center_bin, valid, n_bins=None):
     """Nearest valid same-bin center within the local center shard.
 
-    Returns (min_score, best_global_id) per row, where score = |c|^2 - 2 x.c
+    Returns (min_score, argmin_row) per row, where score = |c|^2 - 2 x.c
     -- the squared distance minus the row-constant |x|^2, which preserves
     the argmin and is comparable across center shards.
+
+    The bank must be **compact**: valid centers first, in global-id order,
+    so the argmin row index IS the global cluster id (plus a static shard
+    offset under model parallelism). A runtime ``global_id[k]`` gather here
+    measured 0.86 ms on v5e for 102k rows -- XLA lowers small-table dynamic
+    gathers as serialized per-element loads -- dwarfing the 0.48 ms
+    assignment itself.
 
     With ``n_bins`` given (static), the bin mask is folded INTO the GEMM:
     X gains a one-hot(bin) block and C^T a (n_bins, K) penalty block that
     contributes exactly 0 to same-bin entries and +1e30 otherwise. Matched
     scores are bit-identical to the unmasked ones, and no (N, K) elementwise
-    mask pass exists to break XLA's matmul->argmin fusion (measured ~40%
-    of the assignment kernel's time on v5e as a separate where-pass).
+    mask pass exists to break XLA's matmul->argmin fusion.
     """
     c2 = jnp.sum(C * C, axis=1)
     if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:
@@ -75,7 +81,7 @@ def _local_masked_min(X, seg_bin, C, center_bin, valid, global_id, n_bins=None):
         ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
         scores = jnp.where(ok, scores, _BIG)
     k = jnp.argmin(scores, axis=1)
-    return jnp.take_along_axis(scores, k[:, None], axis=1)[:, 0], global_id[k]
+    return jnp.take_along_axis(scores, k[:, None], axis=1)[:, 0], k
 
 
 def _combine_argmin(local_min, local_gid, axis_name):
@@ -88,10 +94,14 @@ def _combine_argmin(local_min, local_gid, axis_name):
 
 def _discretize_and_flux(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-    centers, center_bin, valid, global_id, n_states, model_axis=None,
+    centers, center_bin, valid, n_states, model_axis=None,
     target_p=None, n_bins=None,
 ):
     """Shared kernel body: assign parent+child, apply overrides, scatter flux.
+
+    The center bank must be compact (valid centers first, in global-id
+    order; see :func:`_local_masked_min`), so the local argmin row plus the
+    static shard offset is the global cluster id -- no gather.
 
     The scatter accumulates in the dtype of ``w``: trace under
     ``jax.enable_x64(True)`` with float64 weights and the flux matrix is
@@ -101,17 +111,14 @@ def _discretize_and_flux(
     f64, ``_fluxmatrix.py:311-342``), so an f32 scatter would flush small
     weights to zero and could silently disconnect low-weight states.
     """
-    pmin, pgid = _local_masked_min(
-        fp, pbins, centers, center_bin, valid, global_id, n_bins=n_bins
-    )
-    cmin, cgid = _local_masked_min(
-        fc, cbins, centers, center_bin, valid, global_id, n_bins=n_bins
-    )
+    pmin, pk = _local_masked_min(fp, pbins, centers, center_bin, valid, n_bins=n_bins)
+    cmin, ck = _local_masked_min(fc, cbins, centers, center_bin, valid, n_bins=n_bins)
     if model_axis is not None:
-        pidx = _combine_argmin(pmin, pgid, model_axis)
-        cidx = _combine_argmin(cmin, cgid, model_axis)
+        offset = jax.lax.axis_index(model_axis) * centers.shape[0]
+        pidx = _combine_argmin(pmin, pk + offset, model_axis)
+        cidx = _combine_argmin(cmin, ck + offset, model_axis)
     else:
-        pidx, cidx = pgid, cgid
+        pidx, cidx = pk, ck
 
     basis_cluster = n_states - 2
     target_cluster = n_states - 1
@@ -152,10 +159,10 @@ def build_sharded_step(mesh, n_states, with_target_p=False, n_bins=None):
     """
 
     def body(fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-             centers, center_bin, valid, global_id, *rest):
+             centers, center_bin, valid, *rest):
         fm, _pidx, _cidx = _discretize_and_flux(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-            centers, center_bin, valid, global_id, n_states,
+            centers, center_bin, valid, n_states,
             model_axis="model",
             target_p=rest[0] if rest else None,
             n_bins=n_bins,
@@ -170,7 +177,7 @@ def build_sharded_step(mesh, n_states, with_target_p=False, n_bins=None):
     in_specs = (
         data_spec, data_spec, data_spec, data_spec,
         data_spec, data_spec, data_spec, data_spec,
-        model_spec, model_spec, model_spec, model_spec,
+        model_spec, model_spec, model_spec,
     )
     if with_target_p:
         in_specs = in_specs + (data_spec,)
@@ -189,11 +196,12 @@ def build_sharded_assign(mesh, n_bins=None):
     data axis and K the model axis (callers pad).
     """
 
-    def body(X, seg_bin, centers, center_bin, valid, global_id):
-        local_min, local_gid = _local_masked_min(
-            X, seg_bin, centers, center_bin, valid, global_id, n_bins=n_bins
+    def body(X, seg_bin, centers, center_bin, valid):
+        local_min, local_k = _local_masked_min(
+            X, seg_bin, centers, center_bin, valid, n_bins=n_bins
         )
-        gid = _combine_argmin(local_min, local_gid, "model")
+        offset = jax.lax.axis_index("model") * centers.shape[0]
+        gid = _combine_argmin(local_min, local_k + offset, "model")
         # Identity on already-identical values; lets the compiler prove
         # replication over 'model' for the out_specs
         return jax.lax.pmax(gid, "model")
@@ -201,7 +209,7 @@ def build_sharded_assign(mesh, n_bins=None):
     sharded = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("model"), P("model"), P("model"), P("model")),
+        in_specs=(P("data"), P("data"), P("model"), P("model"), P("model")),
         out_specs=P("data"),
     )
     return jax.jit(sharded)
@@ -210,13 +218,15 @@ def build_sharded_assign(mesh, n_bins=None):
 @partial(jax.jit, static_argnames=("n_states", "n_bins"))
 def fused_step_single(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-    centers, center_bin, valid, global_id, n_states, target_p=None,
+    centers, center_bin, valid, n_states, target_p=None,
     n_bins=None,
 ):
-    """Single-device fused discretize+flux (the benchmark hot path)."""
+    """Single-device fused discretize+flux (the benchmark hot path).
+
+    The center bank must be compact (valid-first, global-id order)."""
     fm, pidx, cidx = _discretize_and_flux(
         fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
-        centers, center_bin, valid, global_id, n_states, model_axis=None,
+        centers, center_bin, valid, n_states, model_axis=None,
         target_p=target_p, n_bins=n_bins,
     )
     return fm, pidx, cidx

@@ -14,9 +14,13 @@ def problem():
     rng = np.random.default_rng(3)
     N, d, n_bins, k = 500, 11, 5, 3
     K = n_bins * k
-    valid = rng.random(K) < 0.85
-    gid = np.full(K, -1, np.int64)
-    gid[valid] = np.arange(valid.sum())
+    holey = rng.random(K) < 0.85
+    centers_all = rng.normal(size=(K, d)).astype(np.float32)
+    center_bin_all = np.repeat(np.arange(n_bins, dtype=np.int32), k)
+    # Compact bank: valid-first in global-id order (row == global id)
+    rows = np.flatnonzero(holey)
+    K = len(rows)
+    gid = np.arange(K, dtype=np.int64)
     return dict(
         fp=rng.normal(size=(N, d)).astype(np.float32),
         fc=rng.normal(size=(N, d)).astype(np.float32),
@@ -26,11 +30,11 @@ def problem():
         basis_p=(rng.random(N) < 0.1),
         basis_c=(rng.random(N) < 0.05),
         target_c=(rng.random(N) < 0.05),
-        centers=rng.normal(size=(K, d)).astype(np.float32),
-        center_bin=np.repeat(np.arange(n_bins, dtype=np.int32), k),
-        valid=valid,
+        centers=centers_all[rows],
+        center_bin=center_bin_all[rows],
+        valid=np.ones(K, bool),
         global_id=gid,
-        n_states=int(valid.sum()) + 2,
+        n_states=K + 2,
     )
 
 
@@ -65,15 +69,13 @@ def test_assign_only_kernel_matches_jnp(problem):
     from msm_we_tpu.ops.kmeans import masked_assign
     import jax.numpy as jnp
 
-    ref = p["global_id"][
-        _np.asarray(
-            masked_assign(
-                jnp.asarray(p["fp"]), jnp.asarray(p["pbins"]),
-                jnp.asarray(p["centers"]), jnp.asarray(p["center_bin"]),
-                jnp.asarray(p["valid"]),
-            )
+    ref = _np.asarray(
+        masked_assign(
+            jnp.asarray(p["fp"]), jnp.asarray(p["pbins"]),
+            jnp.asarray(p["centers"]), jnp.asarray(p["center_bin"]),
+            jnp.asarray(p["valid"]),
         )
-    ]
+    )  # compact bank: row == global id
     assert _np.array_equal(_np.asarray(pidx)[:N], ref)
 
 
@@ -82,7 +84,7 @@ def test_fused_kernel_matches_jnp(problem):
     fm_ref, pidx_ref, cidx_ref = fused_step_single(
         p["fp"], p["fc"], p["pbins"], p["cbins"],
         p["basis_p"], p["basis_c"], p["target_c"], p["w"],
-        p["centers"], p["center_bin"], p["valid"], p["global_id"],
+        p["centers"], p["center_bin"], p["valid"],
         p["n_states"],
     )
     pidx, cidx, fm = fused_assign_flux(

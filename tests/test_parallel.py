@@ -31,16 +31,19 @@ def problem():
     target_c = rng.random(N) < 0.05
     centers = rng.normal(size=(K, d)).astype(np.float32)
     center_bin = np.repeat(np.arange(n_bins, dtype=np.int32), k)
-    valid = rng.random(K) < 0.9
-    # Global ids: consecutive over valid centers
-    gid = np.full(K, -1, np.int64)
-    gid[valid] = np.arange(valid.sum())
-    n_states = int(valid.sum()) + 2
+    holey = rng.random(K) < 0.9  # simulate cleaned-away centers
+    # Compact bank (the kernel contract): valid centers first, in
+    # global-id order, so the argmin row IS the global cluster id
+    rows = np.flatnonzero(holey)
+    centers = centers[rows]
+    center_bin = center_bin[rows]
+    valid = np.ones(len(rows), bool)
+    n_states = len(rows) + 2
     return dict(
         fp=X_p, fc=X_c, pbins=pbins, cbins=cbins,
         basis_p=basis_p, basis_c=basis_c, target_c=target_c, w=w,
         centers=centers, center_bin=center_bin, valid=valid,
-        global_id=gid, n_states=n_states,
+        n_states=n_states,
     )
 
 
@@ -50,7 +53,7 @@ def _host_reference(p):
         d2 = ((X[:, None, :] - p["centers"][None]) ** 2).sum(-1)
         ok = p["valid"][None, :] & (p["center_bin"][None, :] == bins[:, None])
         d2[~ok] = np.inf
-        return p["global_id"][d2.argmin(1)]
+        return d2.argmin(1)  # compact bank: row == global id
 
     pidx = assign(p["fp"], p["pbins"])
     cidx = assign(p["fc"], p["cbins"])
@@ -68,7 +71,7 @@ def test_single_device_fused_matches_host(problem):
     fm, _, _ = fused_step_single(
         p["fp"], p["fc"], p["pbins"], p["cbins"],
         p["basis_p"], p["basis_c"], p["target_c"], p["w"],
-        p["centers"], p["center_bin"], p["valid"], p["global_id"],
+        p["centers"], p["center_bin"], p["valid"],
         p["n_states"],
     )
     assert np.allclose(np.asarray(fm), _host_reference(p), atol=1e-5)
@@ -86,14 +89,13 @@ def test_sharded_matches_single(problem, model_parallel):
     mp = model_parallel
     pad = (-K) % mp
     centers = np.concatenate([p["centers"], np.zeros((pad, p["centers"].shape[1]), np.float32)])
-    center_bin = np.concatenate([p["center_bin"], np.zeros(pad, np.int32)])
+    center_bin = np.concatenate([p["center_bin"], np.full(pad, -2, np.int32)])
     valid = np.concatenate([p["valid"], np.zeros(pad, bool)])
-    gid = np.concatenate([p["global_id"], np.full(pad, -1)])
 
     fm = step(
         p["fp"], p["fc"], p["pbins"], p["cbins"],
         p["basis_p"], p["basis_c"], p["target_c"], p["w"],
-        centers, center_bin, valid, gid,
+        centers, center_bin, valid,
     )
     assert np.allclose(np.asarray(fm), _host_reference(p), atol=1e-5)
 
