@@ -14,7 +14,9 @@ subprocesses, the engine
   arrays,
 * discretizes every segment pair in one masked-distance matmul
   (ops.stratified), and
-* accumulates the flux matrix with one jitted segment-sum (ops.fluxmatrix).
+* accumulates the flux matrix with one jitted segment-sum
+  (parallel.sharded._discretize_and_flux on device; f64 host bincount for
+  the parity path).
 
 The analysis tail (transition matrix, steady state, committors) runs in
 float64 on the host for numerical parity (ops.linalg).
@@ -1038,9 +1040,9 @@ class modelWE:
 
         WE weights span many orders of magnitude, so the final (n+2)^2
         accumulation runs in float64 on the host (a trivial bincount); the
-        expensive part -- discretization -- already ran on device. The fused
-        f32 device path (ops.fluxmatrix.flux_accumulate + psum) is used by the
-        sharded benchmark pipeline.
+        expensive part -- discretization -- already ran on device. With a
+        mesh enabled, the fused device path (parallel.sharded: f32 assign +
+        f64 scatter + psum) replaces this host accumulation entirely.
 
         ``n_lag > 0`` builds (n_lag+1)-tau transitions: the start state is the
         *ancestor's* frame-0 assignment ``n_lag`` iterations back (already

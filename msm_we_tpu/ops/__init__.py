@@ -1,3 +1,3 @@
 """Device compute kernels: k-means, stratified clustering, flux accumulation,
 analysis linear algebra, dimensionality reduction."""
-from . import fluxmatrix, kmeans, linalg, pca, stratified  # noqa: F401
+from . import kmeans, linalg, pca, stratified  # noqa: F401
