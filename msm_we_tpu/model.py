@@ -1544,18 +1544,20 @@ class modelWE:
         else:
             return J
 
-    def get_committor(self, conv=1e-5):
+    def get_committor(self, conv=1e-5, max_iters=100_000):
         log.info(
             "Note: for steady-state WE data this is a 'pseudocommittor', not a "
             "true committor, as it comes from a one-way ensemble."
         )
         self.q = linalg.committor(
-            self.fluxMatrix, self.indTargets, self.indBasis, self.nBins, conv=conv
+            self.fluxMatrix, self.indTargets, self.indBasis, self.nBins,
+            conv=conv, max_iters=max_iters,
         )
 
-    def get_backwards_committor(self, conv):
+    def get_backwards_committor(self, conv, max_iters=100_000):
         self.qm = linalg.backwards_committor(
-            self.fluxMatrix, self.indTargets, self.indBasis, self.nBins, conv
+            self.fluxMatrix, self.indTargets, self.indBasis, self.nBins, conv,
+            max_iters=max_iters,
         )
         self.q = self.qm.copy()
 

@@ -206,3 +206,68 @@ def test_committor_cap_does_not_change_converging_result():
     q_capped = linalg.committor(F, [5], [0], 6, conv=1e-10, max_iters=100_000)
     q_loose = linalg.committor(F, [5], [0], 6, conv=1e-10, max_iters=10**9)
     np.testing.assert_allclose(q_capped, q_loose)
+
+
+def test_masked_assign_onehot_equals_wheremask_and_numpy():
+    """The GEMM-folded bin penalty (one-hot block), the elementwise
+    where-mask fallback, and a numpy brute force must agree, including with
+    invalid centers present."""
+    import jax.numpy as jnp
+
+    from msm_we_tpu.ops.kmeans import masked_assign
+
+    rng = np.random.default_rng(9)
+    N, d, n_bins, k = 400, 7, 6, 4
+    K = n_bins * k
+    X = rng.normal(size=(N, d)).astype(np.float32)
+    seg_bin = rng.integers(0, n_bins, N).astype(np.int32)
+    C = rng.normal(size=(K, d)).astype(np.float32)
+    center_bin = np.repeat(np.arange(n_bins, dtype=np.int32), k)
+    valid = rng.random(K) < 0.8
+    # every bin keeps at least one valid center
+    for b in range(n_bins):
+        valid[b * k] = True
+
+    onehot = np.asarray(
+        masked_assign(jnp.asarray(X), jnp.asarray(seg_bin), jnp.asarray(C),
+                      jnp.asarray(center_bin), jnp.asarray(valid), n_bins=n_bins)
+    )
+    wheremask = np.asarray(
+        masked_assign(jnp.asarray(X), jnp.asarray(seg_bin), jnp.asarray(C),
+                      jnp.asarray(center_bin), jnp.asarray(valid), n_bins=None)
+    )
+    d2 = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+    bad = ~(valid[None, :] & (center_bin[None, :] == seg_bin[:, None]))
+    d2[bad] = np.inf
+    ref = d2.argmin(1)
+
+    np.testing.assert_array_equal(onehot, ref)
+    np.testing.assert_array_equal(wheremask, ref)
+
+
+def test_compact_bank_after_removals():
+    """compact_bank keeps valid centers in global-id order through cleaning,
+    so a compact-bank argmin row equals StratifiedKmeans.predict's global id."""
+    rng = np.random.default_rng(10)
+    sk = StratifiedKmeans(n_bins=3, k_per_bin=4, n_features=5, seed=0)
+    X = rng.normal(size=(120, 5)).astype(np.float32)
+    bins = rng.integers(0, 3, 120)
+    sk.partial_fit(X, bins)
+    # Remove a few global clusters (as organize_stratified would)
+    sk.remove_global_clusters([1, 5, 9])
+
+    centers, center_bin, valid = sk.compact_bank()
+    assert valid.all() and len(centers) == sk.n_total_clusters
+    # Row i of the compact bank is the center with global id i
+    for gid_row in range(sk.n_total_clusters):
+        orig_row = np.flatnonzero(sk.global_id == gid_row)[0]
+        np.testing.assert_array_equal(centers[gid_row], sk.centers[orig_row])
+        assert center_bin[gid_row] == sk.center_bin[orig_row]
+
+    # And a direct compact-bank assignment reproduces predict()
+    q = rng.normal(size=(50, 5)).astype(np.float32)
+    qb = rng.integers(0, 3, 50)
+    want = sk.predict(q, qb)
+    d2 = ((q[:, None, :] - centers[None]) ** 2).sum(-1)
+    d2[~(center_bin[None, :] == qb[:, None])] = np.inf
+    np.testing.assert_array_equal(d2.argmin(1), want)
