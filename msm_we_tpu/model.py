@@ -1067,13 +1067,11 @@ class modelWE:
         feats = self._featurize_all()
         n_states = self.n_clusters + 2
 
-        if (
-            n_lag == 0
-            and self._mesh is not None
-            and self._strat is not None
-        ):
+        if n_lag == 0 and self._mesh is not None and self.clusters is not None:
             # Production device path: one fused shard_map program
-            # (discretize -> f64 scatter -> psum) over the mesh
+            # (discretize -> f64 scatter -> psum) over the mesh. Works for
+            # stratified (per-bin bank) and aggregated (single-bin bank)
+            # clustering alike.
             self.fluxMatrixRaw = self._device_flux_lag0(iters_to_use) / len(
                 iters_to_use
             )
@@ -1151,9 +1149,6 @@ class modelWE:
         p0 = feats["pcoord0"][sel]
         p1 = feats["pcoord1"][sel]
 
-        remap = strat.we_remap
-        pbins = remap[self._bin_mapper.assign(np.nan_to_num(p0))].astype(np.int32)
-        cbins = remap[self._bin_mapper.assign(np.nan_to_num(p1))].astype(np.int32)
         basis_p = np.asarray(self.is_WE_basis(p0))
         target_p = np.asarray(self.is_WE_target(p0))
         basis_c = np.asarray(self.is_WE_basis(p1))
@@ -1163,7 +1158,31 @@ class modelWE:
         data_size = mesh.shape["data"]
         model_size = mesh.shape["model"]
         N = len(w)
-        K = strat.n_total_clusters
+
+        if strat is not None:
+            remap = strat.we_remap
+            pbins = remap[self._bin_mapper.assign(np.nan_to_num(p0))].astype(np.int32)
+            cbins = remap[self._bin_mapper.assign(np.nan_to_num(p1))].astype(np.int32)
+            K = strat.n_total_clusters
+            n_bins = strat.n_bins
+            bank = lambda K_pad: strat.compact_bank(pad_to=K_pad)
+        else:
+            # Aggregated clustering: one implicit bin holding every center
+            centers_all = np.asarray(self.clusters.cluster_centers_, np.float32)
+            pbins = np.zeros(N, np.int32)
+            cbins = np.zeros(N, np.int32)
+            K = len(centers_all)
+            n_bins = 1
+
+            def bank(K_pad):
+                c = np.zeros((K_pad, centers_all.shape[1]), np.float32)
+                cb = np.full(K_pad, -2, np.int32)
+                v = np.zeros(K_pad, bool)
+                c[:K] = centers_all
+                cb[:K] = 0
+                v[:K] = True
+                return c, cb, v
+
         N_pad = -(-N // data_size) * data_size
         K_pad = -(-K // model_size) * model_size
 
@@ -1177,7 +1196,7 @@ class modelWE:
         # Padded rows carry weight 0 (their scatter adds nothing) and bin -1
         # (matches no center); the compact bank (argmin row == global id,
         # no device gather) pads with invalid rows
-        centersC, center_binC, validC = strat.compact_bank(pad_to=K_pad)
+        centersC, center_binC, validC = bank(K_pad)
         args = (
             pad_rows(fp.astype(np.float32), 0.0),
             pad_rows(fc.astype(np.float32), 0.0),
@@ -1195,11 +1214,11 @@ class modelWE:
 
         if not hasattr(self, "_flux_step_cache") or self._flux_step_cache is None:
             self._flux_step_cache = {}
-        key = n_states
+        key = (n_states, n_bins)
         step = self._flux_step_cache.get(key)
         if step is None:
             step = build_sharded_step(
-                mesh, n_states, with_target_p=True, n_bins=strat.n_bins
+                mesh, n_states, with_target_p=True, n_bins=n_bins
             )
             self._flux_step_cache[key] = step
         with jax.enable_x64(True):

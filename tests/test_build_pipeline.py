@@ -136,3 +136,35 @@ def test_live_stage_display_unit():
     # disabled path is a clean no-op
     with live_stage_display(timer, enabled=False) as live:
         assert live is None
+
+
+def test_device_flux_aggregated_matches_host(west_h5):
+    """The fused device flux path also serves aggregated clustering (one
+    implicit bin over the whole center bank)."""
+    def build(mesh):
+        model = modelWE()
+        model.initialize(
+            [west_h5],
+            {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            "agg",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dim_reduce_method="pca",
+            tau=1.0,
+        )
+        model.get_iterations()
+        model.dimReduce()
+        if mesh:
+            model.enable_mesh()
+        model.cluster_coordinates(n_clusters=8, stratified=False)
+        model.get_fluxMatrix(0)
+        model.organize_fluxMatrix()
+        model.get_Tmatrix()
+        model.get_steady_state()
+        model.get_steady_state_target_flux()
+        return model
+
+    host = build(False)
+    meshed = build(True)
+    np.testing.assert_allclose(meshed.fluxMatrixRaw, host.fluxMatrixRaw, rtol=1e-12)
+    assert meshed.JtargetSS == pytest.approx(host.JtargetSS, rel=1e-6)
