@@ -43,6 +43,13 @@ def main(argv=None):
                        metavar=("LO", "HI", "NBINS"),
                        help="Rectilinear WE bin grid for stratified clustering")
     build.add_argument("--output", default=None, help="Write results as JSON here")
+    build.add_argument("--lag", type=int, default=0,
+                       help="Transition lag in iterations (lagtime = tau*(lag+1))")
+    build.add_argument("--device-pipeline", action="store_true",
+                       help="Run discretization+flux as one fused mesh-sharded "
+                            "device program over all visible chips")
+    build.add_argument("--save-model", default=None,
+                       help="Pickle the built model here")
 
     info = sub.add_parser("info", help="Print package/device info")
 
@@ -84,6 +91,8 @@ def main(argv=None):
             tau=args.tau,
             _suppress_boundary_warning=True,
         )
+        if args.device_pipeline:
+            model.enable_mesh()
         model.get_iterations()
         model.get_coordSet(model.maxIter)
         model.dimReduce()
@@ -119,7 +128,7 @@ def main(argv=None):
         model.cluster_coordinates(
             n_clusters=args.n_clusters, stratified=args.stratified, **cluster_kwargs
         )
-        model.get_fluxMatrix(0)
+        model.get_fluxMatrix(args.lag)
         model.organize_fluxMatrix()
         model.get_Tmatrix()
         model.get_steady_state()
@@ -127,6 +136,8 @@ def main(argv=None):
 
         results = {
             "n_clusters": int(model.n_clusters),
+            "n_lag": int(args.lag),
+            "lagtime": float(model.lagtime),
             "JtargetSS": float(model.JtargetSS),
             "pSS": [float(x) for x in model.pSS],
         }
@@ -134,6 +145,8 @@ def main(argv=None):
         if args.output:
             with open(args.output, "w") as f:
                 json.dump(results, f)
+        if args.save_model:
+            model.save(args.save_model)
         return 0
 
     parser.print_help()

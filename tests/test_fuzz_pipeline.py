@@ -50,3 +50,44 @@ def test_pipeline_seed_sweep(tmp_path, seed, n_iters, n_segs, k):
         np.arange(model.nBins), np.append(model.indBasis, model.indTargets)
     )
     assert (q[interior] >= -1e-9).all() and (q[interior] <= 1 + 1e-9).all()
+
+
+@pytest.mark.parametrize(
+    "seed,n_lag,device", [(404, 1, False), (505, 2, True), (606, 0, True)]
+)
+def test_pipeline_lag_and_device_sweep(tmp_path, seed, n_lag, device):
+    """The lag>0 and device-pipeline variants must satisfy the same physical
+    invariants across random datasets."""
+    path = str(tmp_path / f"west_{seed}.h5")
+    generate_west_h5(path, n_iterations=40, n_segments=24, seed=seed)
+    model = modelWE()
+    model.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        f"fuzz{seed}",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="pca",
+        tau=1.0,
+    )
+    if device:
+        model.enable_mesh()
+    model.get_iterations()
+    model.get_coordSet(model.maxIter)
+    model.dimReduce()
+    model.cluster_coordinates(
+        n_clusters=2,
+        stratified=True,
+        user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
+    )
+    model.get_fluxMatrix(n_lag)
+    model.organize_fluxMatrix()
+    model.get_Tmatrix()
+    model.get_steady_state()
+    model.get_steady_state_target_flux()
+
+    assert np.isclose(model.pSS.sum(), 1.0)
+    assert (model.pSS >= 0).all()
+    assert model.JtargetSS >= 0
+    assert np.allclose(model.Tmatrix.sum(axis=1), 1.0)
+    assert model.lagtime == pytest.approx(1.0 * (n_lag + 1))
