@@ -575,6 +575,13 @@ class modelWE:
         self.last_iter = last_iter
 
     # ------------------------------------------------- dimensionality reduce
+    DEVICE_MOMENTS_MIN_DIM = 256
+    """Feature dimensionality above which dimReduce accumulates per-batch
+    moments on device (f32 matmuls, f64 Chan combine across batches) instead
+    of host f64 numpy: the d x d second-moment matmul is the dominant cost of
+    a large PCA fit and belongs on the MXU. Below it, host f64 is both exact
+    and faster than a device round trip."""
+
     def dimReduce(
         self,
         first_iter=1,
@@ -585,6 +592,7 @@ class modelWE:
         variance_cutoff=0.95,
         use_weights=True,
         progress_bar=None,
+        device_moments=None,
     ):
         """Fit the dimensionality-reduction transform (reference
         ``_dimensionality.py:110-345``).
@@ -593,6 +601,12 @@ class modelWE:
         the covariance the reference approximates with two iPCA passes is
         computed exactly). ``tica``/``vamp`` fit from (parent, child) pairs
         with WE weights (weights unsupported for vamp, as in the reference).
+
+        ``device_moments``: None (auto -- device when the feature dim is at
+        least ``DEVICE_MOMENTS_MIN_DIM``), or True/False to force. Device
+        moments run the per-batch second-moment matmuls in f32 on the
+        accelerator, combined across batches in f64 (Chan); the covariance
+        differs from the exact host path by ~batch-count * f32 eps.
         """
         if last_iter is None:
             last_iter = self.maxIter
@@ -603,9 +617,16 @@ class modelWE:
             self.coordinates = IdentityCoordinates()
             return
 
+        def moment_dtype(n_features):
+            if device_moments is None:
+                use_dev = n_features >= self.DEVICE_MOMENTS_MIN_DIM
+            else:
+                use_dev = bool(device_moments)
+            return np.float32 if use_dev else np.float64
+
         if method == "pca":
             # Stream one iteration at a time -- raw coordinates never
-            # accumulate in host RAM (the accumulator's default f64 path is
+            # accumulate in host RAM (the accumulator's host f64 path is
             # plain numpy, so ragged per-iteration shapes cost nothing)
             acc = None
             for i in range(first_iter, last_iter, fine_stride):
@@ -614,7 +635,9 @@ class modelWE:
                     continue
                 feats = np.asarray(self.processCoordinates(c))
                 if acc is None:
-                    acc = MomentAccumulator(feats.shape[1])
+                    acc = MomentAccumulator(
+                        feats.shape[1], dtype=moment_dtype(feats.shape[1])
+                    )
                 acc.add(feats)
             self.coordinates = acc.finalize(variance_cutoff=variance_cutoff)
             self.ndim = self.coordinates.n_components
@@ -639,12 +662,25 @@ class modelWE:
 
                 if method == "batch-pca":
                     if flat_acc is None:
-                        flat_acc = MomentAccumulator(f0.shape[1])
+                        flat_acc = MomentAccumulator(
+                            f0.shape[1], dtype=moment_dtype(f0.shape[1])
+                        )
                     flat_acc.add(f0)
                     flat_acc.add(f1)
                 else:
                     if pair_acc is None:
-                        pair_acc = PairMomentAccumulator(f0.shape[1])
+                        # Device (f32) pair moments are *uncentered* raw
+                        # sums, so unlike the centered PCA accumulator they
+                        # can cancel catastrophically for far-from-origin
+                        # data -- auto never picks them; explicit opt-in only
+                        pair_acc = PairMomentAccumulator(
+                            f0.shape[1],
+                            dtype=(
+                                np.float32
+                                if device_moments is True
+                                else np.float64
+                            ),
+                        )
                     pair_acc.add(f0, f1, w if use_w else None)
 
             if method == "batch-pca":

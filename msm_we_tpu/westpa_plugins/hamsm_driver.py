@@ -67,6 +67,8 @@ def build_hamsm_from_config(plugin_config, h5file_paths, first_iter_to_use=1):
         fluxmatrix_iters=[first_iter_to_use, -1],
         allow_validation_failure=True,
         cross_validation_groups=plugin_config.get("cross_validation_groups", 2),
+        device_pipeline=plugin_config.get("device_pipeline", False),
+        show_live_display=plugin_config.get("show_live_display", True),
     )
     return model
 
@@ -87,6 +89,8 @@ class HAMSMDriver:
               dimreduce_method: pca | tica | vamp | none
               featurization: module.path.to.featurizer
               first_analysis_iter: 1
+              device_pipeline: false   # fused mesh-sharded discretize+flux
+              show_live_display: true
     """
 
     def __init__(self, sim_manager, plugin_config):

@@ -251,3 +251,26 @@ def test_from_transition_matrix_generators():
         np.kron(T, np.eye(2) * 0 + 0.5), [0], [3], sim_length=200
     )
     assert nm.n_states >= 1
+
+
+def test_device_moments_pca_matches_host(two_files):
+    """dimReduce(device_moments=True) (f32 per-batch moments, f64 Chan
+    combine) must reproduce the exact host-f64 PCA to f32-batch tolerance."""
+    host = _build(two_files[:1], "pca")
+    host.dimReduce(device_moments=False)
+    dev = _build(two_files[:1], "pca")
+    dev.dimReduce(device_moments=True)
+
+    assert dev.ndim == host.ndim
+    np.testing.assert_allclose(
+        dev.coordinates.covariance_, host.coordinates.covariance_,
+        rtol=1e-4, atol=1e-6,
+    )
+    coords = host._dataset.iter_child_coords(3)
+    a = host.reduceCoordinates(coords)
+    b = dev.reduceCoordinates(coords)
+    # components may differ by sign
+    for j in range(host.ndim):
+        assert np.allclose(a[:, j], b[:, j], atol=1e-3) or np.allclose(
+            a[:, j], -b[:, j], atol=1e-3
+        )
