@@ -1443,14 +1443,32 @@ class modelWE:
         child_idx = self._child_idx
         p1 = feats["pcoord1"]
 
-        for cluster in range(n):
-            rows = child_idx == cluster
-            if rows.sum() == 0:
-                log.warning(f"No trajectories in cluster {cluster}!")
-                continue
-            centers[cluster] = np.nanmean(p1[rows], axis=0)
-            crange[cluster, :, 0] = np.nanmin(p1[rows], axis=0)
-            crange[cluster, :, 1] = np.nanmax(p1[rows], axis=0)
+        # Grouped mean/min/max in one pass per statistic (bincount +
+        # ufunc.at) instead of an O(n_clusters * N) masked python loop --
+        # this runs inside every cleaning pass
+        in_range = (child_idx >= 0) & (child_idx < n)
+        idx = child_idx[in_range]
+        vals = p1[in_range]
+        good = ~np.isnan(vals)
+        counts = np.zeros((n, self.pcoord_ndim))
+        sums = np.zeros((n, self.pcoord_ndim))
+        mins = np.full((n, self.pcoord_ndim), np.inf)
+        maxs = np.full((n, self.pcoord_ndim), -np.inf)
+        for dim in range(self.pcoord_ndim):
+            g = good[:, dim]
+            gi = idx[g]
+            gv = vals[g, dim]
+            counts[:, dim] = np.bincount(gi, minlength=n)
+            sums[:, dim] = np.bincount(gi, weights=gv, minlength=n)
+            np.minimum.at(mins[:, dim], gi, gv)
+            np.maximum.at(maxs[:, dim], gi, gv)
+        populated = counts > 0
+        centers[:n][populated] = sums[populated] / counts[populated]
+        crange[:n, :, 0][populated] = mins[populated]
+        crange[:n, :, 1][populated] = maxs[populated]
+        empty = np.flatnonzero(~populated.any(axis=1))
+        for cluster in empty:
+            log.warning(f"No trajectories in cluster {cluster}!")
 
         order = np.argsort(centers[:, 0], kind="stable")
         self.targetRMSD_centers = centers[order]
