@@ -166,9 +166,12 @@ def device_pipeline(p, inner_reps=1):
         # Centering folded into a bias: (x - mu) @ C == x @ C - mu @ C.
         # The transform is HBM-bound, so the elementwise (x - mu) pre-pass
         # would cost as much as the matmul itself.
+        # Precision HIGHEST throughout: default bf16 MXU matmuls flip
+        # near-tie cluster assignments (measured 41% of rows vs f64)
+        hi = jax.lax.Precision.HIGHEST
         offset = mean @ comp
-        fp = raw_parent @ comp - offset[None, :]
-        fc = raw_child @ comp - offset[None, :]
+        fp = jnp.matmul(raw_parent, comp, precision=hi) - offset[None, :]
+        fc = jnp.matmul(raw_child, comp, precision=hi) - offset[None, :]
         fm, _pi, _ci = _discretize_and_flux(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
             centers, center_bin, valid, n_states, n_bins=n_bins,

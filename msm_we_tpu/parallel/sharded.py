@@ -40,6 +40,7 @@ __all__ = ["build_sharded_step", "fused_step_single"]
 
 _BIG = jnp.float32(3.4e38)
 _PEN = jnp.float32(1e30)
+_HI = jax.lax.Precision.HIGHEST
 
 # Above this many WE bins the one-hot penalty block would dominate the GEMM
 # contraction dimension; fall back to the elementwise mask
@@ -75,9 +76,11 @@ def _local_masked_min(X, seg_bin, C, center_bin, valid, n_bins=None):
             center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
         )
         Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
-        scores = Xa @ Ca + c2v[None, :]
+        # Precision.HIGHEST: default bf16 MXU scores flip near-tie
+        # assignments (see ops/kmeans.py)
+        scores = jnp.matmul(Xa, Ca, precision=_HI) + c2v[None, :]
     else:
-        scores = c2[None, :] - 2.0 * (X @ C.T)
+        scores = c2[None, :] - 2.0 * jnp.matmul(X, C.T, precision=_HI)
         ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
         scores = jnp.where(ok, scores, _BIG)
     k = jnp.argmin(scores, axis=1)
@@ -258,11 +261,11 @@ def steady_state_from_flux(fm, basis_mask, target_mask, n_iters=512):
     squarings = max(int(np.ceil(np.log2(max(n_iters, 2)))), 1)
     Tn = T
     for _ in range(squarings):
-        Tn = Tn @ Tn
+        Tn = jnp.matmul(Tn, Tn, precision=_HI)
         # Renormalize rows: f32 powering drifts row sums off 1 geometrically
         Tn = Tn / jnp.maximum(Tn.sum(axis=1, keepdims=True), 1e-30)
 
-    p = (jnp.ones(fm.shape[0]) / fm.shape[0]) @ Tn
+    p = jnp.matmul(jnp.ones(fm.shape[0]) / fm.shape[0], Tn, precision=_HI)
     p = p / jnp.maximum(p.sum(), 1e-30)
     flux = jnp.sum(jnp.where(target_mask[None, :], T, 0.0) * p[:, None])
     return T, p, flux
