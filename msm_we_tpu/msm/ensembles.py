@@ -376,8 +376,20 @@ class DiscretePathEnsemble(PathEnsemble, DiscreteEnsemble):
         """
         if ini_pops is None:
             ini_pops = [1 / float(len(stateA))] * len(stateA)
-        elif ini_pops == "ss":
-            raise NotImplementedError("Sorry: not yet implemented")
+        elif isinstance(ini_pops, str) and ini_pops == "ss":
+            # Start-state distribution = the stationary distribution
+            # restricted to A (the reference declares but never implements
+            # this option, ``ensembles.py:434-435``)
+            from ..utils import pops_from_tmatrix
+
+            pops = pops_from_tmatrix(np.asarray(transition_matrix))
+            sub = np.asarray([pops[s] for s in stateA], dtype=float)
+            total = sub.sum()
+            ini_pops = (
+                list(sub / total)
+                if total > 0
+                else [1 / float(len(stateA))] * len(stateA)
+            )
 
         transition_matrix = np.asarray(transition_matrix)
         n_states = len(transition_matrix)

@@ -94,3 +94,28 @@ def test_discrete_path_ensemble(setup):
     assert np.isclose(result["mfptAB"], 197.28125)
     assert np.isclose(result["std_err_mfptAB"], 18.417726005823464)
     assert result["mfptBA"] == "NaN"
+
+
+def test_from_transition_matrix_ss_ini_pops():
+    """ini_pops='ss' (declared but unimplemented in the reference) draws
+    initial states from the stationary distribution restricted to A."""
+    import numpy as np
+
+    from msm_we_tpu.msm.ensembles import DiscretePathEnsemble
+
+    np.random.seed(0)
+    T = np.array(
+        [
+            [0.6, 0.3, 0.1, 0.0],
+            [0.2, 0.5, 0.3, 0.0],
+            [0.0, 0.3, 0.5, 0.2],
+            [0.5, 0.0, 0.0, 0.5],
+        ]
+    )
+    dpe = DiscretePathEnsemble.from_transition_matrix(
+        T, stateA=[0, 1], stateB=[3], n_paths=40, ini_pops="ss"
+    )
+    assert len(dpe.trajectories) == 40
+    for path in dpe.trajectories:
+        assert path[0] in (0, 1)
+        assert path[-1] == 3
