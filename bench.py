@@ -121,16 +121,21 @@ def make_problem(n_segments=102_400, n_raw_features=900, n_components=30,
     )
 
 
-def step_flops_bytes(p, ss_iters=300):
+def step_flops_bytes(p, ss_iters=512):
     """Matmul FLOPs and minimum HBM traffic of one fused step."""
+    import math
+
     N, Draw = p["raw_parent"].shape
     Dc = p["comp"].shape[1]
     K = len(p["centers"])
     S = p["n_states"]
+    # Steady state runs by repeated matrix squaring: ceil(log2(ss_iters))
+    # (S, S) @ (S, S) matmuls (steady_state_from_flux)
+    squarings = max(math.ceil(math.log2(max(ss_iters, 2))), 1)
     flops = (
         2 * (2.0 * N * Draw * Dc)      # parent+child PCA transforms
         + 2 * (2.0 * N * Dc * K)       # parent+child distance matmuls
-        + ss_iters * 2.0 * S * S       # steady-state power iteration
+        + squarings * 2.0 * S**3       # steady-state matrix squarings
     )
     bytes_moved = (
         2 * N * Draw * 4               # raw coords read (dominant)

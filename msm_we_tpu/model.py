@@ -220,7 +220,6 @@ class modelWE:
         self._strat = None
         self._bin_mapper = None
         self._mesh = None
-        self._flux_step_cache = None  # compiled sharded flux steps, by n_states
         self._fluxMatrixParams = None
         self._cluster_seed = 0
 
@@ -1094,7 +1093,11 @@ class modelWE:
                 last_iter = self.maxIter
             iters_to_use = range(max(first_iter + 1, n_lag + 1), last_iter)
         iters_to_use = [i for i in iters_to_use if i - n_lag >= 1]
-        assert iters_to_use, "No iterations have enough history for this lag"
+        if not iters_to_use:
+            raise ValueError(
+                f"No iterations have enough history for n_lag={n_lag} "
+                f"(first_iter={first_iter}, last_iter={last_iter})"
+            )
 
         self.n_lag = n_lag
         self.errorWeight = 0.0
@@ -1121,6 +1124,7 @@ class modelWE:
             p0 = feats["pcoord0"][sel]
             p1 = feats["pcoord1"][sel]
             basis_start = self.is_WE_basis(p0)
+            target_start = self.is_WE_target(p0)
         else:
             offsets = feats["offsets"]
             starts, ends, ws, p0s, p1s, warps = [], [], [], [], [], []
@@ -1130,7 +1134,13 @@ class modelWE:
                 rows_lag = offsets[it - n_lag - 1] + np.where(warped, 0, anc)
                 starts.append(self._parent_idx[rows_lag])
                 ends.append(self._child_idx[rows_now])
-                ws.append(feats["weights"][rows_now])
+                # A zeroed ancestor weight marks bad (NaN) augmentation
+                # coords at the lagged frame (westh5 convention); those
+                # transitions carry no flux at lag L either -- the start
+                # assignment would come from zero-filled garbage features
+                w_now = feats["weights"][rows_now].copy()
+                w_now[(feats["weights"][rows_lag] == 0.0) & ~warped] = 0.0
+                ws.append(w_now)
                 p0s.append(feats["pcoord0"][rows_lag])
                 p1s.append(feats["pcoord1"][rows_now])
                 warps.append(warped)
@@ -1143,11 +1153,20 @@ class modelWE:
             # Recycled lineages depart from the basis state regardless of
             # the (meaningless) ancestor pcoord gathered at the safe index
             basis_start = self.is_WE_basis(p0) | warped_all
+            target_start = self.is_WE_target(p0) & ~warped_all
 
         # Basis/target overrides, reference order (_fluxmatrix.py:134-137):
-        # end-in-target, then start-in-basis, then end-in-basis
+        # end-in-target, then start-in-basis, then end-in-basis. For
+        # stratified clustering the host predict path additionally routed
+        # target-region parents to the target state (the reference's
+        # predict-time short-circuit, stratified_clustering.py:159-169);
+        # apply it here with the *nominal* target index so the host path
+        # agrees with the fused device kernel even before cleaning syncs
+        # n_clusters to the actual live-center count
         end_idx = np.where(self.is_WE_target(p1), self.n_clusters + 1, end_idx)
         start_idx = np.where(basis_start, self.n_clusters, start_idx)
+        if self.clustering_method == "stratified":
+            start_idx = np.where(target_start, self.n_clusters + 1, start_idx)
         end_idx = np.where(self.is_WE_basis(p1), self.n_clusters, end_idx)
 
         flat = start_idx * n_states + end_idx
@@ -1170,9 +1189,8 @@ class modelWE:
         Results match the host bincount path to f64 summation-order (the
         parity test asserts JtargetSS equality through the full build).
         """
-        import jax
-
         from .parallel.sharded import build_sharded_step
+        from .utils import _scoped_x64
 
         feats = self._featurize_all()
         strat = self._strat
@@ -1186,7 +1204,13 @@ class modelWE:
         p1 = feats["pcoord1"][sel]
 
         basis_p = np.asarray(self.is_WE_basis(p0))
-        target_p = np.asarray(self.is_WE_target(p0))
+        # Target-region parents route to the target state only for
+        # stratified clustering (the reference's predict-time short-circuit;
+        # its aggregated path leaves such parents at their raw cluster)
+        if strat is not None:
+            target_p = np.asarray(self.is_WE_target(p0))
+        else:
+            target_p = np.zeros(len(p0), bool)
         basis_c = np.asarray(self.is_WE_basis(p1))
         target_c = np.asarray(self.is_WE_target(p1))
 
@@ -1248,16 +1272,11 @@ class modelWE:
             pad_rows(target_p, False),
         )
 
-        if not hasattr(self, "_flux_step_cache") or self._flux_step_cache is None:
-            self._flux_step_cache = {}
-        key = (n_states, n_bins)
-        step = self._flux_step_cache.get(key)
-        if step is None:
-            step = build_sharded_step(
-                mesh, n_states, with_target_p=True, n_bins=n_bins
-            )
-            self._flux_step_cache[key] = step
-        with jax.enable_x64(True):
+        # build_sharded_step is memoized on (mesh, n_states, ...), so a
+        # model-level cache would only risk staleness when enable_mesh()
+        # swaps meshes mid-life
+        step = build_sharded_step(mesh, n_states, with_target_p=True, n_bins=n_bins)
+        with _scoped_x64():
             fm = step(*args)
         fm = np.asarray(fm, dtype=np.float64)
         assert fm.shape == (n_states, n_states)
@@ -1508,6 +1527,13 @@ class modelWE:
             westidx_parts.append(d["west_idx"])
             if build_pcoord_cache:
                 pcoord_parts.append(d["pcoord1"])
+
+        if not dtraj_parts:  # fewer than 3 usable iterations: nothing to map
+            self.cluster_structures = {}
+            self.cluster_structure_weights = {}
+            self.structure_iteration_segments = {}
+            self.pcoord_cache = {} if build_pcoord_cache else None
+            return
 
         dtraj = np.concatenate(dtraj_parts)
         order = np.argsort(dtraj, kind="stable")
@@ -1898,7 +1924,7 @@ class modelWE:
         # enable_mesh() again after load
         state = self.__dict__.copy()
         state["_mesh"] = None
-        state["_flux_step_cache"] = None
+        state.pop("_flux_step_cache", None)  # legacy pickles
         return state
 
     def __deepcopy__(self, memo):

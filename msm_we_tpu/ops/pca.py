@@ -35,6 +35,24 @@ __all__ = [
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _pad_batch_pow2(X, w):
+    """Pad a batch to the next power-of-2 rows with zero-weight padding.
+
+    Streaming fits see ragged per-iteration batch sizes; padding keeps the
+    set of shapes reaching the jitted moment kernels logarithmic instead of
+    one (expensive, possibly remote) XLA compile per distinct segment count.
+    Zero-weight rows contribute nothing to weighted moments.
+    """
+    n = len(X)
+    target = 1 << max(n - 1, 1).bit_length()
+    if target == n:
+        return X, w
+    pad = target - n
+    X = np.concatenate([X, np.zeros((pad, X.shape[1]), X.dtype)])
+    w = np.concatenate([w, np.zeros(pad, w.dtype)])
+    return X, w
+
+
 @jax.jit
 def _batch_moments(X, w):
     """Per-batch weighted *centered* moments: (sum w, batch mean, M2).
@@ -101,13 +119,13 @@ class MomentAccumulator:
             Xc = X - mean_b[None, :]
             M2_b = (Xc * w[:, None]).T @ Xc
         else:
-            Xj = jnp.asarray(np.asarray(X, np.float32))
-            wj = (
-                jnp.asarray(np.asarray(weights, np.float32))
+            Xp, wp = _pad_batch_pow2(
+                np.asarray(X, np.float32),
+                np.asarray(weights, np.float32)
                 if weights is not None
-                else jnp.ones(Xj.shape[0], jnp.float32)
+                else np.ones(len(X), np.float32),
             )
-            ws, mean_b, M2_b = _batch_moments(Xj, wj)
+            ws, mean_b, M2_b = _batch_moments(jnp.asarray(Xp), jnp.asarray(wp))
             ws = float(ws)
             if ws == 0.0:
                 return
@@ -165,12 +183,33 @@ class PCAModel:
         # (x - mu) @ C == x @ C - mu @ C: folding the centering into a
         # precomputed offset removes a full elementwise pass over the raw
         # matrix (at NTL9 scale the transform is HBM-bound, so that pass
-        # costs as much as the matmul itself). Offset in f64 for accuracy.
+        # costs as much as the matmul itself). BUT for far-from-origin data
+        # (|mu| >> spread) the fold cancels catastrophically in f32 -- x@C
+        # and mu@C are both huge, their difference small -- so it is only
+        # used when the mean is modest relative to the data spread.
         self._offset = (self.mean_ @ self.components_.T.astype(np.float64)).astype(
             np.float32
         )
+        total_var = float(np.sum(self.explained_variance_)) or 1.0
+        self._fold_ok = float(self.mean_ @ self.mean_) <= 1e6 * total_var
+
+    def _centered_f32(self, coords):
+        # Far-from-origin data: center in f64 *before* the f32 cast, so the
+        # representable precision tracks the data spread, not |mu| (casting
+        # 1e6-offset coordinates to f32 directly loses ~|mu|*eps per value)
+        flat = np.asarray(coords, np.float64).reshape(len(coords), -1)
+        return (flat - self.mean_).astype(np.float32)
 
     def transform(self, coords):
+        if not self._fold_ok:
+            flat = self._centered_f32(coords)
+            if 2.0 * flat.size * self.n_components < _DEVICE_TRANSFORM_MIN_FLOPS:
+                return flat @ self._f32comp
+            return np.asarray(
+                jnp.matmul(
+                    jnp.asarray(flat), jnp.asarray(self._f32comp), precision=_HI
+                )
+            )
         flat = np.asarray(coords, np.float32).reshape(len(coords), -1)
         if 2.0 * flat.size * self.n_components < _DEVICE_TRANSFORM_MIN_FLOPS:
             return flat @ self._f32comp - self._offset
@@ -208,14 +247,16 @@ class PairMomentAccumulator:
             c0t = (X0 * w[:, None]).T @ Xt
             ctt = (Xt * w[:, None]).T @ Xt
         else:
-            X0j = jnp.asarray(np.asarray(X0, np.float32))
-            Xtj = jnp.asarray(np.asarray(Xt, np.float32))
-            wj = (
-                jnp.asarray(np.asarray(weights, np.float32))
+            w_np = (
+                np.asarray(weights, np.float32)
                 if weights is not None
-                else jnp.ones(X0j.shape[0], jnp.float32)
+                else np.ones(len(X0), np.float32)
             )
-            ws, s0, st, c00, c0t, ctt = _batch_pair_moments(X0j, Xtj, wj)
+            X0p, wp = _pad_batch_pow2(np.asarray(X0, np.float32), w_np)
+            Xtp, _ = _pad_batch_pow2(np.asarray(Xt, np.float32), w_np)
+            ws, s0, st, c00, c0t, ctt = _batch_pair_moments(
+                jnp.asarray(X0p), jnp.asarray(Xtp), jnp.asarray(wp)
+            )
         self.n += float(ws)
         self.s0 += np.asarray(s0, dtype=np.float64)
         self.st += np.asarray(st, dtype=np.float64)
@@ -286,16 +327,18 @@ class TICAModel:
         self.scales_ = np.asarray(scales)
         self.output_dimension = self.components_.shape[1]
         self._f32comp = (self.components_ * self.scales_[None, :]).astype(np.float32)
-        # Centering folded into a precomputed offset (see PCAModel)
-        self._offset = (
-            self.mean_ @ (self.components_ * self.scales_[None, :]).astype(np.float64)
-        ).astype(np.float32)
+        self._f32mean = self.mean_.astype(np.float32)
 
     def transform(self, coords):
+        # Centered subtraction (no offset fold): TICA carries no variance
+        # scale to bound the far-from-origin f32 cancellation the fold
+        # would introduce (see PCAModel._fold_ok)
         flat = np.asarray(coords, np.float32).reshape(len(coords), -1)
         if 2.0 * flat.size * self.output_dimension < _DEVICE_TRANSFORM_MIN_FLOPS:
-            return flat @ self._f32comp - self._offset
-        out = jnp.asarray(flat) @ jnp.asarray(self._f32comp) - jnp.asarray(
-            self._offset
+            return (flat - self._f32mean) @ self._f32comp
+        out = jnp.matmul(
+            jnp.asarray(flat) - jnp.asarray(self._f32mean),
+            jnp.asarray(self._f32comp),
+            precision=_HI,
         )
         return np.asarray(out)

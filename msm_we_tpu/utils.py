@@ -395,3 +395,18 @@ def pseudo_nm_tmatrix(markovian_tmatrix, stateA, stateB):
 
     check_tmatrix(p_nm)
     return p_nm
+
+
+def _scoped_x64():
+    """Context manager enabling float64 tracing, across JAX versions.
+
+    ``jax.enable_x64`` is the modern spelling (jax >= 0.9); older releases
+    expose ``jax.experimental.enable_x64``.
+    """
+    import jax
+
+    if hasattr(jax, "enable_x64"):
+        return jax.enable_x64(True)
+    from jax.experimental import enable_x64  # pragma: no cover - older jax
+
+    return enable_x64()  # pragma: no cover

@@ -271,3 +271,143 @@ def test_compact_bank_after_removals():
     d2 = ((q[:, None, :] - centers[None]) ** 2).sum(-1)
     d2[~(center_bin[None, :] == qb[:, None])] = np.inf
     np.testing.assert_array_equal(d2.argmin(1), want)
+
+
+def _built(tmp_path, stratified=True, seed=71):
+    from msm_we_tpu.binning import RectilinearBinMapper
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=30, n_segments=20, seed=seed)
+    model = modelWE()
+    model.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "rr",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="pca",
+        tau=1.0,
+    )
+    model.get_iterations()
+    model.dimReduce()
+    kwargs = (
+        {"user_bin_mapper": RectilinearBinMapper([np.linspace(0, 10, 11)])}
+        if stratified
+        else {}
+    )
+    model.cluster_coordinates(n_clusters=3, stratified=stratified, **kwargs)
+    return model
+
+
+@pytest.mark.parametrize("stratified", [True, False])
+def test_device_flux_matches_host_with_target_region_parents(tmp_path, stratified):
+    """Parents whose pcoord lies inside the *analysis* target (possible when
+    it differs from the sim-time recycling boundary) must route identically
+    on the host and fused device paths: to the target state for stratified
+    clustering (the reference's predict-time short-circuit), and to their
+    raw cluster for aggregated (the reference applies no such override)."""
+    sub = tmp_path / ("strat" if stratified else "agg")
+    sub.mkdir()
+    model = _built(sub, stratified=stratified)
+    feats = model._featurize_all()
+    # Force some parent pcoords into the target region
+    rows = np.arange(3, len(feats["pcoord0"]), 11)
+    feats["pcoord0"][rows] = 0.5
+
+    # Re-discretize so host pair_dtrajs see the mutated pcoords
+    if stratified:
+        model.launch_discretization()
+    else:
+        model._discretize_all_aggregated()
+
+    model._mesh = None
+    model.get_fluxMatrix(0)
+    host_fm = model.fluxMatrixRaw.copy()
+
+    model.enable_mesh()
+    model.get_fluxMatrix(0)
+    device_fm = model.fluxMatrixRaw.copy()
+
+    np.testing.assert_allclose(device_fm, host_fm, rtol=1e-12)
+    target_row = model.n_clusters + 1
+    if stratified:
+        assert host_fm[target_row].sum() > 0  # target-parents flowed from it
+
+
+def test_lagged_flux_zeroes_bad_ancestor_weights(tmp_path):
+    """Descendants of segments whose lagged frame had bad (weight-zeroed)
+    augmentation coords must contribute no flux at lag>0 -- the lag-0
+    NaN->weight-0 convention extended through ancestry."""
+    model = _built(tmp_path, stratified=True)
+    feats = model._featurize_all()
+
+    model.get_fluxMatrix(1)
+    before = model.fluxMatrixRaw.sum()
+
+    # Zero iteration 5's weights, simulating the NaN-coordinate convention
+    it5 = feats["iteration"] == 5
+    saved = feats["weights"].copy()
+    feats["weights"] = np.where(it5, 0.0, feats["weights"])
+    model.get_fluxMatrix(1)
+    after = model.fluxMatrixRaw.sum()
+    feats["weights"] = saved
+
+    # Iteration 5's own rows AND iteration 6's rows (whose lag-1 ancestors
+    # live in iteration 5) are gone from the total
+    d5 = model._dataset.iter_coord_pairs(5)[2].sum()
+    d6 = model._dataset.iter_coord_pairs(6)[2].sum()
+    n_iters = len(range(2, model.maxIter))
+    expected_drop = (d5 + d6) / n_iters
+    assert before - after == pytest.approx(expected_drop, rel=1e-9)
+
+
+def test_mesh_swap_rebuilds_flux_step(tmp_path):
+    """Re-enabling a different mesh must not reuse a step compiled for the
+    old mesh (shapes no longer divide the axes)."""
+    import jax
+
+    from msm_we_tpu.parallel import make_mesh
+
+    model = _built(tmp_path, stratified=True)
+    model.enable_mesh()  # all 8 virtual devices
+    model.get_fluxMatrix(0)
+    fm8 = model.fluxMatrixRaw.copy()
+
+    model.enable_mesh(make_mesh(jax.devices()[:1]))
+    model.get_fluxMatrix(0)
+    fm1 = model.fluxMatrixRaw.copy()
+    np.testing.assert_allclose(fm1, fm8, rtol=1e-12)
+
+
+def test_update_cluster_structures_short_run(tmp_path):
+    """Fewer than 3 usable iterations: empty maps, not a concatenate crash
+    (the restart driver calls this on every restart, including short runs)."""
+    model = _built(tmp_path, stratified=True)
+    model.maxIter = 2
+    model.update_cluster_structures(build_pcoord_cache=True)
+    assert model.cluster_structures == {}
+    assert model.pcoord_cache == {}
+
+
+def test_pca_transform_far_from_origin():
+    """The offset-folded transform must not lose precision for data with a
+    huge common offset (the fold cancels catastrophically in f32 there; the
+    model falls back to centered subtraction)."""
+    from msm_we_tpu.ops.pca import MomentAccumulator
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(500, 6)) + 1e6  # offset 1e6, spread 1
+    acc = MomentAccumulator(6)
+    acc.add(X)
+    pca = acc.finalize(variance_cutoff=1.0)
+    assert not pca._fold_ok
+
+    got = pca.transform(X[:50])
+    want = (X[:50] - pca.mean_) @ pca.components_.T  # f64 reference
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_fluxmatrix_empty_lag_raises_valueerror(tmp_path):
+    model = _built(tmp_path, stratified=True)
+    with pytest.raises(ValueError, match="enough history"):
+        model.get_fluxMatrix(0, iters_to_use=[])
