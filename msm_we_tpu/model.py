@@ -668,17 +668,11 @@ class modelWE:
                     flat_acc.add(f1)
                 else:
                     if pair_acc is None:
-                        # Device (f32) pair moments are *uncentered* raw
-                        # sums, so unlike the centered PCA accumulator they
-                        # can cancel catastrophically for far-from-origin
-                        # data -- auto never picks them; explicit opt-in only
+                        # Pair moments are per-batch centered with an f64
+                        # Chan-style combine (see PairMomentAccumulator), so
+                        # the f32 device path is as safe as the PCA one
                         pair_acc = PairMomentAccumulator(
-                            f0.shape[1],
-                            dtype=(
-                                np.float32
-                                if device_moments is True
-                                else np.float64
-                            ),
+                            f0.shape[1], dtype=moment_dtype(f0.shape[1])
                         )
                     pair_acc.add(f0, f1, w if use_w else None)
 

@@ -70,14 +70,23 @@ def _batch_moments(X, w):
 
 @jax.jit
 def _batch_pair_moments(X0, Xt, w):
-    """Weighted lagged moments for TICA/VAMP."""
+    """Weighted lagged moments for TICA/VAMP, *centered within the batch*.
+
+    Per-batch centering keeps the f32 values small so the f64 cross-batch
+    combine (the lagged-pair generalization of Chan's update) has none of
+    the catastrophic cancellation of raw sum-of-products -- this is what
+    makes the device path safe for far-from-origin data.
+    """
     ws = w.sum()
-    s0 = (X0 * w[:, None]).sum(axis=0)
-    st = (Xt * w[:, None]).sum(axis=0)
-    c00 = jnp.matmul((X0 * w[:, None]).T, X0, precision=_HI)
-    c0t = jnp.matmul((X0 * w[:, None]).T, Xt, precision=_HI)
-    ctt = jnp.matmul((Xt * w[:, None]).T, Xt, precision=_HI)
-    return ws, s0, st, c00, c0t, ctt
+    inv = 1.0 / jnp.maximum(ws, 1e-30)
+    mu0 = (X0 * w[:, None]).sum(axis=0) * inv
+    mut = (Xt * w[:, None]).sum(axis=0) * inv
+    X0c = X0 - mu0[None, :]
+    Xtc = Xt - mut[None, :]
+    m00 = jnp.matmul((X0c * w[:, None]).T, X0c, precision=_HI)
+    m0t = jnp.matmul((X0c * w[:, None]).T, Xtc, precision=_HI)
+    mtt = jnp.matmul((Xtc * w[:, None]).T, Xtc, precision=_HI)
+    return ws, mu0, mut, m00, m0t, mtt
 
 
 class IdentityCoordinates:
@@ -220,16 +229,23 @@ class PCAModel:
 
 
 class PairMomentAccumulator:
-    """Streaming lagged moments for TICA/VAMP from (start, end) pairs."""
+    """Streaming lagged moments for TICA/VAMP from (start, end) pairs.
+
+    Both dtype paths store *centered* moment sums (around the running
+    means) and combine batches with the lagged-pair generalization of
+    Chan's pairwise update, so the f32 device path is safe even for
+    far-from-origin data -- the per-batch values entering f32 matmuls are
+    centered and small, and all cross-batch arithmetic is f64.
+    """
 
     def __init__(self, n_features, dtype=np.float64):
         self.n = 0.0
         self.dtype = np.dtype(dtype)
-        self.s0 = np.zeros(n_features, dtype=np.float64)
-        self.st = np.zeros(n_features, dtype=np.float64)
-        self.c00 = np.zeros((n_features, n_features), dtype=np.float64)
-        self.c0t = np.zeros((n_features, n_features), dtype=np.float64)
-        self.ctt = np.zeros((n_features, n_features), dtype=np.float64)
+        self.mu0 = np.zeros(n_features, dtype=np.float64)
+        self.mut = np.zeros(n_features, dtype=np.float64)
+        self.C00 = np.zeros((n_features, n_features), dtype=np.float64)
+        self.C0t = np.zeros((n_features, n_features), dtype=np.float64)
+        self.Ctt = np.zeros((n_features, n_features), dtype=np.float64)
 
     def add(self, X0, Xt, weights=None):
         if self.dtype == np.float64:
@@ -241,11 +257,15 @@ class PairMomentAccumulator:
                 else np.ones(X0.shape[0])
             )
             ws = w.sum()
-            s0 = (X0 * w[:, None]).sum(axis=0)
-            st = (Xt * w[:, None]).sum(axis=0)
-            c00 = (X0 * w[:, None]).T @ X0
-            c0t = (X0 * w[:, None]).T @ Xt
-            ctt = (Xt * w[:, None]).T @ Xt
+            if ws == 0.0:
+                return
+            mu0b = (X0 * w[:, None]).sum(axis=0) / ws
+            mutb = (Xt * w[:, None]).sum(axis=0) / ws
+            X0c = X0 - mu0b[None, :]
+            Xtc = Xt - mutb[None, :]
+            m00 = (X0c * w[:, None]).T @ X0c
+            m0t = (X0c * w[:, None]).T @ Xtc
+            mtt = (Xtc * w[:, None]).T @ Xtc
         else:
             w_np = (
                 np.asarray(weights, np.float32)
@@ -254,15 +274,28 @@ class PairMomentAccumulator:
             )
             X0p, wp = _pad_batch_pow2(np.asarray(X0, np.float32), w_np)
             Xtp, _ = _pad_batch_pow2(np.asarray(Xt, np.float32), w_np)
-            ws, s0, st, c00, c0t, ctt = _batch_pair_moments(
+            ws, mu0b, mutb, m00, m0t, mtt = _batch_pair_moments(
                 jnp.asarray(X0p), jnp.asarray(Xtp), jnp.asarray(wp)
             )
-        self.n += float(ws)
-        self.s0 += np.asarray(s0, dtype=np.float64)
-        self.st += np.asarray(st, dtype=np.float64)
-        self.c00 += np.asarray(c00, dtype=np.float64)
-        self.c0t += np.asarray(c0t, dtype=np.float64)
-        self.ctt += np.asarray(ctt, dtype=np.float64)
+            ws = float(ws)
+            if ws == 0.0:
+                return
+            mu0b = np.asarray(mu0b, np.float64)
+            mutb = np.asarray(mutb, np.float64)
+            m00 = np.asarray(m00, np.float64)
+            m0t = np.asarray(m0t, np.float64)
+            mtt = np.asarray(mtt, np.float64)
+
+        n_new = self.n + ws
+        d0 = mu0b - self.mu0
+        dt = mutb - self.mut
+        f = self.n * ws / n_new
+        self.C00 += m00 + f * np.outer(d0, d0)
+        self.C0t += m0t + f * np.outer(d0, dt)
+        self.Ctt += mtt + f * np.outer(dt, dt)
+        self.mu0 += d0 * (ws / n_new)
+        self.mut += dt * (ws / n_new)
+        self.n = n_new
 
     def finalize(self, method="tica", var_cutoff=0.95, epsilon=1e-10):
         """Solve the (generalized) eigenproblem and return a :class:`TICAModel`.
@@ -271,11 +304,11 @@ class PairMomentAccumulator:
         ``vamp``: non-reversible singular-value problem, kinetic-map scaling.
         """
         n = self.n
-        mu0 = self.s0 / n
-        mut = self.st / n
-        C00 = self.c00 / n - np.outer(mu0, mu0)
-        C0t = self.c0t / n - np.outer(mu0, mut)
-        Ctt = self.ctt / n - np.outer(mut, mut)
+        mu0 = self.mu0
+        mut = self.mut
+        C00 = self.C00 / n
+        C0t = self.C0t / n
+        Ctt = self.Ctt / n
 
         def inv_sqrt(C):
             evals, evecs = np.linalg.eigh(C)
@@ -285,12 +318,14 @@ class PairMomentAccumulator:
         if method == "tica":
             # Reversible symmetrized estimator, centered at the symmetrized
             # mean mu = (mu0 + mut)/2 (the deeptime convention the reference
-            # inherits via ``_dimensionality.py:288-311``): both covariances
-            # are built from the raw second moments around mu, then
-            # symmetrized
+            # inherits via ``_dimensionality.py:288-311``). Re-centering the
+            # own-mean covariances at mu adds the +/- delta delta^T / 4
+            # terms with delta = mu0 - mut.
             mu = 0.5 * (mu0 + mut)
-            C00s = 0.5 * (self.c00 + self.ctt) / n - np.outer(mu, mu)
-            C0ts = 0.5 * (self.c0t + self.c0t.T) / n - np.outer(mu, mu)
+            delta = mu0 - mut
+            dd4 = 0.25 * np.outer(delta, delta)
+            C00s = 0.5 * (C00 + Ctt) + dd4
+            C0ts = 0.5 * (C0t + C0t.T) - dd4
             W = inv_sqrt(C00s)
             K = W @ C0ts @ W
             evals, evecs = np.linalg.eigh(0.5 * (K + K.T))

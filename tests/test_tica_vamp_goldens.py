@@ -216,3 +216,30 @@ def test_model_dimreduce_tica_matches_dense(tmp_path):
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_device_pair_moments_match_host_far_from_origin():
+    """The f32 device pair-moment path (per-batch centered, f64 Chan-style
+    combine) must match the f64 host path even for data with a huge common
+    offset -- the case raw f32 sums would cancel catastrophically on."""
+    rng = np.random.default_rng(12)
+    n, d = 2000, 5
+    offset = 1e4
+    X0 = rng.normal(size=(n, d)) + offset
+    Xt = 0.7 * (X0 - offset) + 0.5 * rng.normal(size=(n, d)) + offset
+    w = rng.random(n)
+
+    host = PairMomentAccumulator(d, dtype=np.float64)
+    dev = PairMomentAccumulator(d, dtype=np.float32)
+    bounds = np.linspace(0, n, 9).astype(int)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        host.add(X0[a:b], Xt[a:b], w[a:b])
+        dev.add(X0[a:b], Xt[a:b], w[a:b])
+
+    m_host = host.finalize("tica", var_cutoff=1.0)
+    m_dev = dev.finalize("tica", var_cutoff=1.0)
+    np.testing.assert_allclose(m_dev.scales_, m_host.scales_, atol=5e-3)
+
+    v_host = host.finalize("vamp", var_cutoff=1.0)
+    v_dev = dev.finalize("vamp", var_cutoff=1.0)
+    np.testing.assert_allclose(v_dev.scales_, v_host.scales_, atol=5e-3)

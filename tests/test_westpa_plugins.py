@@ -160,3 +160,24 @@ def test_compute_new_pcoord_map(hamsm_model):
     # original pcoord (1) + reduced dims
     assert pcoord_map[3].shape == (1 + hamsm_model.ndim,)
     assert pcoord_map[3][0] == 3.0
+
+
+def test_hamsm_config_device_pipeline(west_h5, hamsm_model):
+    """The west.cfg schema's device_pipeline/show_live_display keys flow
+    through to build_analyze_model; results match the host-path build."""
+    config = {
+        "model_name": "plugin_dp",
+        "n_clusters": 2,
+        "tau": 1.0,
+        "basis_pcoord_bounds": [[9.0, 10.0]],
+        "target_pcoord_bounds": [[0.0, 1.0]],
+        "dimreduce_method": "pca",
+        "cross_validation_groups": 0,
+        "user_bin_mapper": RectilinearBinMapper([np.linspace(0, 10, 11)]),
+        "ref_pdb_file": {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "device_pipeline": True,
+        "show_live_display": False,
+    }
+    model = build_hamsm_from_config(config, [west_h5])
+    assert model._mesh is not None
+    assert model.JtargetSS == pytest.approx(hamsm_model.JtargetSS, rel=1e-6)
