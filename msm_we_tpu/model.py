@@ -919,7 +919,16 @@ class modelWE:
                     ran_out = True
                     break
                 iteration = iters_to_use[j]
-                sel = np.flatnonzero(feats["iteration"] == iteration)
+                # O(1) row range from the featurization offsets (a
+                # flatnonzero scan here is O(N) per iteration -- it was the
+                # dominant cost of million-segment clustering)
+                if 1 <= iteration < len(feats["offsets"]):
+                    sel = np.arange(
+                        feats["offsets"][iteration - 1],
+                        feats["offsets"][iteration],
+                    )
+                else:
+                    sel = np.array([], dtype=int)
 
                 # Training bins come from *parent* pcoords; basis/target
                 # segments are excluded (reference _clustering.py:846-885)
