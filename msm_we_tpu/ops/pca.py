@@ -54,39 +54,31 @@ def _pad_batch_pow2(X, w):
 
 
 @jax.jit
-def _batch_moments(X, w):
-    """Per-batch weighted *centered* moments: (sum w, batch mean, M2).
+def _weighted_gram(Xc, w):
+    """Weighted Gram matrix of *pre-centered* data: (Xc * w)^T @ Xc.
 
-    Centering within the batch before the second-moment matmul keeps the f32
-    values small, so the f64 cross-batch combine (Chan et al. pairwise update)
-    avoids the catastrophic cancellation of a raw sum-of-outer-products.
+    Callers center in f64 on the host BEFORE the f32 cast (see
+    ``_center_f64``): centering after the cast cannot recover the
+    |offset| * 2^-24 quantization error for far-from-origin data.
     """
-    ws = w.sum()
-    mean = (X * w[:, None]).sum(axis=0) / jnp.maximum(ws, 1e-30)
-    Xc = X - mean[None, :]
-    M2 = jnp.matmul((Xc * w[:, None]).T, Xc, precision=_HI)
-    return ws, mean, M2
+    return jnp.matmul((Xc * w[:, None]).T, Xc, precision=_HI)
 
 
 @jax.jit
-def _batch_pair_moments(X0, Xt, w):
-    """Weighted lagged moments for TICA/VAMP, *centered within the batch*.
+def _weighted_cross_gram(X0c, Xtc, w):
+    """Weighted cross-Gram of two pre-centered blocks."""
+    return jnp.matmul((X0c * w[:, None]).T, Xtc, precision=_HI)
 
-    Per-batch centering keeps the f32 values small so the f64 cross-batch
-    combine (the lagged-pair generalization of Chan's update) has none of
-    the catastrophic cancellation of raw sum-of-products -- this is what
-    makes the device path safe for far-from-origin data.
+
+def _center_f64(X, w, ws):
+    """(weighted batch mean, centered-then-f32 data), computed in f64.
+
+    The f64 subtraction happens before the f32 cast so the representable
+    precision tracks the data spread, not the offset from the origin.
     """
-    ws = w.sum()
-    inv = 1.0 / jnp.maximum(ws, 1e-30)
-    mu0 = (X0 * w[:, None]).sum(axis=0) * inv
-    mut = (Xt * w[:, None]).sum(axis=0) * inv
-    X0c = X0 - mu0[None, :]
-    Xtc = Xt - mut[None, :]
-    m00 = jnp.matmul((X0c * w[:, None]).T, X0c, precision=_HI)
-    m0t = jnp.matmul((X0c * w[:, None]).T, Xtc, precision=_HI)
-    mtt = jnp.matmul((Xtc * w[:, None]).T, Xtc, precision=_HI)
-    return ws, mu0, mut, m00, m0t, mtt
+    X = np.asarray(X, np.float64)
+    mean = (X * w[:, None]).sum(axis=0) / ws
+    return mean, (X - mean[None, :]).astype(np.float32)
 
 
 class IdentityCoordinates:
@@ -128,18 +120,21 @@ class MomentAccumulator:
             Xc = X - mean_b[None, :]
             M2_b = (Xc * w[:, None]).T @ Xc
         else:
-            Xp, wp = _pad_batch_pow2(
-                np.asarray(X, np.float32),
-                np.asarray(weights, np.float32)
+            w = (
+                np.asarray(weights, np.float64)
                 if weights is not None
-                else np.ones(len(X), np.float32),
+                else np.ones(len(X), np.float64)
             )
-            ws, mean_b, M2_b = _batch_moments(jnp.asarray(Xp), jnp.asarray(wp))
-            ws = float(ws)
+            ws = float(w.sum())
             if ws == 0.0:
                 return
-            mean_b = np.asarray(mean_b, dtype=np.float64)
-            M2_b = np.asarray(M2_b, dtype=np.float64)
+            # Mean + centering in f64 on host (cheap, O(N d)); the d x d
+            # second-moment matmul -- the actual work -- runs on device
+            mean_b, Xc = _center_f64(X, w, ws)
+            Xp, wp = _pad_batch_pow2(Xc, w.astype(np.float32))
+            M2_b = np.asarray(
+                _weighted_gram(jnp.asarray(Xp), jnp.asarray(wp)), np.float64
+            )
         # Pairwise (Chan) combine of centered moments
         n_new = self.n + ws
         delta = mean_b - self.mean
@@ -267,24 +262,24 @@ class PairMomentAccumulator:
             m0t = (X0c * w[:, None]).T @ Xtc
             mtt = (Xtc * w[:, None]).T @ Xtc
         else:
-            w_np = (
-                np.asarray(weights, np.float32)
+            w = (
+                np.asarray(weights, np.float64)
                 if weights is not None
-                else np.ones(len(X0), np.float32)
+                else np.ones(len(X0), np.float64)
             )
-            X0p, wp = _pad_batch_pow2(np.asarray(X0, np.float32), w_np)
-            Xtp, _ = _pad_batch_pow2(np.asarray(Xt, np.float32), w_np)
-            ws, mu0b, mutb, m00, m0t, mtt = _batch_pair_moments(
-                jnp.asarray(X0p), jnp.asarray(Xtp), jnp.asarray(wp)
-            )
-            ws = float(ws)
+            ws = float(w.sum())
             if ws == 0.0:
                 return
-            mu0b = np.asarray(mu0b, np.float64)
-            mutb = np.asarray(mutb, np.float64)
-            m00 = np.asarray(m00, np.float64)
-            m0t = np.asarray(m0t, np.float64)
-            mtt = np.asarray(mtt, np.float64)
+            # f64 host centering before the f32 cast (see _center_f64);
+            # only the d x d matmuls run on device
+            mu0b, X0c = _center_f64(X0, w, ws)
+            mutb, Xtc = _center_f64(Xt, w, ws)
+            X0p, wp = _pad_batch_pow2(X0c, w.astype(np.float32))
+            Xtp, _ = _pad_batch_pow2(Xtc, w.astype(np.float32))
+            X0j, Xtj, wj = jnp.asarray(X0p), jnp.asarray(Xtp), jnp.asarray(wp)
+            m00 = np.asarray(_weighted_gram(X0j, wj), np.float64)
+            m0t = np.asarray(_weighted_cross_gram(X0j, Xtj, wj), np.float64)
+            mtt = np.asarray(_weighted_gram(Xtj, wj), np.float64)
 
         n_new = self.n + ws
         d0 = mu0b - self.mu0

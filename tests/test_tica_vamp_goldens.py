@@ -224,7 +224,8 @@ def test_device_pair_moments_match_host_far_from_origin():
     offset -- the case raw f32 sums would cancel catastrophically on."""
     rng = np.random.default_rng(12)
     n, d = 2000, 5
-    offset = 1e4
+    offset = 1e7  # f32 granularity at 1e7 is ~1.0 -- unit-spread data would
+    # be quantized to noise if cast before centering
     X0 = rng.normal(size=(n, d)) + offset
     Xt = 0.7 * (X0 - offset) + 0.5 * rng.normal(size=(n, d)) + offset
     w = rng.random(n)
@@ -238,8 +239,8 @@ def test_device_pair_moments_match_host_far_from_origin():
 
     m_host = host.finalize("tica", var_cutoff=1.0)
     m_dev = dev.finalize("tica", var_cutoff=1.0)
-    np.testing.assert_allclose(m_dev.scales_, m_host.scales_, atol=5e-3)
+    np.testing.assert_allclose(m_dev.scales_, m_host.scales_, atol=2e-4)
 
     v_host = host.finalize("vamp", var_cutoff=1.0)
     v_dev = dev.finalize("vamp", var_cutoff=1.0)
-    np.testing.assert_allclose(v_dev.scales_, v_host.scales_, atol=5e-3)
+    np.testing.assert_allclose(v_dev.scales_, v_host.scales_, atol=2e-4)
