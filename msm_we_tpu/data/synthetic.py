@@ -44,6 +44,7 @@ class SynthWESettings:
         n_segments=32,
         n_atoms=4,
         pcoord_len=2,
+        pcoord_ndim=1,
         target_bounds=(0.0, 1.0),
         basis_bounds=(9.0, 10.0),
         x_min=0.0,
@@ -58,6 +59,7 @@ class SynthWESettings:
         self.n_segments = n_segments
         self.n_atoms = n_atoms
         self.pcoord_len = pcoord_len
+        self.pcoord_ndim = pcoord_ndim
         self.target_bounds = target_bounds
         self.basis_bounds = basis_bounds
         self.x_min = x_min
@@ -140,12 +142,20 @@ def generate_trajectory_arrays(settings: SynthWESettings):
         )
         end_coords = np.array([_coords_from_pcoord(x, rng, settings) for x in end_x])
 
-        pcoords = np.zeros((n, settings.pcoord_len, 1))
+        pcoords = np.zeros((n, settings.pcoord_len, settings.pcoord_ndim))
         pcoords[:, 0, 0] = start_x
         pcoords[:, -1, 0] = end_x
         for k in range(1, settings.pcoord_len - 1):
             frac = k / (settings.pcoord_len - 1)
             pcoords[:, k, 0] = start_x * (1 - frac) + end_x * frac
+        # Extra pcoord dimensions: deterministic observables of the primary
+        # coordinate plus noise (e.g. a second order parameter), matching
+        # the multi-dim pcoords the optimization flow appends
+        for j in range(1, settings.pcoord_ndim):
+            for k in range(settings.pcoord_len):
+                pcoords[:, k, j] = np.sin((j + 1) * pcoords[:, k, 0]) + rng.normal(
+                    0, 0.02, n
+                )
 
         if _it >= settings.warmup:
             iterations.append(
