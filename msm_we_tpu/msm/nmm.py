@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import utils
 from ..utils import (
     map_to_integers,
     normalize_markov_matrix,
