@@ -121,6 +121,12 @@ class StratifiedKmeans:
         K = self.n_bins * self.k
         self.centers = np.zeros((K, self.d), np.float32)
         self.counts = np.zeros(K, np.float32)
+        # When the streaming device path runs, the authoritative center/count
+        # state lives on device between batches; host copies materialize
+        # lazily via _sync_host() (one sync per fill loop instead of one
+        # blocking np.asarray per batch -- through a remote tunnel the
+        # per-batch syncs dominated million-segment clustering)
+        self._dev_state = None
         self.valid = np.zeros(K, bool)
         self.center_bin = np.repeat(np.arange(self.n_bins, dtype=np.int32), self.k)
         self.initialized = np.zeros(self.n_bins, bool)
@@ -128,6 +134,21 @@ class StratifiedKmeans:
         self._refresh_ids()
 
     # ------------------------------------------------------------ bookkeeping
+    def _sync_host(self):
+        """Materialize device-resident centers/counts back to host numpy."""
+        if self._dev_state is not None:
+            c, n = self._dev_state
+            # np.array (copy): asarray of a device array is read-only, and
+            # the host paths mutate these in place
+            self.centers = np.array(c)
+            self.counts = np.array(n)
+            self._dev_state = None
+
+    def _device_state(self):
+        if self._dev_state is None:
+            self._dev_state = (jnp.asarray(self.centers), jnp.asarray(self.counts))
+        return self._dev_state
+
     def _refresh_ids(self):
         """Recompute consecutive global ids after any validity change."""
         counts_per_bin = self.valid.reshape(self.n_bins, self.k).sum(axis=1)
@@ -151,6 +172,7 @@ class StratifiedKmeans:
 
     def centers_of_bin(self, b):
         """Valid centers of bin b, in global-id order (compat view)."""
+        self._sync_host()
         rows = np.flatnonzero(self.valid[b * self.k : (b + 1) * self.k]) + b * self.k
         return self.centers[rows]
 
@@ -180,6 +202,8 @@ class StratifiedKmeans:
             members = seg_bins == b
             if members.sum() < self.k:
                 continue
+            # Seeding writes host rows; pull any device-resident state first
+            self._sync_host()
             rows = slice(b * self.k, (b + 1) * self.k)
             if members.sum() < HOST_BATCH_THRESHOLD:
                 rng = np.random.default_rng(self.seed + int(b))
@@ -206,6 +230,7 @@ class StratifiedKmeans:
         live = self.initialized[seg_bins]
         if live.any():
             if live.sum() < HOST_BATCH_THRESHOLD:
+                self._sync_host()
                 Xl, wl, bl = X[live], w[live], seg_bins[live]
                 # Masked assignment in numpy: +inf outside the row's bin
                 d2 = (
@@ -230,23 +255,25 @@ class StratifiedKmeans:
                 Xl_np, wl_np, bl_np = _pad_pow2(
                     X[live], w[live], seg_bins[live].astype(np.int32)
                 )
+                centers_d, counts_d = self._device_state()
                 idx = masked_assign(
                     jnp.asarray(Xl_np),
                     jnp.asarray(bl_np),
-                    jnp.asarray(self.centers),
+                    centers_d,
                     jnp.asarray(self.center_bin),
                     jnp.asarray(self.valid),
                     n_bins=self.n_bins,
                 )
                 new_centers, new_counts = minibatch_update(
-                    jnp.asarray(self.centers),
-                    jnp.asarray(self.counts),
+                    centers_d,
+                    counts_d,
                     jnp.asarray(Xl_np),
                     jnp.asarray(wl_np),
                     idx,
                 )
-                self.centers = np.array(new_centers)
-                self.counts = np.array(new_counts)
+                # Stay device-resident: no blocking host conversion per
+                # batch; _sync_host() materializes once when next read
+                self._dev_state = (new_centers, new_counts)
 
         self._refresh_ids()
         return set(int(b) for b in unique_bins if self.initialized[b])
@@ -259,6 +286,7 @@ class StratifiedKmeans:
         two extra indices (``n_total_clusters``, ``n_total_clusters + 1``).
         """
         X = np.asarray(X, np.float32)
+        self._sync_host()
         seg_bins = self.we_remap[np.asarray(seg_bins)]
         present = np.unique(seg_bins)
         bad = present[
@@ -309,11 +337,18 @@ class StratifiedKmeans:
 
     def __getstate__(self):
         # Meshes/jitted callables are process-local; checkpoints re-enable
-        # the mesh after loading
+        # the mesh after loading. Device-resident centers materialize to
+        # host before pickling.
+        self._sync_host()
         state = self.__dict__.copy()
         state["mesh"] = None
         state["_sharded_assign"] = None
         return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if "_dev_state" not in state:  # legacy pickles
+            self._dev_state = None
 
     def _predict_sharded(self, X, seg_bins, is_basis, is_target):
         """Mesh-sharded prediction: segments data-parallel, bank
@@ -356,6 +391,7 @@ class StratifiedKmeans:
         so compaction is a stable selection of the valid rows. ``pad_to``
         appends invalid rows (bin -2) up to a fixed size.
         """
+        self._sync_host()
         rows = np.flatnonzero(self.valid)
         n = len(rows)
         K = n if pad_to is None else int(pad_to)

@@ -411,3 +411,45 @@ def test_fluxmatrix_empty_lag_raises_valueerror(tmp_path):
     model = _built(tmp_path, stratified=True)
     with pytest.raises(ValueError, match="enough history"):
         model.get_fluxMatrix(0, iters_to_use=[])
+
+
+def test_device_resident_streaming_state(monkeypatch):
+    """The deferred-sync device streaming path must produce identical centers
+    to eager per-batch sync, including across host/device branch crossings
+    and a mid-stream pickle."""
+    import pickle
+
+    rng = np.random.default_rng(17)
+    n_bins, k, d = 3, 2, 4
+
+    def feed(sk, thresholds):
+        for i, thr in enumerate(thresholds):
+            monkeypatch.setattr("msm_we_tpu.ops.stratified.HOST_BATCH_THRESHOLD", thr)
+            n = 500
+            X = rng.normal(size=(n, d)).astype(np.float32) + i
+            bins = rng.integers(0, n_bins, n)
+            sk.partial_fit(X, bins)
+        monkeypatch.setattr("msm_we_tpu.ops.stratified.HOST_BATCH_THRESHOLD", 4096)
+
+    # Same RNG stream for both runs
+    rng = np.random.default_rng(17)
+    a = StratifiedKmeans(n_bins, k, d, seed=1)
+    feed(a, [1, 1, 10**9, 1, 1])  # device, device, host, device, device
+
+    rng = np.random.default_rng(17)
+    b = StratifiedKmeans(n_bins, k, d, seed=1)
+    feed(b, [1, 1, 10**9, 1, 1])
+    # Force a mid-stream materialization on b only
+    _ = b.centers_of_bin(0)
+
+    a._sync_host()
+    np.testing.assert_array_equal(a.centers, b.centers)
+    np.testing.assert_array_equal(a.counts, b.counts)
+
+    # Pickle round trip with device-resident state pending
+    rng = np.random.default_rng(17)
+    c = StratifiedKmeans(n_bins, k, d, seed=1)
+    feed(c, [1, 1, 10**9, 1, 1])
+    c2 = pickle.loads(pickle.dumps(c))
+    np.testing.assert_array_equal(c2.centers, a.centers)
+    assert c2._dev_state is None
