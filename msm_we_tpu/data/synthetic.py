@@ -105,7 +105,7 @@ def generate_trajectory_arrays(settings: SynthWESettings):
 
     Returns a list (one entry per iteration) of dicts with keys ``weights``,
     ``parent_ids`` (index into the previous iteration's segments; -1 for
-    recycled/initial walkers), ``pcoords`` (n_segs, pcoord_len, 1), ``coords``
+    recycled/initial walkers), ``pcoords`` (n_segs, pcoord_len, pcoord_ndim), ``coords``
     (n_segs, 2, n_atoms, 3) [frame 0 = walker start, frame 1 = walker end],
     and ``recycled`` flags.
     """

@@ -286,7 +286,6 @@ class StratifiedKmeans:
         two extra indices (``n_total_clusters``, ``n_total_clusters + 1``).
         """
         X = np.asarray(X, np.float32)
-        self._sync_host()
         seg_bins = self.we_remap[np.asarray(seg_bins)]
         present = np.unique(seg_bins)
         bad = present[
@@ -300,6 +299,7 @@ class StratifiedKmeans:
         if self.mesh is not None and len(X) >= HOST_BATCH_THRESHOLD:
             return self._predict_sharded(X, seg_bins, is_basis, is_target)
         if len(X) < HOST_BATCH_THRESHOLD:
+            self._sync_host()
             d2 = (
                 (X**2).sum(1)[:, None]
                 - 2 * X @ self.centers.T
@@ -312,11 +312,14 @@ class StratifiedKmeans:
             d2[bad] = np.inf
             flat = d2.argmin(axis=1)
         else:
+            # Reuse any pending device-resident bank: no blocking download +
+            # re-upload round trip right after a streaming fill
+            centers_d, _counts_d = self._device_state()
             flat = np.asarray(
                 masked_assign(
                     jnp.asarray(X),
                     jnp.asarray(seg_bins.astype(np.int32)),
-                    jnp.asarray(self.centers),
+                    centers_d,
                     jnp.asarray(self.center_bin),
                     jnp.asarray(self.valid),
                     n_bins=self.n_bins,

@@ -422,13 +422,18 @@ def test_device_resident_streaming_state(monkeypatch):
     rng = np.random.default_rng(17)
     n_bins, k, d = 3, 2, 4
 
-    def feed(sk, thresholds):
+    def feed(sk, thresholds, sync_after=None):
         for i, thr in enumerate(thresholds):
             monkeypatch.setattr("msm_we_tpu.ops.stratified.HOST_BATCH_THRESHOLD", thr)
             n = 500
             X = rng.normal(size=(n, d)).astype(np.float32) + i
             bins = rng.integers(0, n_bins, n)
             sk.partial_fit(X, bins)
+            if sync_after is not None and i == sync_after:
+                # Mid-stream materialization: the next device batch must
+                # re-upload from the synced host state
+                _ = sk.centers_of_bin(0)
+                assert sk._dev_state is None
         monkeypatch.setattr("msm_we_tpu.ops.stratified.HOST_BATCH_THRESHOLD", 4096)
 
     # Same RNG stream for both runs
@@ -438,11 +443,11 @@ def test_device_resident_streaming_state(monkeypatch):
 
     rng = np.random.default_rng(17)
     b = StratifiedKmeans(n_bins, k, d, seed=1)
-    feed(b, [1, 1, 10**9, 1, 1])
-    # Force a mid-stream materialization on b only
-    _ = b.centers_of_bin(0)
+    # Materialize between device batches 3 and 4: sync -> host -> re-upload
+    feed(b, [1, 1, 10**9, 1, 1], sync_after=3)
 
     a._sync_host()
+    b._sync_host()
     np.testing.assert_array_equal(a.centers, b.centers)
     np.testing.assert_array_equal(a.counts, b.counts)
 
