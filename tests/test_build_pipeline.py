@@ -168,3 +168,18 @@ def test_device_flux_aggregated_matches_host(west_h5):
     meshed = build(True)
     np.testing.assert_allclose(meshed.fluxMatrixRaw, host.fluxMatrixRaw, rtol=1e-12)
     assert meshed.JtargetSS == pytest.approx(host.JtargetSS, rel=1e-6)
+
+
+def test_block_validation_with_device_pipeline(west_h5):
+    """Cross-validation models are deepcopies made while a mesh is attached;
+    each must re-run the fused device flux path and produce the same
+    JtargetSS values as host-path validation."""
+    host = _build(west_h5, show_live_display=False, cross_validation_groups=2)
+    dev = _build(
+        west_h5, show_live_display=False, cross_validation_groups=2,
+        device_pipeline=True,
+    )
+    assert len(dev.validation_models) == 2
+    for vm_host, vm_dev in zip(host.validation_models, dev.validation_models):
+        assert vm_dev._mesh is not None  # deepcopy kept the mesh attached
+        assert vm_dev.JtargetSS == pytest.approx(vm_host.JtargetSS, rel=1e-6)
