@@ -58,6 +58,11 @@ class ExtendedModelWE(modelWE):
         """Average 1-D pcoord flux matrix over iterations
         (reference ``_untested.py:50-111``, without the side h5 cache)."""
         assert n_lag == 0, "Only lag-0 is supported"
+        if last_iter <= first_iter:
+            raise ValueError(
+                f"Need last_iter > first_iter ({first_iter}, {last_iter}): "
+                "no iterations to average would yield an all-NaN matrix"
+            )
         self.n_lag = n_lag
         nBins = np.asarray(binbounds).size - 1
         fluxMatrix = np.zeros((nBins, nBins))

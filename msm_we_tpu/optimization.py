@@ -157,6 +157,13 @@ class OptimizedBinMapper:
             self.unpickle(kwargs["bytestring"])
         elif len(args) + len(kwargs) > 1:
             self.create_new(*args, **kwargs)
+        else:
+            raise TypeError(
+                "OptimizedBinMapper takes either the full construction "
+                "arguments (see create_new) or bytestring=<b64 pickle>; "
+                "a single positional argument would construct an empty, "
+                "unusable mapper"
+            )
 
     def unpickle(self, bytestring):
         loaded = pickle.loads(base64.b64decode(bytestring))

@@ -16,6 +16,27 @@ from .._logging import log
 from .. import optimization
 
 
+def _wrap_for_westpa(mapper):
+    """Adapt an :class:`~msm_we_tpu.optimization.OptimizedBinMapper` to
+    WESTPA's BinMapper contract.
+
+    Our mapper is a plain standalone class; WESTPA's sim_manager expects the
+    full BinMapper interface (``pickle_and_hash``, the (coords, mask, output)
+    assign signature, ...). Wrapping in a ``FuncBinMapper`` supplies all of
+    that, with the optimized mapper carried as a picklable argument.
+    """
+    from westpa.core.binning import FuncBinMapper
+
+    return FuncBinMapper(
+        _optimized_assign, int(mapper.nbins), args=(mapper,)
+    )
+
+
+def _optimized_assign(coords, mask, output, mapper):
+    """FuncBinMapper assign function (module-level so it pickles)."""
+    output[mask] = mapper.assign(np.asarray(coords)[mask])
+
+
 def compute_optimized_bins_for_model(
     model, n_active_bins, binning_strategy=None, cluster_on_pcoord=False
 ):
@@ -139,7 +160,7 @@ class OptimizationDriver:
         from westpa.cli.core import w_run
 
         westpa.rc.pstatus("Updating bin mapper")
-        self.we_driver.bin_mapper = self.compute_optimized_bins()
+        self.we_driver.bin_mapper = _wrap_for_westpa(self.compute_optimized_bins())
 
         westpa.rc.pstatus("Updating allocation")
         self.we_driver.bin_target_counts = self.compute_optimized_allocation()
@@ -277,6 +298,12 @@ class OptimizationDriver:
             bstate_id = old_istate.basis_state_id
             parent_state_index = int(sim_manager.next_iter_bstates[bstate_id].auxref)
             new_istate.pcoord = new_pcoord_map[parent_state_index]
+            new_istate.istate_status = old_istate.istate_status
+
+        # create_initial_states only allocates placeholder h5 rows; the
+        # mutated pcoords must be written back explicitly (mirrors the
+        # update_segments call for segment pcoords below)
+        data_manager.update_initial_states(new_istates, n_iter=n_iter)
 
         data_manager.flush_backing()
         for segment in sim_manager.segments.values():

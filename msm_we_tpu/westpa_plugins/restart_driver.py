@@ -86,11 +86,13 @@ def save_restart_state(restart_file, state):
         json.dump(state, fp)
 
 
-def marathon_west_files(restart_state, n_runs, restarts_to_use=-1, base_path="."):
+def marathon_west_files(restart_state, n_runs=None, restarts_to_use=-1, base_path="."):
     """The west.h5 paths to build the haMSM from at this restart.
 
     ``restarts_to_use``: -1 = all restarts so far; an integer >= 1 = the last
     N restarts; a fraction in (0, 1) = that fraction of restarts (at least 1).
+    ``n_runs`` is accepted for call compatibility but unused -- the run count
+    comes from ``restart_state["runs_completed"]``.
     Reference ``restart_driver.py:779-818``.
     """
     completed = restart_state["restarts_completed"]
@@ -99,9 +101,9 @@ def marathon_west_files(restart_state, n_runs, restarts_to_use=-1, base_path="."
     elif restarts_to_use >= 1:
         last_N = int(restarts_to_use)
     elif 0 < restarts_to_use < 1:
-        last_N = int(restarts_to_use * (1 + completed))
-        if last_N < 1:
-            last_N = 1 + completed
+        # At least one restart's files (a fraction rounding to 0 must not
+        # silently expand to the whole marathon history)
+        last_N = max(int(restarts_to_use * (1 + completed)), 1)
     else:
         raise ValueError(f"Invalid restarts_to_use: {restarts_to_use}")
 
@@ -296,15 +298,18 @@ class RestartDriver(HAMSMDriver):
         import westpa
 
         super().__init__(sim_manager, plugin_config)
-        # The parent registered construct_hamsm at priority 2; this plugin
-        # drives construction itself at the end of the state machine
+        # Non-master workers return from the parent __init__ before it sets
+        # any attributes; nothing to unregister (or configure) on them
+        if not sim_manager.work_manager.is_master:
+            return
+        # The parent registered construct_hamsm at its configured priority;
+        # this plugin drives construction itself at the end of the state
+        # machine
         self.sim_manager._callback_table[sim_manager.finalize_run].discard(
-            (2, "construct_hamsm", super().construct_hamsm)
+            (self.priority, "construct_hamsm", super().construct_hamsm)
         )
 
         westpa.rc.pstatus("Restart plugin initialized")
-        if not sim_manager.work_manager.is_master:
-            return
 
         self.restart_file = plugin_config.get("restart_file", "restart.dat")
         self.initialization_file = plugin_config.get(
@@ -400,15 +405,14 @@ class RestartDriver(HAMSMDriver):
         from westpa.cli.core import w_run
 
         log.debug(f"Linking run files from restart0/run{run_number}")
-        try:
-            shutil.rmtree("traj_segs")
-            shutil.rmtree("seg_logs")
-        except OSError as e:
-            if "symbolic link" in str(e):
-                os.unlink("traj_segs")
-                os.unlink("seg_logs")
-        except FileNotFoundError:
-            pass
+        # Each path may be a directory, a symlink (from a previous
+        # extension), or absent; handle them independently so one path's
+        # state can't mask another's error
+        for p in ("traj_segs", "seg_logs"):
+            if os.path.islink(p):
+                os.unlink(p)
+            elif os.path.isdir(p):
+                shutil.rmtree(p)
 
         if os.path.exists(self.data_manager.we_h5filename):
             os.remove(self.data_manager.we_h5filename)
@@ -470,15 +474,17 @@ class RestartDriver(HAMSMDriver):
         models = [model] + list(model.validation_models)
         flux_estimates = [m.JtargetSS for m in models]
 
-        from ..data.westh5 import WEDataset
-
         for _file in model.fileList:
             try:
-                ds = WEDataset([_file], pcoord_ndim=model.pcoord_ndim)
-                last = ds.maxIter
-                d = ds.iter_data(last)
-                recycled_w = 0.0
                 with h5py.File(_file, "r") as h5:
+                    # Last usable iteration: its successor must also exist
+                    present = sorted(
+                        int(k.split("_")[1]) for k in h5["iterations"]
+                    )
+                    usable = [n for n in present if n + 1 in set(present)]
+                    if not usable:
+                        continue
+                    last = usable[-1]
                     seg_index = h5[f"iterations/iter_{last:08d}/seg_index"][:]
                     recycled = seg_index["endpoint_type"] == SEG_ENDPOINT_RECYCLED
                     recycled_w = float(seg_index["weight"][recycled].sum())
@@ -569,7 +575,7 @@ class RestartDriver(HAMSMDriver):
                 "segs_per_state": None,
             }
             self.data_manager.finalize_run()
-            shutil.copyfile("west.h5", f"{run_directory}/west.h5")
+            shutil.copyfile(self.data_manager.we_h5filename, f"{run_directory}/west.h5")
 
             if not doing_extension:
                 if not os.path.exists(self.initialization_file):

@@ -181,3 +181,78 @@ def test_hamsm_config_device_pipeline(west_h5, hamsm_model):
     model = build_hamsm_from_config(config, [west_h5])
     assert model._mesh is not None
     assert model.JtargetSS == pytest.approx(hamsm_model.JtargetSS, rel=1e-6)
+
+
+def test_marathon_fraction_uses_at_least_one_restart():
+    from msm_we_tpu.westpa_plugins.restart_driver import marathon_west_files
+
+    state = {"restarts_completed": 3, "runs_completed": 2}
+    files = marathon_west_files(state, restarts_to_use=0.2, base_path=".")
+    # 0.2 * 4 rounds to 0 -> clamp to the single most recent restart,
+    # NOT the whole marathon history
+    assert {f.split("/")[1] for f in files} == {"restart3"}
+
+
+def test_optimized_bin_mapper_rejects_single_positional():
+    from msm_we_tpu.optimization import OptimizedBinMapper
+
+    with pytest.raises(TypeError, match="bytestring"):
+        OptimizedBinMapper(b"deadbeef")
+
+
+def test_wrap_for_westpa_funcbinmapper(monkeypatch):
+    """The WESTPA-facing mapper is a FuncBinMapper wrapping assign() with
+    the (coords, mask, output) contract."""
+    import sys
+    import types
+
+    captured = {}
+
+    class FakeFuncBinMapper:
+        def __init__(self, func, nbins, args=None, kwargs=None):
+            captured.update(func=func, nbins=nbins, args=args or ())
+
+    binning_mod = types.ModuleType("westpa.core.binning")
+    binning_mod.FuncBinMapper = FakeFuncBinMapper
+    core_mod = types.ModuleType("westpa.core")
+    core_mod.binning = binning_mod
+    westpa_mod = types.ModuleType("westpa")
+    westpa_mod.core = core_mod
+    monkeypatch.setitem(sys.modules, "westpa", westpa_mod)
+    monkeypatch.setitem(sys.modules, "westpa.core", core_mod)
+    monkeypatch.setitem(sys.modules, "westpa.core.binning", binning_mod)
+
+    from msm_we_tpu.westpa_plugins.optimization_driver import _wrap_for_westpa
+
+    class FakeMapper:
+        nbins = 5
+
+        def assign(self, coords):
+            return np.full(len(coords), 3)
+
+    _wrap_for_westpa(FakeMapper())
+    assert captured["nbins"] == 5
+    func, (mapper,) = captured["func"], captured["args"]
+    coords = np.zeros((4, 2))
+    mask = np.array([True, False, True, True])
+    output = np.zeros(4, int)
+    func(coords, mask, output, mapper)
+    assert output.tolist() == [3, 0, 3, 3]
+
+
+def test_pcoord1d_flux_empty_range_raises(west_h5):
+    from msm_we_tpu.extended import ExtendedModelWE
+
+    model = ExtendedModelWE()
+    model.initialize(
+        [west_h5],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "ext",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    model.get_iterations()
+    with pytest.raises(ValueError, match="last_iter > first_iter"):
+        model.get_pcoord1D_fluxMatrix(0, 5, 5, np.linspace(0, 10, 5))
