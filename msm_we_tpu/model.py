@@ -285,6 +285,10 @@ class modelWE:
         self._dataset = WEDataset(fileList, pcoord_ndim=pcoord_ndim, auxpath=auxpath)
         try:
             self.load_iter_data(1)
+            # Probe the augmented coordinates too: the flag must reflect
+            # auxdata presence, not just seg_index (reference msm_we.py:265-273
+            # calls load_iter_coordinates0 here)
+            self._dataset.iter_coord_pairs(1)
             self.coordsExist = True
         except KeyError:
             # Only the coords-not-written-yet case is benign (reference
@@ -847,12 +851,14 @@ class modelWE:
         self.first_cluster_iter = iters_to_use[0]
 
         feats = self._featurize_all()
-        sel = np.isin(feats["iteration"], iters_to_use)
+        # Bad-coordinate segments (weight zeroed by the NaN convention) are
+        # excluded from training: their zero-filled features are garbage
+        sel = np.isin(feats["iteration"], iters_to_use) & (feats["weights"] > 0)
         X = feats["child"][sel]
         w = (
             feats["weights"][sel]
             if self.use_weights_in_clustering
-            else np.ones(sel.sum())
+            else np.ones(int(sel.sum()))
         )
         centers, _ = kmeans_fit(X, w, n_clusters, seed=self._cluster_seed)
         self.clusters = _AggregateClustersShim(centers)
@@ -931,9 +937,13 @@ class modelWE:
                     sel = np.array([], dtype=int)
 
                 # Training bins come from *parent* pcoords; basis/target
-                # segments are excluded (reference _clustering.py:846-885)
+                # segments are excluded (reference _clustering.py:846-885),
+                # as are bad-coordinate segments (weight zeroed by the NaN
+                # convention -- their features are zero-filled garbage; the
+                # reference drops NaN rows from training, _data.py:557-618)
                 pc = feats["pcoord0"][sel]
                 keep = ~(self.is_WE_target(pc) | self.is_WE_basis(pc))
+                keep &= feats["weights"][sel] > 0
                 rows_it = sel[keep]
                 bins_it = (
                     bin_mapper.assign(pc[keep])
@@ -1095,7 +1105,15 @@ class modelWE:
             if last_iter is None:
                 last_iter = self.maxIter
             iters_to_use = range(max(first_iter + 1, n_lag + 1), last_iter)
-        iters_to_use = [i for i in iters_to_use if i - n_lag >= 1]
+        in_range = [i for i in iters_to_use if i - n_lag >= 1 and i < self.maxIter]
+        if len(in_range) != len(iters_to_use):
+            dropped = sorted(set(iters_to_use) - set(in_range))
+            log.warning(
+                f"Dropping iterations {dropped} from the flux matrix: outside "
+                f"the usable range [{n_lag + 1}, {self.maxIter - 1}] at "
+                f"n_lag={n_lag}"
+            )
+        iters_to_use = in_range
         if not iters_to_use:
             raise ValueError(
                 f"No iterations have enough history for n_lag={n_lag} "

@@ -423,9 +423,17 @@ class DiscretePathEnsemble(PathEnsemble, DiscreteEnsemble):
         )
         return cls(ens.trajectories, stateA=stateA, stateB=stateB)
 
-    def nm_mfpt(self, ini_probs=None, n_states=None):
-        """MFPT from the MLE transition matrix of the path ensemble."""
-        t_matrix = self._mle_transition_matrix(n_states)
+    def nm_mfpt(self, ini_probs=None, n_states=None, map_function=None):
+        """MFPT from the MLE transition matrix of the path ensemble.
+
+        ``map_function`` defaults to identity -- the trajectories here are
+        already discrete. (The reference's version is uncallable: it passes
+        no map_function to a function that requires one,
+        ``ensembles.py:473-475``.)
+        """
+        if map_function is None:
+            map_function = lambda x: x  # noqa: E731 - identity for discrete states
+        t_matrix = self._mle_transition_matrix(n_states, map_function)
         return NonMarkovFPT.directional_mfpt(
             t_matrix, list(self.stateA), sorted(self.stateB), ini_probs
         )

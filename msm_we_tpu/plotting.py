@@ -64,15 +64,25 @@ def _ensure_committor_flux(m, label):
 
 def _windowed_committor_flux(m, nwin):
     """Window-average Jq and q along the committor ordering (reference
-    ``_plotting.py:158-170``), vectorized with a moving-average filter."""
+    ``_plotting.py:158-170``), vectorized with a cumulative-sum moving
+    average: result[i] = mean(x[i : i + nwin]) for i <= n - 1 - nwin,
+    matching the reference's backwards loop exactly."""
     n_bins = m.targetRMSD_centers.shape[0]
-    Jq_avg = np.asarray(m.Jq, dtype=float).copy()
+    Jq = np.asarray(m.Jq, dtype=float)
+    q = np.asarray(m.q, dtype=float)
+    Jq_avg = Jq.copy()
     q_avg = np.zeros_like(Jq_avg)
-    indq = np.argsort(np.squeeze(1.0 - m.q))
-    for _i in range(n_bins - 1, nwin - 1, -1):
-        ind = range(_i - nwin, _i)
-        Jq_avg[_i - nwin] = np.mean(np.asarray(m.Jq)[ind])
-        q_avg[_i - nwin] = np.mean(np.asarray(m.q)[indq[ind]])
+    indq = np.argsort(np.squeeze(1.0 - q))
+
+    def moving_mean(x):
+        c = np.concatenate([[0.0], np.cumsum(x)])
+        return (c[nwin:] - c[:-nwin]) / nwin
+
+    if n_bins - nwin > 0:
+        # windows [i, i+nwin) for i in 0..n_bins-1-nwin (the reference loop
+        # writes indices _i - nwin for _i in nwin..n_bins-1)
+        Jq_avg[: n_bins - nwin] = moving_mean(Jq)[: n_bins - nwin]
+        q_avg[: n_bins - nwin] = moving_mean(q[indq])[: n_bins - nwin]
     return q_avg, Jq_avg
 
 
@@ -306,7 +316,7 @@ def plot_flux_committor_pcoordcolor(
     lines = ax.scatter(
         q_avg[indPlus],
         np.squeeze(Jq_avg[indPlus]),
-        c=model.targetRMSD_centers[indPlus, pcoord_to_use],
+        c=np.ravel(model.targetRMSD_centers[indPlus, pcoord_to_use]),
         label="main_model flux toward target",
         **plot_args,
     )

@@ -458,3 +458,104 @@ def test_device_resident_streaming_state(monkeypatch):
     c2 = pickle.loads(pickle.dumps(c))
     np.testing.assert_array_equal(c2.centers, a.centers)
     assert c2._dev_state is None
+
+
+def test_nan_coordinate_segments_excluded_from_cluster_training(tmp_path):
+    """Segments with NaN augmentation coords (weight zeroed by convention)
+    must not enter k-means training as zero-filled full-weight rows."""
+    import h5py
+
+    from msm_we_tpu.binning import RectilinearBinMapper
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=25, n_segments=16, seed=33)
+    # Corrupt some segments' coords with NaN (bad augmentation)
+    with h5py.File(path, "a") as h5:
+        for it in (3, 7, 11):
+            d = h5[f"iterations/iter_{it:08d}/auxdata/coord"]
+            arr = d[:]
+            arr[::3] = np.nan
+            d[...] = arr
+
+    def build(stratified):
+        model = modelWE()
+        model.initialize(
+            [path],
+            {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            "nan",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dim_reduce_method="none",
+            tau=1.0,
+        )
+        model.get_iterations()
+        model.dimReduce()
+        kwargs = (
+            {"user_bin_mapper": RectilinearBinMapper([np.linspace(0, 10, 11)])}
+            if stratified
+            else {}
+        )
+        model.cluster_coordinates(n_clusters=2, stratified=stratified, **kwargs)
+        return model
+
+    for stratified in (True, False):
+        model = build(stratified)
+        # No center may sit at the zero-coordinate image (the NaN fill):
+        # features are flattened coords, so a spurious center would be ~0
+        if stratified:
+            centers = model._strat.compact_bank()[0]
+        else:
+            centers = model.clusters.cluster_centers_
+        norms = np.linalg.norm(centers, axis=1)
+        assert (norms > 0.3).all(), (
+            f"spurious near-zero center (stratified={stratified}): {norms.min()}"
+        )
+
+
+def test_fluxmatrix_drops_out_of_range_iterations(tmp_path):
+    model = _built(tmp_path, stratified=True)
+    # maxIter itself is not featurized; it must be dropped (warned), not
+    # silently deflate the normalization
+    model.get_fluxMatrix(0, iters_to_use=[5, 6, model.maxIter])
+    expected = model.fluxMatrixRaw.copy()
+    model.get_fluxMatrix(0, iters_to_use=[5, 6])
+    np.testing.assert_allclose(model.fluxMatrixRaw, expected)
+
+
+def test_coords_exist_reflects_auxdata(tmp_path):
+    """coordsExist must be False for un-augmented datasets (reference probes
+    coordinates at initialize, msm_we.py:265-273)."""
+    import h5py
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=10, n_segments=8, seed=3)
+    with h5py.File(path, "a") as h5:
+        for k in list(h5["iterations"].keys()):
+            if "auxdata" in h5[f"iterations/{k}"]:
+                del h5[f"iterations/{k}/auxdata"]
+    model = modelWE()
+    model.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "noaux",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+        _suppress_boundary_warning=True,
+    )
+    assert model.coordsExist is False
+
+
+def test_nm_mfpt_callable():
+    """The reference's nm_mfpt is uncallable (missing map_function); ours
+    defaults to identity for discrete paths."""
+    from msm_we_tpu.msm.ensembles import DiscretePathEnsemble
+
+    np.random.seed(4)
+    T = np.array([[0.7, 0.2, 0.1], [0.3, 0.4, 0.3], [0.2, 0.2, 0.6]])
+    dpe = DiscretePathEnsemble.from_transition_matrix(
+        T, stateA=[0], stateB=[2], n_paths=30, ini_pops=[1.0]
+    )
+    out = float(dpe.nm_mfpt(n_states=3))
+    assert np.isfinite(out) and out > 0
