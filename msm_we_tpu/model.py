@@ -1315,23 +1315,23 @@ class modelWE:
                 f"Unrecognized clustering_method ({self.clustering_method})"
             )
 
-    def organize_stratified(self, use_ray=False, progress_bar=None, max_passes=10):
-        """Stratified cleaning (reference ``organize_stratified``,
-        ``_clustering.py:920-1142``): remove everything outside the largest
-        strongly connected set (with the artificial target->basis recycle
-        edge), remap emptied WE bins, re-discretize, recompute the flux
-        matrix, sort by mean pcoord, normalize.
+    def _organize_flux_cleaning(self, remove_and_rediscretize, max_passes=10):
+        """Shared flux-matrix cleaning driver (stratified + aggregated).
+
+        Each pass: find strongly connected sets (with the artificial
+        target->basis recycle edge), delete everything outside the largest
+        via ``remove_and_rediscretize`` (the path-specific step), recompute
+        the flux matrix at the new clustering, pcoord-sort and normalize.
 
         Improvement over the reference: re-discretization can itself create
         new disconnected states (segments move to surviving clusters), which
         makes the reference's single pass fail its own post-assert
-        (``_clustering.py:1140-1142``). Here the remove/rediscretize/reflux
-        cycle repeats until the matrix is clean (bounded by ``max_passes``).
+        (``_clustering.py:1140-1142``). Here the cycle repeats until the
+        matrix is clean (bounded by ``max_passes``).
         """
         from .utils import find_connected_sets
 
         fmatrix_original = self.fluxMatrixRaw.copy()
-        strat = self._strat
 
         for _pass in range(max_passes):
             fmatrix = self.fluxMatrixRaw.copy()
@@ -1358,9 +1358,44 @@ class modelWE:
                     "dataset with recycling events."
                 )
 
-            actual_total = strat.n_total_clusters
-            real_removals = states_to_remove[states_to_remove < actual_total]
+            remove_and_rediscretize(states_to_remove)
 
+            # Recompute the flux matrix at the new clustering (unsorted
+            # global-id order), then pcoord-sort and normalize
+            pcoord_sort_indices = self.get_cluster_centers()
+            self.get_fluxMatrix(*self._fluxMatrixParams)
+            fluxMatrix = self.fluxMatrixRaw[
+                np.ix_(pcoord_sort_indices, pcoord_sort_indices)
+            ]
+            self.fluxMatrix = fluxMatrix / fluxMatrix.sum()
+            # self.fluxMatrixRaw stays at the *new* clustering so the next
+            # pass's SCC indices line up with the current global ids
+
+        self.fluxMatrixRaw = fmatrix_original
+        self.indBasis = np.array([self.n_clusters])
+        self.indTargets = np.array([self.n_clusters + 1])
+        self.nBins = self.n_clusters + 2
+        self.update_sorted_cluster_centers()
+
+        # Sanity check: everything is connected now
+        fcheck = self.fluxMatrix.copy()
+        fcheck[-1, -2] = 1.0
+        remaining = find_connected_sets(fcheck, directed=True)
+        assert len(remaining) == 1, "Still not clean after cleaning!"
+
+    def organize_stratified(self, use_ray=False, progress_bar=None, max_passes=10):
+        """Stratified cleaning (reference ``organize_stratified``,
+        ``_clustering.py:920-1142``): remove everything outside the largest
+        strongly connected set, remap emptied WE bins, re-discretize,
+        recompute, sort by mean pcoord, normalize. See
+        :meth:`_organize_flux_cleaning` for the shared loop semantics.
+        """
+        strat = self._strat
+
+        def remove_and_rediscretize(states_to_remove):
+            real_removals = states_to_remove[
+                states_to_remove < strat.n_total_clusters
+            ]
             emptied = strat.remove_global_clusters(real_removals)
             # Bins never initialized also count as empty (reference
             # ``_clustering.py:1023-1034``)
@@ -1384,87 +1419,29 @@ class modelWE:
                 strat.set_remap(
                     int(b), find_nearest_bin(self._bin_mapper, int(b), populated)
                 )
-
-            # Re-discretize with the surviving centers, recompute the flux
-            # matrix at the new clustering (unsorted global-id order)
             self.launch_discretization()
-            pcoord_sort_indices = self.get_cluster_centers()
-            self.get_fluxMatrix(*self._fluxMatrixParams)
 
-            fluxMatrix = self.fluxMatrixRaw.copy()
-            fluxMatrix = fluxMatrix[pcoord_sort_indices, :][:, pcoord_sort_indices]
-            self.fluxMatrix = fluxMatrix / fluxMatrix.sum()
-            # self.fluxMatrixRaw stays at the *new* clustering so the next
-            # pass's SCC indices line up with the current global ids
-
-        self.fluxMatrixRaw = fmatrix_original
-        self.indBasis = np.array([self.n_clusters])
-        self.indTargets = np.array([self.n_clusters + 1])
-        self.nBins = self.n_clusters + 2
-        self.update_sorted_cluster_centers()
+        self._organize_flux_cleaning(remove_and_rediscretize, max_passes=max_passes)
         self.cluster_mapping = {x: x for x in range(self.n_clusters + 2)}
 
-        # Sanity check: everything is connected now
-        fcheck = self.fluxMatrix.copy()
-        fcheck[-1, -2] = 1.0
-        remaining = find_connected_sets(fcheck, directed=True)
-        assert len(remaining) == 1, "Still not clean after cleaning!"
-
-    def organize_aggregated_simple(self):
+    def organize_aggregated_simple(self, max_passes=10):
         """Aggregate-path cleaning: same SCC criterion applied to the
         aggregate cluster bank. (The reference's ``organize_aggregated`` is
         deprecated and raises -- ``_fluxmatrix.py:452-454``; this is the
-        working equivalent built on the stratified logic.)
+        working equivalent built on the shared cleaning driver.)
         """
-        from .utils import find_connected_sets
 
-        fmatrix_original = self.fluxMatrixRaw.copy()
-
-        for _pass in range(10):
-            fmatrix = self.fluxMatrixRaw.copy()
-            fmatrix[-1, -2] = 1.0
-            connected_sets = find_connected_sets(fmatrix, directed=True)
-            if len(connected_sets) == 1 and _pass > 0:
-                break
-            states_to_remove = (
-                np.concatenate(connected_sets[1:]).astype(int)
-                if len(connected_sets) > 1
-                else np.array([], dtype=int)
-            )
-            basis_target = {self.n_clusters, self.n_clusters + 1}
-            if basis_target & set(states_to_remove.tolist()):
-                raise RuntimeError(
-                    "The basis or target state is disconnected from the main "
-                    "flux network -- this data contains no transitions into "
-                    "the target (or out of the basis), so no steady-state "
-                    "model can be built from it."
-                )
+        def remove_and_rediscretize(states_to_remove):
             keep = np.setdiff1d(np.arange(self.n_clusters), states_to_remove)
             self.removed_clusters = states_to_remove
-
-            centers = self.clusters.cluster_centers_[keep]
-            self.clusters = _AggregateClustersShim(centers)
+            self.clusters = _AggregateClustersShim(
+                self.clusters.cluster_centers_[keep]
+            )
             self.n_clusters = len(keep)
             self._discretize_all_aggregated()
-            pcoord_sort_indices = self.get_cluster_centers()
-            self.get_fluxMatrix(*self._fluxMatrixParams)
 
-            fluxMatrix = self.fluxMatrixRaw.copy()
-            fluxMatrix = fluxMatrix[pcoord_sort_indices, :][:, pcoord_sort_indices]
-            self.fluxMatrix = fluxMatrix / fluxMatrix.sum()
-
-        self.fluxMatrixRaw = fmatrix_original
-        self.indBasis = np.array([self.n_clusters])
-        self.indTargets = np.array([self.n_clusters + 1])
-        self.nBins = self.n_clusters + 2
-        self.update_sorted_cluster_centers()
+        self._organize_flux_cleaning(remove_and_rediscretize, max_passes=max_passes)
         self.removed_clusters = []
-
-        fcheck = self.fluxMatrix.copy()
-        fcheck[-1, -2] = 1.0
-        assert len(find_connected_sets(fcheck, directed=True)) == 1, (
-            "Still not clean after cleaning!"
-        )
 
     # ------------------------------------------------------- cluster centers
     def get_cluster_centers(self):
