@@ -241,6 +241,13 @@ def generate_west_h5(
             seed=seed,
             warmup=warmup,
         )
+    elif (n_iterations, n_segments, seed, warmup) != (50, 32, 0, 20):
+        raise ValueError(
+            "Pass either settings= or the individual arguments, not both -- "
+            "explicit arguments would be silently ignored. Note: with "
+            "settings=, no extra trailing iteration is appended, so readers "
+            "see settings.n_iterations - 1 usable iterations."
+        )
     iterations = generate_trajectory_arrays(settings)
 
     with h5py.File(path, "w") as h5:

@@ -125,7 +125,12 @@ def kmeans_plusplus(key, X, w, k):
         key, centers, mind2 = carry
         key, sub = jax.random.split(key)
         scores = w * mind2
-        p = scores / jnp.maximum(scores.sum(), 1e-30)
+        tot = scores.sum()
+        # All-zero scores (every distinct point already a center -- routine
+        # after WE splitting duplicates coordinates): fall back to the base
+        # weight distribution, as the host seeder does, instead of letting
+        # choice degenerate to index 0
+        p = jnp.where(tot > 0, scores / jnp.maximum(tot, 1e-30), probs0)
         nxt = jax.random.choice(sub, n, p=p)
         centers = centers.at[i].set(X[nxt])
         mind2 = jnp.minimum(mind2, jnp.sum((X - X[nxt]) ** 2, axis=1))

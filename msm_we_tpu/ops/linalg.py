@@ -304,7 +304,14 @@ def steady_state_power_jax(T, guess, n_iters=200):
 
 @partial(jax.jit, static_argnames=("max_iters",))
 def committor_jax(M, target_mask, basis_mask, conv=1e-5, max_iters=10000):
-    """Device committor iteration with while_loop convergence."""
+    """Device committor iteration with while_loop convergence.
+
+    ``M`` is a row-normalized transition matrix; the absorbing basis rows
+    are applied internally (identity rows, as the host :func:`committor`
+    builds at its lines above), so q[basis] == 0 on return.
+    """
+    eye = jnp.eye(M.shape[0], dtype=M.dtype)
+    M = jnp.where(basis_mask[:, None], eye, M)
 
     q0 = jnp.where(target_mask, 1.0, 0.0)
 

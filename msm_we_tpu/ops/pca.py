@@ -35,22 +35,28 @@ __all__ = [
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _pad_batch_pow2(X, w):
+def _pad_batch_pow2(X, w, extra=None):
     """Pad a batch to the next power-of-2 rows with zero-weight padding.
 
     Streaming fits see ragged per-iteration batch sizes; padding keeps the
-    set of shapes reaching the jitted moment kernels logarithmic instead of
-    one (expensive, possibly remote) XLA compile per distinct segment count.
-    Zero-weight rows contribute nothing to weighted moments.
+    set of shapes reaching the jitted kernels logarithmic instead of one
+    (expensive, possibly remote) XLA compile per distinct segment count.
+    Zero-weight rows contribute nothing to weighted moments/updates.
+    ``extra``: optional 1-D int array padded with zeros alongside (e.g. WE
+    bin ids). The single shared implementation -- stratified streaming
+    imports it too.
     """
     n = len(X)
     target = 1 << max(n - 1, 1).bit_length()
     if target == n:
-        return X, w
+        return (X, w) if extra is None else (X, w, extra)
     pad = target - n
     X = np.concatenate([X, np.zeros((pad, X.shape[1]), X.dtype)])
     w = np.concatenate([w, np.zeros(pad, w.dtype)])
-    return X, w
+    if extra is None:
+        return X, w
+    extra = np.concatenate([extra, np.zeros(pad, extra.dtype)])
+    return X, w, extra
 
 
 @jax.jit
@@ -342,8 +348,15 @@ class PairMomentAccumulator:
         else:
             raise ValueError(f"Unknown method {method}")
 
-        ratio = np.cumsum(kinetic_var) / np.maximum(kinetic_var.sum(), 1e-300)
-        n_comp = int(np.argmax(ratio >= var_cutoff) + 1) if len(ratio) else 1
+        if var_cutoff >= 1.0:
+            # keep everything; cumulative-ratio rounding can leave the last
+            # entry at 0.999... and argmax-of-all-False would keep only 1
+            n_comp = len(kinetic_var)
+        else:
+            ratio = np.cumsum(kinetic_var) / np.maximum(kinetic_var.sum(), 1e-300)
+            crossed = ratio >= var_cutoff
+            n_comp = int(np.argmax(crossed) + 1) if crossed.any() else len(ratio)
+        n_comp = max(n_comp, 1)
         log.debug(f"{method} keeping {n_comp} components")
         return TICAModel(mean, components[:, :n_comp], scales[:n_comp])
 
@@ -360,15 +373,14 @@ class TICAModel:
         self._f32mean = self.mean_.astype(np.float32)
 
     def transform(self, coords):
-        # Centered subtraction (no offset fold): TICA carries no variance
-        # scale to bound the far-from-origin f32 cancellation the fold
-        # would introduce (see PCAModel._fold_ok)
-        flat = np.asarray(coords, np.float32).reshape(len(coords), -1)
+        # Center in f64 BEFORE the f32 cast (like the fit path and
+        # PCAModel._centered_f32): casting far-from-origin raw coordinates
+        # to f32 first would quantize away the spread
+        flat = np.asarray(coords, np.float64).reshape(len(coords), -1)
+        flat = (flat - self.mean_).astype(np.float32)
         if 2.0 * flat.size * self.output_dimension < _DEVICE_TRANSFORM_MIN_FLOPS:
-            return (flat - self._f32mean) @ self._f32comp
+            return flat @ self._f32comp
         out = jnp.matmul(
-            jnp.asarray(flat) - jnp.asarray(self._f32mean),
-            jnp.asarray(self._f32comp),
-            precision=_HI,
+            jnp.asarray(flat), jnp.asarray(self._f32comp), precision=_HI
         )
         return np.asarray(out)

@@ -67,9 +67,18 @@ def _np_assign(X, centers):
     return d2.argmin(axis=1)
 
 
+def _np_masked_assign(X, seg_bins, centers, center_bin, valid):
+    """Host masked assignment: nearest valid same-bin center per row."""
+    d2 = (
+        (X**2).sum(1)[:, None] - 2 * X @ centers.T + (centers**2).sum(1)[None, :]
+    )
+    bad = ~(valid[None, :] & (center_bin[None, :] == seg_bins[:, None]))
+    d2[bad] = np.inf
+    return d2.argmin(axis=1)
+
+
 def _np_lloyd(X, w, centers, n_iter):
     centers = centers.copy()
-    idx = _np_assign(X, centers)
     for _ in range(n_iter):
         idx = _np_assign(X, centers)
         for c in range(len(centers)):
@@ -77,26 +86,20 @@ def _np_lloyd(X, w, centers, n_iter):
             wm = w[m].sum()
             if wm > 0:
                 centers[c] = (X[m] * w[m, None]).sum(axis=0) / wm
-    return centers, idx
+    # Assignments against the FINAL centers, consistent with the device
+    # path's post-Lloyd assign_flat (a stale pre-update idx mis-attributes
+    # boundary points' counts)
+    return centers, _np_assign(X, centers)
 
 
 def _pad_pow2(X, w, bins=None):
-    """Pad a batch to the next power-of-2 length with zero-weight rows.
+    """Shared power-of-2 zero-weight padding (ops.pca._pad_batch_pow2)."""
+    from .pca import _pad_batch_pow2
 
-    Keeps the set of distinct shapes reaching jit logarithmic in batch size, so
-    the streaming loop doesn't recompile for every batch (zero-weight rows are
-    inert in every kernel: never sampled by k-means++, no mass in updates).
-    """
-    n = len(X)
-    target = 1 << max(n - 1, 1).bit_length()
-    if target == n:
-        return X, w, bins
-    pad = target - n
-    X = np.concatenate([X, np.zeros((pad, X.shape[1]), X.dtype)])
-    w = np.concatenate([w, np.zeros(pad, w.dtype)])
-    if bins is not None:
-        bins = np.concatenate([bins, np.zeros(pad, bins.dtype)])
-    return X, w, bins
+    if bins is None:
+        X, w = _pad_batch_pow2(X, w)
+        return X, w, None
+    return _pad_batch_pow2(X, w, bins)
 
 
 class StratifiedKmeans:
@@ -232,15 +235,9 @@ class StratifiedKmeans:
             if live.sum() < HOST_BATCH_THRESHOLD:
                 self._sync_host()
                 Xl, wl, bl = X[live], w[live], seg_bins[live]
-                # Masked assignment in numpy: +inf outside the row's bin
-                d2 = (
-                    (Xl**2).sum(1)[:, None]
-                    - 2 * Xl @ self.centers.T
-                    + (self.centers**2).sum(1)[None, :]
+                idx = _np_masked_assign(
+                    Xl, bl, self.centers, self.center_bin, self.valid
                 )
-                bad = ~(self.valid[None, :] & (self.center_bin[None, :] == bl[:, None]))
-                d2[bad] = np.inf
-                idx = d2.argmin(axis=1)
                 wsum = np.bincount(idx, weights=wl, minlength=len(self.counts))
                 xsum = np.zeros_like(self.centers, dtype=np.float64)
                 np.add.at(xsum, idx, Xl * wl[:, None])
@@ -300,17 +297,9 @@ class StratifiedKmeans:
             return self._predict_sharded(X, seg_bins, is_basis, is_target)
         if len(X) < HOST_BATCH_THRESHOLD:
             self._sync_host()
-            d2 = (
-                (X**2).sum(1)[:, None]
-                - 2 * X @ self.centers.T
-                + (self.centers**2).sum(1)[None, :]
+            flat = _np_masked_assign(
+                X, seg_bins, self.centers, self.center_bin, self.valid
             )
-            bad = ~(
-                self.valid[None, :]
-                & (self.center_bin[None, :] == seg_bins[:, None])
-            )
-            d2[bad] = np.inf
-            flat = d2.argmin(axis=1)
         else:
             # Reuse any pending device-resident bank: no blocking download +
             # re-upload round trip right after a streaming fill

@@ -93,9 +93,12 @@ def find_connected_sets(C, directed=True):
 
 
 def is_connected(matrix, source_states, target_states, directed=True):
-    """True if every source state can reach some target state through ``matrix``.
+    """True if every source state can reach EVERY target state through ``matrix``.
 
-    Reference: ``msm_we/utils.py:87-113``.
+    Note the all-targets requirement (a single unreachable target bin makes
+    this False even with real source->target flux) -- byte-compatible with
+    the reference's ``np.inf not in dists[:, targets]`` check,
+    ``msm_we/utils.py:87-113``.
     """
     dists = csgraph.shortest_path(matrix, directed=directed, indices=source_states)
     return bool(np.isfinite(dists[:, target_states]).all(axis=None))

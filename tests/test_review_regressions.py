@@ -559,3 +559,28 @@ def test_nm_mfpt_callable():
     )
     out = float(dpe.nm_mfpt(n_states=3))
     assert np.isfinite(out) and out > 0
+
+
+def test_committor_jax_matches_host():
+    """The device committor (absorbing basis rows applied internally) must
+    match the host committor's converged values, with q[basis] == 0."""
+    import jax.numpy as jnp
+
+    from msm_we_tpu.ops import linalg
+
+    rng = np.random.default_rng(6)
+    F = rng.random((8, 8))
+    q_host = linalg.committor(F, [7], [0], 8, conv=1e-12)
+
+    # Build the same row-normalized M the host starts from (pre-absorption)
+    M = F / F.sum(axis=1, keepdims=True)
+    basis = np.arange(8) == 0
+    target = np.arange(8) == 7
+    q_dev = np.asarray(
+        linalg.committor_jax(
+            jnp.asarray(M, jnp.float32), jnp.asarray(target), jnp.asarray(basis),
+            conv=1e-10, max_iters=100000,
+        )
+    )
+    assert q_dev[0] == 0.0
+    np.testing.assert_allclose(q_dev, q_host, atol=1e-4)
