@@ -146,7 +146,7 @@ def step_flops_bytes(p, ss_iters=512):
     return flops, bytes_moved
 
 
-def device_pipeline(p, inner_reps=1):
+def device_pipeline(p, inner_reps=1, fast_math=False):
     """Jitted transform + stratified assign + flux + steady state.
 
     ``inner_reps`` > 1 runs the whole step that many times *inside* the jit
@@ -171,15 +171,17 @@ def device_pipeline(p, inner_reps=1):
         # Centering folded into a bias: (x - mu) @ C == x @ C - mu @ C.
         # The transform is HBM-bound, so the elementwise (x - mu) pre-pass
         # would cost as much as the matmul itself.
-        # Precision HIGHEST throughout: default bf16 MXU matmuls flip
-        # near-tie cluster assignments (measured 41% of rows vs f64)
-        hi = jax.lax.Precision.HIGHEST
+        # Precision HIGHEST by default: bf16 MXU matmuls flip near-tie
+        # cluster assignments (measured 41% of rows vs f64). fast_math is
+        # the explicit bf16 serving tier.
+        prec = "default" if fast_math else jax.lax.Precision.HIGHEST
         offset = mean @ comp
-        fp = jnp.matmul(raw_parent, comp, precision=hi) - offset[None, :]
-        fc = jnp.matmul(raw_child, comp, precision=hi) - offset[None, :]
+        fp = jnp.matmul(raw_parent, comp, precision=prec) - offset[None, :]
+        fc = jnp.matmul(raw_child, comp, precision=prec) - offset[None, :]
         fm, _pi, _ci = _discretize_and_flux(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
             centers, center_bin, valid, n_states, n_bins=n_bins,
+            precision=prec,
         )
         basis_mask = jnp.arange(n_states) == n_states - 2
         target_mask = jnp.arange(n_states) == n_states - 1
@@ -317,6 +319,19 @@ def main():
     device_time = (time.perf_counter() - t0) / (outer * inner_reps)
 
     frames_per_sec = n_segments / device_time
+
+    # Fast-math serving tier (explicit bf16 matmuls; assignments may flip
+    # on near-ties -- documented opt-in, never the default)
+    step_fast, args_fast = device_pipeline(p, inner_reps=inner_reps, fast_math=True)
+    args_fast = tuple(jax.device_put(a) for a in args_fast)
+    fm_f, _pss_f, _flux_f = step_fast(*args_fast)
+    fm_f.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        fm_f, _pss_f, _flux_f = step_fast(*args_fast)
+    fm_f.block_until_ready()
+    device_time_fast = (time.perf_counter() - t0) / (outer * inner_reps)
+    frames_per_sec_fast = n_segments / device_time_fast
     baseline_time = baseline_per_frame_seconds(p)
     vs_baseline = baseline_time / device_time
 
@@ -345,6 +360,7 @@ def main():
         "raw_dim": int(p["raw_parent"].shape[1]),
         "n_components": int(p["comp"].shape[1]),
         "n_states": p["n_states"],
+        "frames_per_sec_fast_math": round(frames_per_sec_fast, 1),
         "achieved_tflops": round(achieved_tflops, 3),
         "pct_peak": round(pct_peak, 2) if pct_peak is not None else None,
         "sol_fraction": round(sol_fraction, 3) if sol_fraction is not None else None,

@@ -47,7 +47,8 @@ _HI = jax.lax.Precision.HIGHEST
 _MAX_ONEHOT_BINS = 64
 
 
-def _local_masked_min(X, seg_bin, C, center_bin, valid, n_bins=None):
+def _local_masked_min(X, seg_bin, C, center_bin, valid, n_bins=None,
+                      precision=None):
     """Nearest valid same-bin center within the local center shard.
 
     Returns (min_score, argmin_row) per row, where score = |c|^2 - 2 x.c
@@ -67,6 +68,7 @@ def _local_masked_min(X, seg_bin, C, center_bin, valid, n_bins=None):
     scores are bit-identical to the unmasked ones, and no (N, K) elementwise
     mask pass exists to break XLA's matmul->argmin fusion.
     """
+    prec = _HI if precision is None else precision
     c2 = jnp.sum(C * C, axis=1)
     if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:
         c2v = jnp.where(valid, c2, _PEN)
@@ -76,11 +78,12 @@ def _local_masked_min(X, seg_bin, C, center_bin, valid, n_bins=None):
             center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
         )
         Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
-        # Precision.HIGHEST: default bf16 MXU scores flip near-tie
-        # assignments (see ops/kmeans.py)
-        scores = jnp.matmul(Xa, Ca, precision=_HI) + c2v[None, :]
+        # Precision.HIGHEST by default: bf16 MXU scores flip near-tie
+        # assignments (see ops/kmeans.py); the fast-math serving tier
+        # passes precision='default' explicitly
+        scores = jnp.matmul(Xa, Ca, precision=prec) + c2v[None, :]
     else:
-        scores = c2[None, :] - 2.0 * jnp.matmul(X, C.T, precision=_HI)
+        scores = c2[None, :] - 2.0 * jnp.matmul(X, C.T, precision=prec)
         ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
         scores = jnp.where(ok, scores, _BIG)
     k = jnp.argmin(scores, axis=1)
@@ -98,7 +101,7 @@ def _combine_argmin(local_min, local_gid, axis_name):
 def _discretize_and_flux(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
     centers, center_bin, valid, n_states, model_axis=None,
-    target_p=None, n_bins=None,
+    target_p=None, n_bins=None, precision=None,
 ):
     """Shared kernel body: assign parent+child, apply overrides, scatter flux.
 
@@ -114,8 +117,12 @@ def _discretize_and_flux(
     f64, ``_fluxmatrix.py:311-342``), so an f32 scatter would flush small
     weights to zero and could silently disconnect low-weight states.
     """
-    pmin, pk = _local_masked_min(fp, pbins, centers, center_bin, valid, n_bins=n_bins)
-    cmin, ck = _local_masked_min(fc, cbins, centers, center_bin, valid, n_bins=n_bins)
+    pmin, pk = _local_masked_min(
+        fp, pbins, centers, center_bin, valid, n_bins=n_bins, precision=precision
+    )
+    cmin, ck = _local_masked_min(
+        fc, cbins, centers, center_bin, valid, n_bins=n_bins, precision=precision
+    )
     if model_axis is not None:
         offset = jax.lax.axis_index(model_axis) * centers.shape[0]
         pidx = _combine_argmin(pmin, pk + offset, model_axis)
