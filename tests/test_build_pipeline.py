@@ -183,3 +183,16 @@ def test_block_validation_with_device_pipeline(west_h5):
     for vm_host, vm_dev in zip(host.validation_models, dev.validation_models):
         assert vm_dev._mesh is not None  # deepcopy kept the mesh attached
         assert vm_dev.JtargetSS == pytest.approx(vm_host.JtargetSS, rel=1e-6)
+
+
+def test_build_is_deterministic(west_h5):
+    """Two builds over the same data produce bit-identical results: seeded
+    k-means, deterministic kernels, no hidden RNG or ordering dependence."""
+    a = _build(west_h5, show_live_display=False)
+    b = _build(west_h5, show_live_display=False)
+    assert a.JtargetSS == b.JtargetSS
+    np.testing.assert_array_equal(a.fluxMatrix, b.fluxMatrix)
+    np.testing.assert_array_equal(a.pSS, b.pSS)
+    np.testing.assert_array_equal(
+        np.concatenate(a.dtrajs), np.concatenate(b.dtrajs)
+    )
