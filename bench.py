@@ -321,9 +321,11 @@ def main():
     frames_per_sec = n_segments / device_time
 
     # Fast-math serving tier (explicit bf16 matmuls; assignments may flip
-    # on near-ties -- documented opt-in, never the default)
-    step_fast, args_fast = device_pipeline(p, inner_reps=inner_reps, fast_math=True)
-    args_fast = tuple(jax.device_put(a) for a in args_fast)
+    # on near-ties -- documented opt-in, never the default). Reuses the
+    # already device-resident inputs: a second device_put would duplicate
+    # ~740 MB of raw coordinates on the device.
+    step_fast, _ = device_pipeline(p, inner_reps=inner_reps, fast_math=True)
+    args_fast = args
     fm_f, _pss_f, _flux_f = step_fast(*args_fast)
     fm_f.block_until_ready()
     t0 = time.perf_counter()

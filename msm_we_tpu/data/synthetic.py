@@ -226,7 +226,8 @@ def generate_trajectory_arrays(settings: SynthWESettings):
 
 
 def generate_west_h5(
-    path, n_iterations=50, n_segments=32, seed=0, warmup=20, settings=None
+    path, n_iterations=None, n_segments=None, seed=None, warmup=None,
+    settings=None,
 ):
     """Write a synthetic WE dataset to ``path`` in west.h5 layout.
 
@@ -234,14 +235,19 @@ def generate_west_h5(
     the last iteration as incomplete (the reference does:
     ``_data.py:859-866``) see exactly ``n_iterations`` usable iterations.
     """
+    explicit = (n_iterations, n_segments, seed, warmup)
     if settings is None:
+        n_iterations = 50 if n_iterations is None else n_iterations
+        n_segments = 32 if n_segments is None else n_segments
+        seed = 0 if seed is None else seed
+        warmup = 20 if warmup is None else warmup
         settings = SynthWESettings(
             n_iterations=n_iterations + 1,
             n_segments=n_segments,
             seed=seed,
             warmup=warmup,
         )
-    elif (n_iterations, n_segments, seed, warmup) != (50, 32, 0, 20):
+    elif any(v is not None for v in explicit):
         raise ValueError(
             "Pass either settings= or the individual arguments, not both -- "
             "explicit arguments would be silently ignored. Note: with "

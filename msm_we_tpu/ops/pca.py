@@ -370,7 +370,6 @@ class TICAModel:
         self.scales_ = np.asarray(scales)
         self.output_dimension = self.components_.shape[1]
         self._f32comp = (self.components_ * self.scales_[None, :]).astype(np.float32)
-        self._f32mean = self.mean_.astype(np.float32)
 
     def transform(self, coords):
         # Center in f64 BEFORE the f32 cast (like the fit path and
