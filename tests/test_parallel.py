@@ -116,6 +116,12 @@ def test_multihost_style_ingest():
     """Per-'host' local shards assembled via make_array_from_single_device_
     arrays must produce the identical flux matrix to the single-array path
     (the multi-host ingest boundary, docs/multihost.md)."""
+    import os
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     import __graft_entry__ as graft
 
     graft.dryrun_multihost(8)
