@@ -9,8 +9,9 @@ array in HBM between ops; this kernel keeps everything in VMEM:
 
 * grid over segment tiles; per tile, both distance computations are MXU
   matmuls against the (K, d) center bank held in VMEM;
-* the winner's *global id* is extracted with a one-hot matmul (gather is
-  awkward on TPU; a (TN, K) one-hot times the (K,) id vector is MXU work);
+* the bank is **compact** (valid centers first, in global-id order, like
+  the production kernels), so the argmin row index IS the global cluster
+  id -- no gather, no id table;
 * the flux scatter becomes ``onehot_start^T @ (w * onehot_end)`` -- another
   MXU matmul -- accumulated into a VMEM-resident (S, S) flux matrix across
   sequential grid steps.
@@ -51,7 +52,7 @@ def _round_up(x, m):
 def _kernel(
     fp_ref, fc_ref, pbin_ref, cbin_ref, wp_ref,
     basis_p_ref, basis_c_ref, target_c_ref,
-    c_ref, centerbin_ref, valid_ref, gid_ref,
+    c_ref, centerbin_ref, valid_ref,
     pidx_ref, cidx_ref, fm_ref,
     *, n_states,
 ):
@@ -69,7 +70,6 @@ def _kernel(
     c2 = jnp.sum(CT * CT, axis=0)[None, :]
     center_bin = centerbin_ref[:][:, 0]  # (K,)
     valid = valid_ref[:][:, 0]
-    gid = gid_ref[:][:, 0].astype(jnp.float32)  # exact for ids < 2^24
 
     def assign(x, seg_bin):
         x2 = jnp.sum(x * x, axis=1, keepdims=True)
@@ -85,17 +85,12 @@ def _kernel(
         )
         ok = (valid[None, :] > 0) & (center_bin[None, :] == seg_bin[:, None])
         d2 = jnp.where(ok, d2, _BIG)
-        # First-minimum selection and global-id lookup as pure VPU
-        # reductions: argmin + dynamic gather lower poorly in Mosaic
-        # (3-D broadcast intermediates that blow scoped VMEM)
+        # First-minimum selection as pure VPU reductions (argmin lowers
+        # poorly in Mosaic). Compact bank: the row index IS the global id.
         K = CT.shape[1]
         iota = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], K), 1)
         minval = jnp.min(d2, axis=1, keepdims=True)
-        k = jnp.min(jnp.where(d2 == minval, iota, K), axis=1)
-        sel = iota == k[:, None]
-        return jnp.sum(
-            jnp.where(sel, gid[None, :], 0.0), axis=1
-        ).astype(jnp.int32)
+        return jnp.min(jnp.where(d2 == minval, iota, K), axis=1)
 
     pidx = assign(fp_ref[:], pbin_ref[:][:, 0])
     cidx = assign(fc_ref[:], cbin_ref[:][:, 0])
@@ -135,16 +130,16 @@ def _kernel(
 
 def _assign_kernel(
     fp_ref, fc_ref, pbin_ref, cbin_ref,
-    c_ref, centerbin_ref, valid_ref, gid_ref,
+    c_ref, centerbin_ref, valid_ref,
     pidx_ref, cidx_ref,
 ):
-    """Assignment-only kernel: fused transform-free distance + argmin + id
-    lookup, no flux accumulation (XLA's native scatter wins that op)."""
+    """Assignment-only kernel: fused transform-free distance + argmin over a
+    compact bank (row index == global id), no flux accumulation (XLA's
+    native scatter wins that op)."""
     CT = c_ref[:]
     c2 = jnp.sum(CT * CT, axis=0)[None, :]
     center_bin = centerbin_ref[:][:, 0]
     valid = valid_ref[:][:, 0]
-    gid = gid_ref[:][:, 0].astype(jnp.float32)
 
     def assign(x, seg_bin):
         x2 = jnp.sum(x * x, axis=1, keepdims=True)
@@ -160,16 +155,14 @@ def _assign_kernel(
         K = CT.shape[1]
         iota = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], K), 1)
         minval = jnp.min(d2, axis=1, keepdims=True)
-        k = jnp.min(jnp.where(d2 == minval, iota, K), axis=1)
-        sel = iota == k[:, None]
-        return jnp.sum(jnp.where(sel, gid[None, :], 0.0), axis=1).astype(jnp.int32)
+        return jnp.min(jnp.where(d2 == minval, iota, K), axis=1)
 
     pidx_ref[:] = assign(fp_ref[:], pbin_ref[:][:, 0])[:, None]
     cidx_ref[:] = assign(fc_ref[:], cbin_ref[:][:, 0])[:, None]
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
-def _assign_call(fp, fc, pbins, cbins, centers_T, center_bin, valid, global_id,
+def _assign_call(fp, fc, pbins, cbins, centers_T, center_bin, valid,
                  tile, interpret):
     import jax.experimental.pallas as pl
 
@@ -191,7 +184,7 @@ def _assign_call(fp, fc, pbins, cbins, centers_T, center_bin, valid, global_id,
     pidx, cidx = pl.pallas_call(
         _assign_kernel,
         grid=grid,
-        in_specs=[seg2, seg2, seg1, seg1, bank2, bank1, bank1, bank1],
+        in_specs=[seg2, seg2, seg1, seg1, bank2, bank1, bank1],
         out_specs=[seg1, seg1],
         out_shape=[
             jax.ShapeDtypeStruct((N, 1), jnp.int32),
@@ -199,14 +192,14 @@ def _assign_call(fp, fc, pbins, cbins, centers_T, center_bin, valid, global_id,
         ],
         interpret=interpret,
         **kwargs,
-    )(fp, fc, pbins, cbins, centers_T, center_bin, valid, global_id)
+    )(fp, fc, pbins, cbins, centers_T, center_bin, valid)
     return pidx[:, 0], cidx[:, 0]
 
 
 @partial(jax.jit, static_argnames=("n_states", "tile", "interpret"))
 def _fused_call(
     fp, fc, pbins, cbins, w, basis_p, basis_c, target_c,
-    centers_T, center_bin, valid, global_id,
+    centers_T, center_bin, valid,
     n_states, tile, interpret,
 ):
     import jax.experimental.pallas as pl
@@ -239,7 +232,7 @@ def _fused_call(
         in_specs=[
             seg2, seg2, seg1, seg1, seg1,
             seg1, seg1, seg1,
-            bank2, bank1, bank1, bank1,
+            bank2, bank1, bank1,
         ],
         out_specs=[seg1, seg1, fm_spec],
         out_shape=[
@@ -251,21 +244,22 @@ def _fused_call(
         **kwargs,
     )(
         fp, fc, pbins, cbins, w, basis_p, basis_c, target_c,
-        centers_T, center_bin, valid, global_id,
+        centers_T, center_bin, valid,
     )
     return pidx[:, 0], cidx[:, 0], fm[:n_states, :n_states]
 
 
 def fused_assign_flux(
     fp, fc, pbins, cbins, w, basis_p, basis_c, target_c,
-    centers, center_bin, valid, global_id, n_states,
+    centers, center_bin, valid, n_states,
     tile=128, interpret=None,
 ):
     """Fused stratified assign + flux accumulate.
 
     Host-facing wrapper: pads segments to the tile size (weight 0) and the
-    center bank/dims to MXU-friendly shapes, then launches the kernel.
-    Returns (parent_idx, child_idx, flux_matrix) as numpy arrays.
+    center bank/dims to MXU-friendly shapes, then launches the kernel. The
+    bank must be compact (valid-first, global-id order), as the production
+    kernels require. Returns (parent_idx, child_idx, flux_matrix).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -301,7 +295,6 @@ def fused_assign_flux(
         jnp.asarray(pad2(np.asarray(centers, np.float32), K_pad, d_pad).T.copy()),
         jnp.asarray(col(np.asarray(center_bin), K_pad, fill=-2)),
         jnp.asarray(col(np.asarray(valid, np.int32), K_pad)),
-        jnp.asarray(col(np.asarray(global_id), K_pad)),
     )
     pidx, cidx, fm = _fused_call(
         *args, n_states=n_states, tile=tile, interpret=interpret

@@ -20,7 +20,6 @@ def problem():
     # Compact bank: valid-first in global-id order (row == global id)
     rows = np.flatnonzero(holey)
     K = len(rows)
-    gid = np.arange(K, dtype=np.int64)
     return dict(
         fp=rng.normal(size=(N, d)).astype(np.float32),
         fc=rng.normal(size=(N, d)).astype(np.float32),
@@ -33,7 +32,6 @@ def problem():
         centers=centers_all[rows],
         center_bin=center_bin_all[rows],
         valid=np.ones(K, bool),
-        global_id=gid,
         n_states=K + 2,
     )
 
@@ -63,7 +61,7 @@ def test_assign_only_kernel_matches_jnp(problem):
         pad2(p["fp"], Np, dp), pad2(p["fc"], Np, dp),
         col(p["pbins"], Np, -1), col(p["cbins"], Np, -1),
         pad2(p["centers"], Kp, dp).T.copy(), col(p["center_bin"], Kp, -2),
-        col(p["valid"].astype(_np.int32), Kp), col(p["global_id"], Kp),
+        col(p["valid"].astype(_np.int32), Kp),
         tile=tile, interpret=True,
     )
     from msm_we_tpu.ops.kmeans import masked_assign
@@ -90,7 +88,7 @@ def test_fused_kernel_matches_jnp(problem):
     pidx, cidx, fm = fused_assign_flux(
         p["fp"], p["fc"], p["pbins"], p["cbins"], p["w"],
         p["basis_p"], p["basis_c"], p["target_c"],
-        p["centers"], p["center_bin"], p["valid"], p["global_id"],
+        p["centers"], p["center_bin"], p["valid"],
         p["n_states"], tile=128,
     )
     assert np.array_equal(pidx, np.asarray(pidx_ref))
