@@ -402,3 +402,89 @@ class ExtendedModelWE(modelWE):
             "cluster_coordinates() (the reference's loader was legacy pyemma "
             "code, _untested.py:27-48)."
         )
+
+    # ------------------------------------------ per-iteration kh machinery
+    def _model_cluster_assign(self, coords, pcoords):
+        """Assign structures to the cleaned model's clusters in the flux
+        matrix's (pcoord-sorted) numbering.
+
+        The working replacement for the reference's pyemma
+        ``get_model_clusters``/``AssignCenters`` flow
+        (``_untested.py:179-223``): assignment runs through the model's own
+        discretization (aggregated bank or stratified per-bin bank), then
+        the raw global-id indices map through the sort permutation recorded
+        by ``organize_fluxMatrix`` (basis/target land on their pinned last
+        two positions either way).
+        """
+        assert getattr(self, "pcoord_sort_indices", None) is not None, (
+            "Run organize_fluxMatrix() first"
+        )
+        feats = self.reduceCoordinates(np.nan_to_num(np.asarray(coords)))
+        if self._strat is not None:
+            bins = self._strat.we_remap[self._bin_mapper.assign(
+                np.nan_to_num(np.asarray(pcoords))
+            )]
+            raw = self._strat.predict(
+                feats, bins,
+                is_basis=self.is_WE_basis(pcoords),
+                is_target=self.is_WE_target(pcoords),
+            )
+        else:
+            raw = self.clusters.predict(feats)
+        inv = np.empty(self.nBins, dtype=int)
+        inv[np.asarray(self.pcoord_sort_indices)] = np.arange(self.nBins)
+        return inv[np.clip(raw, 0, self.nBins - 1)]
+
+    def get_iter_aristoffian(self, iteration):
+        """Per-segment kh values for one iteration's final structures
+        (reference ``get_iter_aristoffian``, ``_untested.py:581-729``,
+        which is unreachable there -- it depends on the broken pyemma
+        loader). Requires ``get_model_aristoffian()``.
+        Populates and returns ``self.khList`` (n_segs, 1)."""
+        assert getattr(self, "kh", None) is not None, (
+            "Run get_model_aristoffian() first"
+        )
+        self.load_iter_data(iteration)
+        _parent, child, _w = self._dataset.iter_coord_pairs(iteration)
+        idx = self._model_cluster_assign(child, self.pcoord1List)
+        kh = np.asarray(self.kh).reshape(-1)
+        self.khList = kh[idx][:, None]
+        return self.khList
+
+    def write_iter_kh_pcoord(self):
+        """Extend the current iteration's pcoord dataset with kh values.
+
+        Writes a (n_segs, 2, 2) pcoord per west.h5 file: dim 0 keeps the
+        original progress coordinate, dim 1 carries kh of the pre/post
+        structures -- the Aristoffian-WE extended pcoord (reference
+        ``write_iter_kh_pcoord``, ``_untested.py:731-800``, which re-reads
+        trajectory files with mdtraj; here the already-augmented auxdata
+        coordinates are used).
+        """
+        import h5py
+
+        assert getattr(self, "kh", None) is not None, (
+            "Run get_model_aristoffian() first"
+        )
+        n_iter = self.n_iter
+        parent, child, _w = self._dataset.iter_coord_pairs(n_iter)
+        kh = np.asarray(self.kh).reshape(-1)
+        idx0 = self._model_cluster_assign(parent, self.pcoord0List)
+        idx1 = self._model_cluster_assign(child, self.pcoord1List)
+
+        d = self._dataset.iter_data(n_iter)
+        pcoords = np.zeros((d["n_segs"], 2, 2))
+        pcoords[:, 0, 0] = self.pcoord0List[:, 0]
+        pcoords[:, 1, 0] = self.pcoord1List[:, 0]
+        pcoords[:, 0, 1] = kh[idx0]
+        pcoords[:, 1, 1] = kh[idx1]
+
+        for f_idx in np.unique(d["west_idx"]):
+            rows = d["west_idx"] == f_idx
+            with h5py.File(self.fileList[int(f_idx)], "a") as h5:
+                grp = h5[f"iterations/iter_{int(n_iter):08d}"]
+                del grp["pcoord"]
+                grp.create_dataset("pcoord", data=pcoords[rows])
+        # Cached index data for this iteration is now stale
+        self._dataset._iter_data.pop(n_iter, None)
+        return pcoords

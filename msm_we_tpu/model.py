@@ -1363,6 +1363,10 @@ class modelWE:
             # Recompute the flux matrix at the new clustering (unsorted
             # global-id order), then pcoord-sort and normalize
             pcoord_sort_indices = self.get_cluster_centers()
+            # Kept current for downstream consumers mapping raw (global-id)
+            # assignments into the sorted fluxMatrix numbering (e.g. the
+            # Aristoffian kh machinery in extended.py)
+            self.pcoord_sort_indices = pcoord_sort_indices
             self.get_fluxMatrix(*self._fluxMatrixParams)
             fluxMatrix = self.fluxMatrixRaw[
                 np.ix_(pcoord_sort_indices, pcoord_sort_indices)

@@ -117,3 +117,63 @@ def test_evolve_probability(ext_model):
     prob3 = ext_model.evolve_probability_from_initial(p0, 100, 50)
     assert np.allclose(prob3.sum(axis=1), 1.0)
     ext_model.pSS = ref_pss
+
+
+def test_iter_aristoffian_and_kh_pcoord_write(tmp_path):
+    """get_iter_aristoffian assigns segments to the cleaned model's clusters
+    and looks up kh; write_iter_kh_pcoord extends the iteration's pcoord
+    dataset with the kh dimension (the Aristoffian-WE extended pcoord).
+    These are unreachable dead code in the reference (_untested.py:581-800,
+    gated behind the broken pyemma loader)."""
+    import shutil
+
+    import h5py
+
+    from msm_we_tpu.binning import RectilinearBinMapper
+
+    src = str(tmp_path / "west.h5")
+    generate_west_h5(src, n_iterations=30, n_segments=16, seed=9)
+    work = str(tmp_path / "west_copy.h5")
+    shutil.copyfile(src, work)
+
+    model = ExtendedModelWE()
+    model.initialize(
+        [work],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "kh",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    model.get_iterations()
+    model.dimReduce()
+    model.cluster_coordinates(
+        n_clusters=2, stratified=True,
+        user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
+    )
+    model.get_fluxMatrix(0)
+    model.organize_fluxMatrix()
+    model.get_Tmatrix()
+    model.get_steady_state()
+    model.get_hflux(1e-3, max_iters=200)
+    model.get_model_aristoffian()
+
+    kh_list = model.get_iter_aristoffian(10)
+    assert kh_list.shape == (model.nSeg, 1)
+    assert np.isfinite(kh_list).all()
+    kh = np.asarray(model.kh).reshape(-1)
+    assert kh_list.min() >= kh.min() - 1e-9
+    assert kh_list.max() <= kh.max() + 1e-9
+
+    model.load_iter_data(10)
+    written = model.write_iter_kh_pcoord()
+    assert written.shape == (model.nSeg, 2, 2)
+    with h5py.File(work) as h5:
+        pc = h5["iterations/iter_00000010/pcoord"][:]
+    assert pc.shape == (model.nSeg, 2, 2)
+    np.testing.assert_allclose(pc[:, 1, 1], kh_list[:, 0])
+    # Dim 0 keeps the original progress coordinate
+    with h5py.File(src) as h5:
+        orig = h5["iterations/iter_00000010/pcoord"][:]
+    np.testing.assert_allclose(pc[:, :, 0], orig[:, :, 0])
