@@ -143,15 +143,27 @@ class ExtendedModelWE(modelWE):
             khbins = transformed * kh.max() - shift
             centers = 0.5 * (khbins[1:] + khbins[:-1])
         elif self.binMethod == "optimized":
-            try:
-                centers = np.loadtxt("khbins_binCenters.dat")
-            except OSError:
-                log.warning("khbins_binCenters.dat not found; initializing")
-                self.get_initial_khbins_equalAlloc()
-                centers = self.khbins_binCenters
+            centers = getattr(self, "khbins_binCenters", None)
+            if centers is None:
+                try:
+                    centers = np.loadtxt("khbins_binCenters.dat")
+                except OSError:
+                    log.warning("khbins_binCenters.dat not found; initializing")
+                    self.get_initial_khbins_equalAlloc()
+                    centers = self.khbins_binCenters
         else:
             raise ValueError(f"Unknown binMethod {self.binMethod}")
         return np.asarray(centers).reshape(-1)
+
+    def get_bin_total_var(self, x):
+        """Total-variance objective for external kh-bin-center optimizers
+        (reference ``_untested.py:572-579``): evaluate the Aristoffian
+        allocation at the candidate centers ``x`` and return
+        ``binObjective``."""
+        self.binMethod = "optimized"
+        self.khbins_binCenters = np.asarray(x).reshape(-1)
+        self.get_model_steady_state_aristoffian()
+        return self.binObjective
 
     def get_model_steady_state_aristoffian(self):
         """Aristoffian bin allocation and objective (reference

@@ -177,3 +177,13 @@ def test_iter_aristoffian_and_kh_pcoord_write(tmp_path):
     with h5py.File(src) as h5:
         orig = h5["iterations/iter_00000010/pcoord"][:]
     np.testing.assert_allclose(pc[:, :, 0], orig[:, :, 0])
+
+
+def test_get_bin_total_var(ext_model):
+    """The kh-bin optimizer objective evaluates candidate centers."""
+    m = ext_model
+    kh = np.asarray(m.kh).reshape(-1)
+    centers = np.linspace(kh.min(), kh.max(), 4)
+    obj = m.get_bin_total_var(centers)
+    assert np.isfinite(obj) and obj >= 0
+    assert m.binMethod == "optimized"
