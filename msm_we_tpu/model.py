@@ -2132,3 +2132,68 @@ class modelWE:
 
     def progress_enable(self):
         pass
+
+    # Manual live-table helpers (reference msm_we.py:529-586). The automated
+    # pipeline display in build_analyze_model is driven by StageTimer; these
+    # statics reproduce the reference's hand-driven table API for users who
+    # compose their own pipelines.
+    _TABLE_STEPS = (
+        "Ray initialization",
+        "Model initialization",
+        "Loading iterations",
+        "Loading coordinates",
+        "Computing dimensionality reduction",
+        "Clustering",
+        "Flux matrix",
+        "Cleaning",
+        "Transition matrix",
+        "Steady-state distribution",
+        "Steady-state target flux",
+        "Cross-validation",
+    )
+
+    @staticmethod
+    def new_table():
+        """Build a rich progress table with one row per pipeline step
+        (reference ``msm_we.py:561-586``)."""
+        from rich.table import Table
+
+        table = Table(title="haMSM Progress")
+        for column in ("Status", "Step", "Notes"):
+            table.add_column(column)
+        for step in modelWE._TABLE_STEPS:
+            table.add_row(" [ ]", step, "")
+        return table
+
+    @staticmethod
+    def set_note(table, row, text):
+        """Set the Notes cell of a step row (reference ``msm_we.py:558-560``)."""
+        table.columns[2]._cells[row] = text
+
+    @staticmethod
+    def do_step(table, row, step, args=(), kwargs=None, in_subprocess=False):
+        """Run one pipeline step, updating its table row to running/ok/failed
+        (reference ``msm_we.py:529-556``). ``in_subprocess`` is accepted for
+        API parity and ignored: the fork-isolation workaround (SURVEY.md P2)
+        is unnecessary in this design.
+        """
+        del in_subprocess
+        step_text = table.columns[1]._cells[row]
+        status, name = table.columns[0], table.columns[1]
+        status._cells[row] = "[bold black][ [bold yellow]* [bold black]]"
+        name._cells[row] = f"[bold black]{step_text}"
+        try:
+            result = step(*args, **(kwargs or {}))
+        except Exception as e:
+            status._cells[row] = "[bold black] [[bold red]x[bold black]]"
+            name._cells[row] = f"[black]{step_text}"
+            table.columns[2]._cells[row] = f"{getattr(e, 'message', repr(e))}"
+            raise
+        status._cells[row] = "[bold black] [[bold green]✓[bold black]]"
+        name._cells[row] = f"[black]{step_text}"
+        return result
+
+
+# Module-level alias: the reference defines BlockValidationError at module
+# scope (msm_we.py:60-61); keep both import paths working.
+BlockValidationError = modelWE.BlockValidationError

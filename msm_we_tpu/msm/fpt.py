@@ -375,6 +375,41 @@ class MatrixFPT:
         density_vs_t[:, 1] /= density_vs_t[:, 1].sum()
         return density_vs_t
 
+    @classmethod
+    def calc_fmatrix(
+        cls,
+        Fmatrix,
+        tmatrix,
+        prevFmatrix,
+        list_of_pdfs,
+        lag_list,
+        ini_state,
+        istateIndex,
+        f_state,
+    ):
+        """One initial state's F-matrix recursion (Suarez et al. 2016, Eq. 3).
+
+        API-parity shim over the same recursion :meth:`fpt_distribution` runs
+        once for all initial states (reference ``fpt.py:776-802`` recomputes it
+        per state through this entry point). Fills
+        ``list_of_pdfs[istateIndex, :]`` in place, one first-passage
+        probability per lag in ``lag_list``, and returns the final F matrix.
+        ``Fmatrix`` is accepted for signature parity; only ``prevFmatrix``
+        seeds the recursion.
+        """
+        del Fmatrix
+        tmatrix = np.asarray(tmatrix, dtype=float)
+        prevF = np.asarray(prevFmatrix, dtype=float)
+        previous_lag = 0
+        for time_index, lag in enumerate(lag_list):
+            t_step = np.linalg.matrix_power(tmatrix, lag - previous_lag)
+            prevF = t_step @ (prevF - np.diag(np.diag(prevF)))
+            list_of_pdfs[istateIndex, time_index] = prevF[
+                ini_state[istateIndex], f_state
+            ]
+            previous_lag = lag
+        return prevF
+
     @staticmethod
     def adaptive_fpt_distribution(
         Tmatrix,

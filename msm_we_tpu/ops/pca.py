@@ -95,6 +95,10 @@ class IdentityCoordinates:
         return coords
 
 
+# Reference import-path parity (``from ... import Coordinates``).
+Coordinates = IdentityCoordinates
+
+
 class MomentAccumulator:
     """Streaming first/second moments for PCA.
 

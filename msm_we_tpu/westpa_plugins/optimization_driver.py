@@ -186,6 +186,29 @@ class OptimizationDriver:
         else:
             westpa.rc.pstatus("No more iterations for optimization, completing.")
 
+    @staticmethod
+    def default_bin_optimizer(model):
+        """Default microstate->WE-bin optimization: k-means MFPT bins from the
+        discrepancy solve (reference ``optimization_driver.py:198-217``)."""
+        import westpa
+
+        n_active_bins = int(np.count_nonzero(westpa.rc.we_driver.bin_target_counts))
+        discrepancy, variance = optimization.solve_discrepancy(
+            tmatrix=model.Tmatrix, pi=model.pSS, B=model.indTargets
+        )
+        return optimization.get_clustered_mfpt_bins(
+            variance, discrepancy, model.pSS, n_active_bins
+        )
+
+    @staticmethod
+    def default_allocation_optimizer(model):
+        """Trivial example allocation optimizer: keep the current target
+        counts (reference ``optimization_driver.py:167-173``)."""
+        del model
+        import westpa
+
+        return westpa.rc.we_driver.bin_target_counts
+
     def compute_optimized_allocation(self):
         """Pluggable allocation optimization; default keeps current counts."""
         from .hamsm_driver import _resolve_callable

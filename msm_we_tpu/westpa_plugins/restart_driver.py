@@ -363,6 +363,19 @@ class RestartDriver(HAMSMDriver):
     def is_last_iteration(self):
         return self.cur_iter >= self.sim_manager.max_total_iterations
 
+    def get_original_bins(self):
+        """WE bins and their probabilities at the end of the previous
+        iteration (reference ``restart_driver.py:248-268``).
+
+        Returns ``(bins, binprobs)``: the WE driver's next-iteration binning
+        and each bin's total weight.
+        """
+        bins = self.sim_manager.we_driver.next_iter_binning
+        binprobs = np.fromiter(
+            (b.weight for b in bins), dtype=np.float64, count=len(bins)
+        )
+        return bins, binprobs
+
     # -- WE lifecycle pieces -------------------------------------------------
 
     def init_we(self, initialization_state, pcoord_cache):
