@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_assign_flux", "pallas_available"]
+__all__ = [
+    "fused_assign_flux",
+    "fused_transform_assign",
+    "pallas_available",
+]
 
 _BIG = 3.4e38
 
@@ -247,6 +251,210 @@ def _fused_call(
         centers_T, center_bin, valid,
     )
     return pidx[:, 0], cidx[:, 0], fm[:n_states, :n_states]
+
+
+def _transform_assign_kernel(
+    raw_p_ref, raw_c_ref, pbin_ref, cbin_ref, wp_ref,
+    basis_p_ref, basis_c_ref, target_c_ref,
+    proj_ref, cT_ref, c2adj_ref, centerbin_ref, valid_ref,
+    pidx_ref, cidx_ref, fm_ref,
+    *, n_states, with_flux, precision,
+):
+    """Whole-step kernel: raw coords -> PCA features -> masked nearest center
+    -> basis/target overrides (-> one-hot flux accumulation).
+
+    The centering bias is folded into ``c2adj`` on the host
+    (``|c|^2 + 2 (mu @ P) . c``), so the kernel computes
+    ``scores = c2adj - 2 (x @ P) @ C^T`` -- exactly the production XLA
+    scores, never materializing features or the (N, K) score matrix in HBM.
+    """
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        fm_ref[:] = jnp.zeros_like(fm_ref)
+
+    proj = proj_ref[:]          # (D, F)
+    cT = cT_ref[:]              # (F, K)
+    c2adj = c2adj_ref[:][:, 0]  # (K,)
+    center_bin = centerbin_ref[:][:, 0]
+    valid = valid_ref[:][:, 0]
+    K = cT.shape[1]
+
+    def assign(x, seg_bin):
+        g = jnp.dot(x, proj, preferred_element_type=jnp.float32,
+                    precision=precision)
+        scores = c2adj[None, :] - 2.0 * jnp.dot(
+            g, cT, preferred_element_type=jnp.float32, precision=precision
+        )
+        ok = (valid[None, :] > 0) & (center_bin[None, :] == seg_bin[:, None])
+        scores = jnp.where(ok, scores, _BIG)
+        # First-minimum selection as pure VPU reductions (argmin lowers
+        # poorly in Mosaic). Compact bank: the row index IS the global id.
+        iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        minval = jnp.min(scores, axis=1, keepdims=True)
+        return jnp.min(jnp.where(scores == minval, iota, K), axis=1)
+
+    pidx = assign(raw_p_ref[:], pbin_ref[:][:, 0])
+    cidx = assign(raw_c_ref[:], cbin_ref[:][:, 0])
+
+    basis_cluster = n_states - 2
+    target_cluster = n_states - 1
+    # Reference override order (_fluxmatrix.py:134-137)
+    cidx = jnp.where(target_c_ref[:][:, 0] > 0, target_cluster, cidx)
+    pidx = jnp.where(basis_p_ref[:][:, 0] > 0, basis_cluster, pidx)
+    cidx = jnp.where(basis_c_ref[:][:, 0] > 0, basis_cluster, cidx)
+
+    pidx_ref[:] = pidx[:, None]
+    cidx_ref[:] = cidx[:, None]
+
+    if with_flux:
+        TN = pidx.shape[0]
+        S = fm_ref.shape[0]
+        w = wp_ref[:][:, 0]
+        oh_start_T = (
+            jax.lax.broadcasted_iota(jnp.int32, (S, TN), 0) == pidx[None, :]
+        ).astype(jnp.float32)
+        oh_end = (
+            jax.lax.broadcasted_iota(jnp.int32, (TN, S), 1) == cidx[:, None]
+        ).astype(jnp.float32)
+        fm_ref[:] += jnp.dot(
+            oh_start_T,
+            oh_end * w[:, None],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_states", "tile", "with_flux", "interpret", "precision"),
+)
+def _transform_assign_call(
+    raw_p, raw_c, pbins, cbins, w, basis_p, basis_c, target_c,
+    proj, cT, c2adj, center_bin, valid,
+    n_states, tile, with_flux, interpret, precision,
+):
+    import jax.experimental.pallas as pl
+
+    N, D = raw_p.shape
+    F = proj.shape[1]
+    K = cT.shape[1]
+    S = _round_up(n_states, 128)
+    grid = (N // tile,)
+
+    seg1 = pl.BlockSpec((tile, 1), lambda i: (i, 0))
+    raw_spec = pl.BlockSpec((tile, D), lambda i: (i, 0))
+    proj_spec = pl.BlockSpec((D, F), lambda i: (0, 0))
+    cT_spec = pl.BlockSpec((F, K), lambda i: (0, 0))
+    bank1 = pl.BlockSpec((K, 1), lambda i: (0, 0))
+    fm_spec = pl.BlockSpec((S, S), lambda i: (0, 0))
+
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    outs = pl.pallas_call(
+        partial(
+            _transform_assign_kernel,
+            n_states=n_states,
+            with_flux=with_flux,
+            precision=precision,
+        ),
+        grid=grid,
+        in_specs=[
+            raw_spec, raw_spec, seg1, seg1, seg1,
+            seg1, seg1, seg1,
+            proj_spec, cT_spec, bank1, bank1, bank1,
+        ],
+        out_specs=[seg1, seg1, fm_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((S, S), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(
+        raw_p, raw_c, pbins, cbins, w, basis_p, basis_c, target_c,
+        proj, cT, c2adj, center_bin, valid,
+    )
+    pidx, cidx, fm = outs
+    return pidx[:, 0], cidx[:, 0], fm[:n_states, :n_states]
+
+
+def fused_transform_assign(
+    raw_p, raw_c, pbins, cbins, w, basis_p, basis_c, target_c,
+    mean, proj, centers, center_bin, valid, n_states,
+    tile=512, with_flux=True, interpret=None, precision=None,
+):
+    """Whole hot step as one Pallas kernel: raw coordinates -> PCA transform
+    -> stratified assignment -> overrides (-> flux matrix).
+
+    vs the XLA pipeline (bench.py device_pipeline), this never writes the
+    (N, F) features or the two (N, K) score matrices to HBM -- the minimum
+    traffic is the raw coordinate reads. ``with_flux=False`` returns ids only
+    (flux left to XLA's scatter); the returned flux matrix is zeros then.
+
+    Host-facing wrapper (pads rows to ``tile``, feature dims to 128); for
+    in-jit use call ``_transform_assign_call`` with pre-padded device arrays.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+
+    raw_p = np.asarray(raw_p, np.float32)
+    raw_c = np.asarray(raw_c, np.float32)
+    N, D = raw_p.shape
+    F = proj.shape[1]
+    K = centers.shape[0]
+
+    N_pad = _round_up(max(N, tile), tile)
+    D_pad = _round_up(D, 128)
+    F_pad = _round_up(F, 128)
+    K_pad = _round_up(K, 128)
+
+    def pad2(x, rows, cols, dtype=np.float32):
+        out = np.zeros((rows, cols), dtype)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out
+
+    def col(x, rows, fill=0, dtype=np.int32):
+        out = np.full((rows, 1), fill, dtype)
+        out[: len(x), 0] = x
+        return out
+
+    proj = np.asarray(proj, np.float32)
+    centers = np.asarray(centers, np.float32)
+    bias = np.asarray(mean, np.float32) @ proj  # (F,)
+    c2adj = (centers * centers).sum(1) + 2.0 * centers @ bias
+
+    args = (
+        jnp.asarray(pad2(raw_p, N_pad, D_pad)),
+        jnp.asarray(pad2(raw_c, N_pad, D_pad)),
+        jnp.asarray(col(np.asarray(pbins), N_pad, fill=-1)),
+        jnp.asarray(col(np.asarray(cbins), N_pad, fill=-1)),
+        jnp.asarray(col(np.asarray(w, np.float32), N_pad, fill=0.0, dtype=np.float32)),
+        jnp.asarray(col(np.asarray(basis_p, np.int32), N_pad)),
+        jnp.asarray(col(np.asarray(basis_c, np.int32), N_pad)),
+        jnp.asarray(col(np.asarray(target_c, np.int32), N_pad)),
+        jnp.asarray(pad2(proj, D_pad, F_pad)),
+        jnp.asarray(pad2(centers, K_pad, F_pad).T.copy()),
+        jnp.asarray(col(c2adj, K_pad, fill=0.0, dtype=np.float32)),
+        jnp.asarray(col(np.asarray(center_bin), K_pad, fill=-2)),
+        jnp.asarray(col(np.asarray(valid, np.int32), K_pad)),
+    )
+    pidx, cidx, fm = _transform_assign_call(
+        *args, n_states=n_states, tile=tile, with_flux=with_flux,
+        interpret=interpret, precision=precision,
+    )
+    return np.asarray(pidx)[:N], np.asarray(cidx)[:N], np.asarray(fm)
 
 
 def fused_assign_flux(

@@ -94,3 +94,45 @@ def test_fused_kernel_matches_jnp(problem):
     assert np.array_equal(pidx, np.asarray(pidx_ref))
     assert np.array_equal(cidx, np.asarray(cidx_ref))
     assert np.allclose(fm, np.asarray(fm_ref), atol=1e-5)
+
+
+def test_transform_assign_kernel_matches_xla_pipeline(problem):
+    """The whole-step kernel (raw -> transform -> assign -> flux) agrees with
+    the production transform + fused_step_single composition."""
+    import jax.numpy as jnp
+    from msm_we_tpu.ops.pallas_kernels import fused_transform_assign
+
+    rng = np.random.default_rng(11)
+    p = problem
+    N = len(p["fp"])
+    d = p["fp"].shape[1]
+    D = 37  # raw dim, deliberately unaligned
+    proj = rng.normal(size=(D, d)).astype(np.float32) * 0.3
+    mean = rng.normal(size=D).astype(np.float32)
+    # Raw coordinates whose centered projection reproduces arbitrary features
+    raw_p = rng.normal(size=(N, D)).astype(np.float32)
+    raw_c = rng.normal(size=(N, D)).astype(np.float32)
+
+    offset = mean @ proj
+    fp = raw_p @ proj - offset
+    fc = raw_c @ proj - offset
+    fm_ref, pidx_ref, cidx_ref = fused_step_single(
+        fp, fc, p["pbins"], p["cbins"],
+        p["basis_p"], p["basis_c"], p["target_c"], p["w"],
+        p["centers"], p["center_bin"], p["valid"],
+        p["n_states"],
+    )
+
+    for with_flux in (True, False):
+        pidx, cidx, fm = fused_transform_assign(
+            raw_p, raw_c, p["pbins"], p["cbins"], p["w"],
+            p["basis_p"], p["basis_c"], p["target_c"],
+            mean, proj, p["centers"], p["center_bin"], p["valid"],
+            p["n_states"], tile=128, with_flux=with_flux, interpret=True,
+        )
+        assert np.array_equal(pidx, np.asarray(pidx_ref))
+        assert np.array_equal(cidx, np.asarray(cidx_ref))
+        if with_flux:
+            assert np.allclose(fm, np.asarray(fm_ref), atol=1e-5)
+        else:
+            assert (fm == 0).all()
