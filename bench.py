@@ -60,22 +60,37 @@ def device_peaks():
 
 
 def make_problem(n_segments=102_400, n_raw_features=900, n_components=30,
-                 n_bins=10, k_per_bin=25, seed=0):
+                 n_bins=10, k_per_bin=25, seed=0, fallback_frac=0.02):
     """Synthesize an NTL9-scale stratified-assignment problem.
 
     Raw features are ~300 atoms x 3 coords; the PCA projection runs on
     device, so the MXU sees the real (N, 900) @ (900, 30) transform.
+
+    Parent coordinates carry WE's trajectory-continuity structure: each
+    segment's parent frame is a bit-copy of another segment's child frame
+    (``parent_rows``), except a ``fallback_frac`` recycled fraction
+    (``parent_rows == -1``) with independent basis-region frames
+    (``raw_fallback``). The dedup step variant exploits this; the
+    two-transform step ignores it (both see identical raw arrays).
     """
     rng = np.random.default_rng(seed)
-    pc_parent = 10 * rng.beta(0.7, 0.7, n_segments)
-    pc_child = np.clip(pc_parent + rng.normal(0, 0.7, n_segments), 1e-3, 10 - 1e-3)
+    n_fb = max(int(n_segments * fallback_frac), 1)
+    parent_rows = rng.permutation(n_segments).astype(np.int32)
+    fb_idx = np.sort(rng.choice(n_segments, n_fb, replace=False)).astype(np.int32)
+
+    pc_child = 10 * rng.beta(0.7, 0.7, n_segments)
+    pc_parent = pc_child[parent_rows].copy()
+    pc_parent[fb_idx] = 9.0 + rng.random(n_fb)  # recycled: basis region
+    parent_rows[fb_idx] = -1
 
     def embed(pc):
         base = np.outer(pc, rng.normal(1, 0.2, n_raw_features) * 0.3)
         return (base + rng.normal(0, 0.3, base.shape)).astype(np.float32)
 
-    raw_parent = embed(pc_parent)
     raw_child = embed(pc_child)
+    raw_fallback = embed(pc_parent[fb_idx])
+    raw_parent = raw_child[np.where(parent_rows < 0, 0, parent_rows)].copy()
+    raw_parent[fb_idx] = raw_fallback
 
     # PCA transform fitted on a subsample (host, not timed)
     sub = raw_child[:: max(1, n_segments // 4096)]
@@ -109,6 +124,7 @@ def make_problem(n_segments=102_400, n_raw_features=900, n_components=30,
 
     return dict(
         raw_parent=raw_parent, raw_child=raw_child,
+        parent_rows=parent_rows, fb_idx=fb_idx, raw_fallback=raw_fallback,
         mean=mean.astype(np.float32), comp=comp,
         pbins=pbins, cbins=cbins,
         basis_p=(pc_parent > 9.0), basis_c=(pc_child > 9.0),
@@ -121,38 +137,48 @@ def make_problem(n_segments=102_400, n_raw_features=900, n_components=30,
     )
 
 
-def step_flops_bytes(p, ss_iters=512):
+def step_flops_bytes(p, ss_iters=512, dedup=False):
     """Matmul FLOPs and minimum HBM traffic of one fused step."""
     import math
 
-    N, Draw = p["raw_parent"].shape
+    N, Draw = p["raw_child"].shape
+    n_fb = len(p["fb_idx"])
     Dc = p["comp"].shape[1]
     K = len(p["centers"])
     S = p["n_states"]
+    n_transformed = (N + n_fb) if dedup else 2 * N
     # Steady state runs by repeated matrix squaring: ceil(log2(ss_iters))
     # (S, S) @ (S, S) matmuls (steady_state_from_flux)
     squarings = max(math.ceil(math.log2(max(ss_iters, 2))), 1)
     flops = (
-        2 * (2.0 * N * Draw * Dc)      # parent+child PCA transforms
+        2.0 * n_transformed * Draw * Dc  # PCA transforms
         + 2 * (2.0 * N * Dc * K)       # parent+child distance matmuls
         + squarings * 2.0 * S**3       # steady-state matrix squarings
     )
     bytes_moved = (
-        2 * N * Draw * 4               # raw coords read (dominant)
+        n_transformed * Draw * 4       # raw coords read (dominant)
         + 2 * (2 * N * Dc * 4)         # feature write + read
         + 2 * N * K * 4                # distance matrices write (argmin fused read)
         + N * (4 * 4)                  # bins/masks/weights
     )
+    if dedup:
+        bytes_moved += N * Dc * 4  # extra gather-source read of child features
     return flops, bytes_moved
 
 
-def device_pipeline(p, inner_reps=1, fast_math=False):
+def device_pipeline(p, inner_reps=1, fast_math=False, dedup=False):
     """Jitted transform + stratified assign + flux + steady state.
 
     ``inner_reps`` > 1 runs the whole step that many times *inside* the jit
     (a fori_loop), so one host dispatch measures pure device throughput --
     relevant when host->device dispatch latency is high (e.g. a remote
     tunnel) and would otherwise dominate the per-step timing.
+
+    ``dedup=True`` exploits WE trajectory continuity (the production
+    ``dedup_coordinates`` path): parent features are a row-gather of the
+    child features at ``parent_rows`` (recycled rows transformed from the
+    small ``raw_fallback`` block), so only ONE (N, 900) raw array is read
+    and transformed per step instead of two. Identical flux matrix.
     """
     import jax
     import jax.numpy as jnp
@@ -167,7 +193,8 @@ def device_pipeline(p, inner_reps=1, fast_math=False):
 
     def one_step(raw_parent, raw_child, mean, comp, pbins, cbins,
                  basis_p, basis_c, target_c, w,
-                 centers, center_bin, valid):
+                 centers, center_bin, valid,
+                 parent_rows=None, fb_idx=None, raw_fallback=None):
         # Centering folded into a bias: (x - mu) @ C == x @ C - mu @ C.
         # The transform is HBM-bound, so the elementwise (x - mu) pre-pass
         # would cost as much as the matmul itself.
@@ -176,8 +203,13 @@ def device_pipeline(p, inner_reps=1, fast_math=False):
         # the explicit bf16 serving tier.
         prec = "default" if fast_math else jax.lax.Precision.HIGHEST
         offset = mean @ comp
-        fp = jnp.matmul(raw_parent, comp, precision=prec) - offset[None, :]
         fc = jnp.matmul(raw_child, comp, precision=prec) - offset[None, :]
+        if dedup:
+            fp = fc[jnp.where(parent_rows < 0, 0, parent_rows)]
+            fb = jnp.matmul(raw_fallback, comp, precision=prec) - offset[None, :]
+            fp = fp.at[fb_idx].set(fb)
+        else:
+            fp = jnp.matmul(raw_parent, comp, precision=prec) - offset[None, :]
         fm, _pi, _ci = _discretize_and_flux(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
             centers, center_bin, valid, n_states, n_bins=n_bins,
@@ -214,6 +246,11 @@ def device_pipeline(p, inner_reps=1, fast_math=False):
         p["pbins"], p["cbins"], p["basis_p"], p["basis_c"], p["target_c"],
         p["w"], p["centers"], p["center_bin"], p["valid"],
     )
+    if dedup:
+        # The full raw_parent array is not an input at all in this tier
+        args = (np.zeros((1, 1), np.float32),) + args[1:] + (
+            p["parent_rows"], p["fb_idx"], p["raw_fallback"],
+        )
     return step, args
 
 
@@ -334,6 +371,32 @@ def main():
     fm_f.block_until_ready()
     device_time_fast = (time.perf_counter() - t0) / (outer * inner_reps)
     frames_per_sec_fast = n_segments / device_time_fast
+
+    # Continuity-dedup tier (the production dedup_coordinates path): one raw
+    # transform + a feature gather replaces the second transform. Exact: the
+    # flux matrix must match the two-transform step bitwise-close.
+    step_dd, args_dd = device_pipeline(p, inner_reps=inner_reps, dedup=True)
+    # Reuse the device-resident shared arguments (indices 1..12); device_put
+    # only the dedup-specific ones (dummy raw_parent slot, parent_rows,
+    # fb_idx, raw_fallback)
+    args_dd = (
+        (jax.device_put(args_dd[0]),)
+        + args[1:13]
+        + tuple(jax.device_put(a) for a in args_dd[13:])
+    )
+    fm_d, _pss_d, _flux_d = step_dd(*args_dd)
+    fm_d.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        fm_d, _pss_d, _flux_d = step_dd(*args_dd)
+    fm_d.block_until_ready()
+    device_time_dedup = (time.perf_counter() - t0) / (outer * inner_reps)
+    frames_per_sec_dedup = n_segments / device_time_dedup
+    dedup_max_diff = float(
+        np.max(np.abs(np.asarray(fm_d) - np.asarray(fm)))
+        / max(float(np.max(np.abs(np.asarray(fm)))), 1e-30)
+    )
+    flops_dd, bytes_dd = step_flops_bytes(p, dedup=True)
     baseline_time = baseline_per_frame_seconds(p)
     vs_baseline = baseline_time / device_time
 
@@ -363,6 +426,14 @@ def main():
         "n_components": int(p["comp"].shape[1]),
         "n_states": p["n_states"],
         "frames_per_sec_fast_math": round(frames_per_sec_fast, 1),
+        "frames_per_sec_dedup": round(frames_per_sec_dedup, 1),
+        "device_time_dedup_s": round(device_time_dedup, 5),
+        "sol_fraction_dedup": (
+            round(max(flops_dd / peak_flops, bytes_dd / peak_bw)
+                  / device_time_dedup, 3)
+            if peak_flops else None
+        ),
+        "dedup_flux_max_rel_diff": dedup_max_diff,
         "achieved_tflops": round(achieved_tflops, 3),
         "pct_peak": round(pct_peak, 2) if pct_peak is not None else None,
         "sol_fraction": round(sol_fraction, 3) if sol_fraction is not None else None,

@@ -319,6 +319,84 @@ class WEDataset:
             start_pcoord=start_pcoord, warped=warped, anc=anc,
         )
 
+    def _iter_frame_block(self, n_iter, frame):
+        """One frame's coordinates for every segment of an iteration (NaN
+        kept), reading only that frame from ``auxdata`` -- half the I/O of
+        :meth:`iter_coord_pairs` when only one endpoint is needed."""
+        data = self.iter_data(n_iter)
+        n = data["n_segs"]
+        out = None
+        for file_idx, _n in self._iter_index[n_iter]:
+            with h5py.File(self.file_list[file_idx], "r") as h5:
+                dset = h5[f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"]
+                assert dset.shape[1] > 1, (
+                    "Augmented coords need at least start & end frames"
+                )
+                block = dset[:, frame]
+            mask = data["west_idx"] == file_idx
+            if out is None:
+                out = np.full((n,) + block.shape[1:], np.nan)
+            out[mask] = block
+        return out
+
+    def iter_frame_subset(self, n_iter, rows, frame):
+        """One frame's coordinates for a subset of segments (concatenated-
+        order ``rows``), reading only those rows from ``auxdata``."""
+        data = self.iter_data(n_iter)
+        rows = np.asarray(rows, dtype=np.int64)
+        n_atoms, coord_ndim = self.n_atoms_coord_ndim()
+        out = np.full((len(rows), n_atoms, coord_ndim), np.nan)
+        for file_idx, _n in self._iter_index[n_iter]:
+            in_file = np.flatnonzero(data["west_idx"][rows] == file_idx)
+            if not len(in_file):
+                continue
+            local = data["seg_idx"][rows[in_file]]
+            # h5py wants strictly increasing unique indices; rows may repeat
+            # (split walkers share a parent)
+            uniq, inverse = np.unique(local, return_inverse=True)
+            with h5py.File(self.file_list[file_idx], "r") as h5:
+                dset = h5[f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"]
+                block = dset[uniq, frame]
+            out[in_file] = block[inverse]
+        return out
+
+    def check_continuity(self, sample_per_iter=8, full_iters=2, seed=0):
+        """True iff segments' frame-0 coordinates are bit-identical to their
+        parent's final frame (WE trajectory continuity).
+
+        WESTPA propagators start each segment from the parent's final
+        structure, so augmented coords normally satisfy this exactly; it can
+        fail when the augmentation stores the child's first *saved* MD frame
+        instead (one step past the restart point). All rows of the first
+        ``full_iters`` usable iterations are checked, plus ``sample_per_iter``
+        random rows of every other iteration. NaN patterns must match too.
+
+        The check is *sampled* past the first iterations because an
+        exhaustive check would read back exactly the frame-0 data the dedup
+        exists to avoid reading. It therefore detects convention-level
+        mismatches (a writer that never copies parent frames), not isolated
+        row corruption -- callers needing per-row guarantees should disable
+        dedup instead.
+        """
+        rng = np.random.default_rng(seed)
+        usable = sorted(i for i in self._iter_index if i >= 2)
+        for pos, i in enumerate(usable):
+            d = self.iter_data(i)
+            rows = np.flatnonzero(d["parent_ids_global"] >= 0)
+            if not len(rows):
+                continue
+            if i - 1 not in self._iter_index:
+                return False
+            if pos >= full_iters and sample_per_iter < len(rows):
+                rows = np.sort(rng.choice(rows, sample_per_iter, replace=False))
+            own_start = self.iter_frame_subset(i, rows, 0)
+            parent_end = self.iter_frame_subset(
+                i - 1, d["parent_ids_global"][rows], -1
+            )
+            if not np.array_equal(own_start, parent_end, equal_nan=True):
+                return False
+        return True
+
     def iter_child_coords(self, n_iter):
         """Final-frame coordinates of each segment (reference
         ``load_iter_coordinates``, ``_data.py:557-618``). NaN rows dropped."""

@@ -173,6 +173,7 @@ class modelWE:
         self.coordinates = None
         self.ndim = None
         self.dimReduceMethod = None
+        self.dedup_coordinates = "auto"
 
         self.n_clusters = None
         self.clusters = None
@@ -238,8 +239,21 @@ class modelWE:
         _suppress_boundary_warning=False,
         use_weights_in_clustering=False,
         processCoordinates=None,
+        dedup_coordinates="auto",
     ):
-        """Set up the model (reference ``initialize``, ``msm_we.py:143-277``)."""
+        """Set up the model (reference ``initialize``, ``msm_we.py:143-277``).
+
+        ``dedup_coordinates``: WE trajectories are continuous -- a segment's
+        frame-0 coordinates are a copy of its parent's final frame -- so
+        parent features can be *gathered* from the previous iteration's child
+        features instead of re-read and re-featurized (halving coordinate
+        I/O and featurization work; the reference always does both twice).
+        ``"auto"`` (default) verifies the invariant on the data (bitwise raw
+        continuity + a sampled feature check that also catches
+        non-row-independent featurizers) and falls back to the direct path
+        on any mismatch; ``True`` forces the gather; ``False`` disables it.
+        """
+        self.dedup_coordinates = dedup_coordinates
         self.modelName = modelName
         if isinstance(fileSpecifier, str):
             fileList = fileSpecifier.split(" ")
@@ -759,9 +773,31 @@ class modelWE:
         discretizable range): features, pcoords, weights, per-iteration
         offsets. Raw coordinates stream through fixed-size chunks; NaN
         coordinates are zero-filled (their weight is already 0).
+
+        With ``dedup_coordinates`` (default "auto"), parent features are
+        gathered from the previous iteration's child features instead of
+        re-read and re-featurized -- see :meth:`_featurize_dedup`.
         """
         if self._features is not None and not force:
             return self._features
+
+        mode = getattr(self, "dedup_coordinates", "auto")
+        use_dedup = mode is True or (mode == "auto" and self._dataset.check_continuity())
+        if mode == "auto" and not use_dedup:
+            log.debug(
+                "Coordinate continuity does not hold for this dataset; "
+                "featurizing parent frames directly."
+            )
+        if use_dedup:
+            feats = self._featurize_dedup(verify=(mode == "auto"))
+            if feats is not None:
+                self._features = feats
+                return feats
+            log.warning(
+                "Gathered parent features did not bitwise-match directly "
+                "featurized samples (non-row-independent featurizer?); "
+                "falling back to direct parent featurization."
+            )
 
         red_parent = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
         red_child = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
@@ -788,6 +824,112 @@ class modelWE:
             offsets=np.array(offsets),
         )
         return self._features
+
+    def _featurize_dedup(self, verify=True):
+        """Featurize with the WE-continuity dedup: child frames only are read
+        and reduced; parent features are *gathered* from the previous
+        iteration's child features (a segment's frame 0 is a bit-copy of its
+        parent's final frame). Direct frame-0 reads remain only for
+        iteration 1 and recycled (parent_id < 0) segments.
+
+        Halves coordinate I/O and ``processCoordinates``/transform work vs
+        the reference, which reads and featurizes both frames of every
+        segment (``_data.py:254-313``). With ``verify``, a sample of gathered
+        rows is re-featurized directly from their own frame-0 coords and must
+        match bitwise; returns None on mismatch (caller falls back).
+        """
+        ds = self._dataset
+        red_child = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
+        p0s, p1s, ws, iter_of, nan_blocks = [], [], [], [], []
+        offsets = [0]
+        for iteration in range(1, self.maxIter):
+            child = ds._iter_frame_block(iteration, -1)
+            d = ds.iter_data(iteration)
+            nan_blocks.append(np.isnan(child).any(axis=tuple(range(1, child.ndim))))
+            red_child.add(np.nan_to_num(child))
+            p0s.append(d["pcoord0"])
+            p1s.append(d["pcoord1"])
+            ws.append(d["weights"].copy())
+            iter_of.append(np.full(d["n_segs"], iteration))
+            offsets.append(offsets[-1] + d["n_segs"])
+
+        child_feats = red_child.finish().astype(np.float32)
+        offsets = np.array(offsets)
+        child_nan = (
+            np.concatenate(nan_blocks) if nan_blocks else np.zeros(0, bool)
+        )
+
+        parent_feats = np.empty_like(child_feats)
+        parent_nan = np.zeros(len(child_nan), bool)
+        gathered_rows = []
+        fallback = []  # (iteration, local_rows)
+        for iteration in range(1, self.maxIter):
+            d = ds.iter_data(iteration)
+            base = offsets[iteration - 1]
+            if iteration == 1:
+                fb_local = np.arange(d["n_segs"])
+            else:
+                pg = d["parent_ids_global"]
+                fb_local = np.flatnonzero(pg < 0)
+                ga_local = np.flatnonzero(pg >= 0)
+                if len(ga_local):
+                    src = offsets[iteration - 2] + pg[ga_local]
+                    parent_feats[base + ga_local] = child_feats[src]
+                    parent_nan[base + ga_local] = child_nan[src]
+                    gathered_rows.append(base + ga_local)
+            if len(fb_local):
+                fallback.append((iteration, fb_local))
+
+        if fallback:
+            red_fb = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
+            fb_nan, fb_rows = [], []
+            for iteration, fb_local in fallback:
+                raw = ds.iter_frame_subset(iteration, fb_local, 0)
+                fb_nan.append(np.isnan(raw).any(axis=tuple(range(1, raw.ndim))))
+                red_fb.add(np.nan_to_num(raw))
+                fb_rows.append(offsets[iteration - 1] + fb_local)
+            rows = np.concatenate(fb_rows)
+            parent_feats[rows] = red_fb.finish().astype(np.float32)
+            parent_nan[rows] = np.concatenate(fb_nan)
+
+        if verify and gathered_rows:
+            gathered = np.concatenate(gathered_rows)
+            rng = np.random.default_rng(0)
+            n_sample = min(256, len(gathered))
+            sample = np.sort(rng.choice(gathered, n_sample, replace=False))
+            sample_iter = np.searchsorted(offsets, sample, side="right")
+            red_v = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
+            for it in np.unique(sample_iter):
+                rows_g = sample[sample_iter == it]
+                raw = ds.iter_frame_subset(int(it), rows_g - offsets[it - 1], 0)
+                red_v.add(np.nan_to_num(raw))
+            direct = red_v.finish().astype(np.float32)
+            if not np.array_equal(direct, parent_feats[sample]):
+                return None
+
+        # The NaN -> weight-0 convention (reference _data.py:303-313), with
+        # parent NaN-ness propagated through the gather
+        weights = np.concatenate(ws) if ws else np.zeros(0)
+        bad = child_nan | parent_nan
+        if bad.any():
+            iter_all = np.concatenate(iter_of)
+            for it in np.unique(iter_all[bad]):
+                seg = np.flatnonzero(bad & (iter_all == it)) - offsets[it - 1]
+                log.warning(
+                    f"Bad coordinates for segments {seg} in iteration {it}, "
+                    "setting weights to 0"
+                )
+            weights[bad] = 0.0
+
+        return dict(
+            parent=parent_feats,
+            child=child_feats,
+            pcoord0=np.concatenate(p0s),
+            pcoord1=np.concatenate(p1s),
+            weights=weights,
+            iteration=np.concatenate(iter_of),
+            offsets=offsets,
+        )
 
     # ------------------------------------------------------------ clustering
     def cluster_coordinates(
@@ -1804,6 +1946,7 @@ class modelWE:
         progress_bar=None,
         profile_dir=None,
         device_pipeline=False,
+        dedup_coordinates="auto",
     ):
         """One-shot build + analysis (reference ``msm_we.py:588-882``).
 
@@ -1840,7 +1983,10 @@ class modelWE:
                     target_pcoord_bounds=target_pcoord_bounds,
                     dim_reduce_method=dimreduce_method,
                     tau=tau,
-                    **step_kwargs.get("initialize", {}),
+                    **{
+                        "dedup_coordinates": dedup_coordinates,
+                        **step_kwargs.get("initialize", {}),
+                    },
                 )
             with timer.stage("Loading iterations"):
                 model.get_iterations()
