@@ -33,8 +33,13 @@ import numpy as np
 # Min compile time 0: on remote-AOT backends the locally-measured compile
 # time can be tiny even when the wall wait was minutes, which would skip
 # caching exactly the entries that matter.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/msm_we_tpu_jax_cache")
+_DEFAULT_CACHE = "/tmp/msm_we_tpu_jax_cache"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+if os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE) == _DEFAULT_CACHE:
+    # JAX skips the persistent cache silently if the directory is missing;
+    # only create OUR default -- a user-supplied path may be remote (gs://)
+    # or intentionally read-only
+    os.makedirs(_DEFAULT_CACHE, exist_ok=True)
 
 # (peak_flops_f32_matmul, hbm_bytes_per_s) by TPU generation. v5e MXU peak is
 # 197 TFLOP/s in bf16; XLA's default f32 matmul precision on TPU runs the MXU
@@ -162,7 +167,11 @@ def step_flops_bytes(p, ss_iters=512, dedup=False):
         + N * (4 * 4)                  # bins/masks/weights
     )
     if dedup:
-        bytes_moved += N * Dc * 4  # extra gather-source read of child features
+        # One extended feature array instead of two: write + child-assign
+        # read + gather read feeding the parent GEMM (the minimum, with the
+        # gather fused into the GEMM input) = 3 N*Dc transfers vs the
+        # two-array path's 4. Understates rather than inflates sol_fraction.
+        bytes_moved -= N * Dc * 4
     return flops, bytes_moved
 
 
@@ -176,9 +185,12 @@ def device_pipeline(p, inner_reps=1, fast_math=False, dedup=False):
 
     ``dedup=True`` exploits WE trajectory continuity (the production
     ``dedup_coordinates`` path): parent features are a row-gather of the
-    child features at ``parent_rows`` (recycled rows transformed from the
-    small ``raw_fallback`` block), so only ONE (N, 900) raw array is read
-    and transformed per step instead of two. Identical flux matrix.
+    child features at ``parent_rows``, so only ONE (N, 900) raw array is
+    read and transformed per step instead of two. Recycled rows' fallback
+    frames are concatenated onto the raw array host-side and addressed by
+    extended gather indices -- a ``.at[fb_idx].set()`` scatter of the
+    fallback features measured ~0.5 ms on v5e (XLA lowers small-row
+    scatters serially), the concat+gather is free. Identical flux matrix.
     """
     import jax
     import jax.numpy as jnp
@@ -194,7 +206,7 @@ def device_pipeline(p, inner_reps=1, fast_math=False, dedup=False):
     def one_step(raw_parent, raw_child, mean, comp, pbins, cbins,
                  basis_p, basis_c, target_c, w,
                  centers, center_bin, valid,
-                 parent_rows=None, fb_idx=None, raw_fallback=None):
+                 parent_rows=None):
         # Centering folded into a bias: (x - mu) @ C == x @ C - mu @ C.
         # The transform is HBM-bound, so the elementwise (x - mu) pre-pass
         # would cost as much as the matmul itself.
@@ -203,12 +215,14 @@ def device_pipeline(p, inner_reps=1, fast_math=False, dedup=False):
         # the explicit bf16 serving tier.
         prec = "default" if fast_math else jax.lax.Precision.HIGHEST
         offset = mean @ comp
-        fc = jnp.matmul(raw_child, comp, precision=prec) - offset[None, :]
         if dedup:
-            fp = fc[jnp.where(parent_rows < 0, 0, parent_rows)]
-            fb = jnp.matmul(raw_fallback, comp, precision=prec) - offset[None, :]
-            fp = fp.at[fb_idx].set(fb)
+            # raw_child is [child rows; fallback rows] (N + n_fb, 900);
+            # parent_rows already point into the extended feature array
+            fc_ext = jnp.matmul(raw_child, comp, precision=prec) - offset[None, :]
+            fc = fc_ext[: len(pbins)]
+            fp = fc_ext[parent_rows]
         else:
+            fc = jnp.matmul(raw_child, comp, precision=prec) - offset[None, :]
             fp = jnp.matmul(raw_parent, comp, precision=prec) - offset[None, :]
         fm, _pi, _ci = _discretize_and_flux(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
@@ -247,9 +261,15 @@ def device_pipeline(p, inner_reps=1, fast_math=False, dedup=False):
         p["w"], p["centers"], p["center_bin"], p["valid"],
     )
     if dedup:
-        # The full raw_parent array is not an input at all in this tier
-        args = (np.zeros((1, 1), np.float32),) + args[1:] + (
-            p["parent_rows"], p["fb_idx"], p["raw_fallback"],
+        # The full raw_parent array is not an input at all in this tier.
+        # Fallback frames ride as extra rows of the raw array; recycled
+        # parents gather from them via extended indices.
+        n = len(p["raw_child"])
+        rows_ext = p["parent_rows"].copy()
+        rows_ext[p["fb_idx"]] = n + np.arange(len(p["fb_idx"]), dtype=np.int32)
+        raw_ext = np.concatenate([p["raw_child"], p["raw_fallback"]])
+        args = (
+            (np.zeros((1, 1), np.float32), raw_ext) + args[2:] + (rows_ext,)
         )
     return step, args
 
@@ -376,13 +396,13 @@ def main():
     # transform + a feature gather replaces the second transform. Exact: the
     # flux matrix must match the two-transform step bitwise-close.
     step_dd, args_dd = device_pipeline(p, inner_reps=inner_reps, dedup=True)
-    # Reuse the device-resident shared arguments (indices 1..12); device_put
-    # only the dedup-specific ones (dummy raw_parent slot, parent_rows,
-    # fb_idx, raw_fallback)
+    # Reuse the device-resident shared arguments (indices 2..12); device_put
+    # the dedup-specific ones (dummy raw_parent slot, extended raw array,
+    # extended parent gather rows)
     args_dd = (
-        (jax.device_put(args_dd[0]),)
-        + args[1:13]
-        + tuple(jax.device_put(a) for a in args_dd[13:])
+        (jax.device_put(args_dd[0]), jax.device_put(args_dd[1]))
+        + args[2:13]
+        + (jax.device_put(args_dd[13]),)
     )
     fm_d, _pss_d, _flux_d = step_dd(*args_dd)
     fm_d.block_until_ready()

@@ -360,7 +360,8 @@ class WEDataset:
             out[in_file] = block[inverse]
         return out
 
-    def check_continuity(self, sample_per_iter=8, full_iters=2, seed=0):
+    def check_continuity(self, sample_per_iter=8, full_iters=2, seed=0,
+                         last_iter=None):
         """True iff segments' frame-0 coordinates are bit-identical to their
         parent's final frame (WE trajectory continuity).
 
@@ -379,7 +380,13 @@ class WEDataset:
         dedup instead.
         """
         rng = np.random.default_rng(seed)
-        usable = sorted(i for i in self._iter_index if i >= 2)
+        # Bound to the range actually consumed (a corrupt tail beyond the
+        # featurized iterations should not disable dedup for the clean range)
+        usable = sorted(
+            i
+            for i in self._iter_index
+            if i >= 2 and (last_iter is None or i <= last_iter)
+        )
         for pos, i in enumerate(usable):
             d = self.iter_data(i)
             rows = np.flatnonzero(d["parent_ids_global"] >= 0)
@@ -399,8 +406,9 @@ class WEDataset:
 
     def iter_child_coords(self, n_iter):
         """Final-frame coordinates of each segment (reference
-        ``load_iter_coordinates``, ``_data.py:557-618``). NaN rows dropped."""
-        parent, child, _w = self.iter_coord_pairs(n_iter)
+        ``load_iter_coordinates``, ``_data.py:557-618``). NaN rows dropped.
+        Reads only the final frame (half the I/O of iter_coord_pairs)."""
+        child = self._iter_frame_block(n_iter, -1)
         good = ~np.isnan(child).any(axis=tuple(range(1, child.ndim)))
         return child[good]
 

@@ -782,7 +782,10 @@ class modelWE:
             return self._features
 
         mode = getattr(self, "dedup_coordinates", "auto")
-        use_dedup = mode is True or (mode == "auto" and self._dataset.check_continuity())
+        use_dedup = mode is True or (
+            mode == "auto"
+            and self._dataset.check_continuity(last_iter=self.maxIter - 1)
+        )
         if mode == "auto" and not use_dedup:
             log.debug(
                 "Coordinate continuity does not hold for this dataset; "
@@ -844,6 +847,18 @@ class modelWE:
         offsets = [0]
         for iteration in range(1, self.maxIter):
             child = ds._iter_frame_block(iteration, -1)
+            if verify and iteration == 1 and len(child) > 1:
+                # Pre-flight fail-fast: a featurizer whose per-row output
+                # depends on the rest of the batch (e.g. batch-mean
+                # centering) breaks the gather. Catch it BEFORE the full
+                # dedup pass, not only at the post-hoc sample check --
+                # otherwise a doomed pass costs ~1.5x the direct path.
+                block = np.nan_to_num(child)
+                k = min(8, len(block))
+                whole = np.asarray(self.reduceCoordinates(block))
+                sub = np.asarray(self.reduceCoordinates(block[:k]))
+                if not np.array_equal(whole[:k], sub):
+                    return None
             d = ds.iter_data(iteration)
             nan_blocks.append(np.isnan(child).any(axis=tuple(range(1, child.ndim))))
             red_child.add(np.nan_to_num(child))

@@ -391,7 +391,7 @@ def _transform_assign_call(
 def fused_transform_assign(
     raw_p, raw_c, pbins, cbins, w, basis_p, basis_c, target_c,
     mean, proj, centers, center_bin, valid, n_states,
-    tile=512, with_flux=True, interpret=None, precision=None,
+    tile=256, with_flux=True, interpret=None, precision=None,
 ):
     """Whole hot step as one Pallas kernel: raw coordinates -> PCA transform
     -> stratified assignment -> overrides (-> flux matrix).

@@ -192,7 +192,10 @@ class OptimizationDriver:
         discrepancy solve (reference ``optimization_driver.py:198-217``)."""
         import westpa
 
-        n_active_bins = int(np.count_nonzero(westpa.rc.we_driver.bin_target_counts))
+        # get_we_driver() lazily constructs the driver; the raw rc.we_driver
+        # attribute is None until something else has done so
+        we_driver = westpa.rc.get_we_driver()
+        n_active_bins = int(np.count_nonzero(we_driver.bin_target_counts))
         discrepancy, variance = optimization.solve_discrepancy(
             tmatrix=model.Tmatrix, pi=model.pSS, B=model.indTargets
         )
@@ -207,7 +210,7 @@ class OptimizationDriver:
         del model
         import westpa
 
-        return westpa.rc.we_driver.bin_target_counts
+        return westpa.rc.get_we_driver().bin_target_counts
 
     def compute_optimized_allocation(self):
         """Pluggable allocation optimization; default keeps current counts."""

@@ -205,3 +205,24 @@ def test_coordinates_alias_is_identity():
 
     x = np.arange(6.0).reshape(2, 3)
     assert Coordinates().transform(x) is x
+
+
+def test_get_original_bins_reads_we_driver_binning():
+    from types import SimpleNamespace
+
+    from msm_we_tpu.westpa_plugins.restart_driver import RestartDriver
+
+    class FakeBin:
+        def __init__(self, weight):
+            self.weight = weight
+
+    driver = RestartDriver.__new__(RestartDriver)  # no westpa in tests
+    driver.sim_manager = SimpleNamespace(
+        we_driver=SimpleNamespace(
+            next_iter_binning=[FakeBin(0.25), FakeBin(0.5), FakeBin(0.25)]
+        )
+    )
+    bins, binprobs = driver.get_original_bins()
+    assert len(bins) == 3
+    np.testing.assert_allclose(binprobs, [0.25, 0.5, 0.25])
+    assert binprobs.dtype == np.float64
