@@ -1884,6 +1884,56 @@ class modelWE:
         self.Jtarget = Jtarget / self.lagtime
         self.JtargetTimes = JtargetTimes
 
+    def get_implied_timescales(
+        self, lags=(0, 1, 2), n_timescales=3, iters_to_use=None,
+        drop_basis_target=True,
+    ):
+        """Implied-timescale lag test over WE lag windows.
+
+        Builds the raw flux matrix at each ``n_lag`` in ``lags`` (the
+        effective physical lag of an ``n_lag`` window is ``(n_lag+1)*tau``),
+        drops the basis/target recycling states (their artificial recycling
+        edge is not part of the physical relaxation spectrum), and converts
+        the leading eigenvalue magnitudes of the row-normalized largest
+        connected component to timescales. For dynamics that are Markovian
+        in the cluster space the curves are flat in lag -- the standard MSM
+        validation the reference cannot run (its lag machinery is gated,
+        ``msm_we.py:353-359``).
+
+        Returns ``(lag_times, timescales)`` with shapes ``(len(lags),)`` and
+        ``(len(lags), n_timescales)``; also stored as
+        ``self.implied_timescales``. The model's flux-matrix state is
+        saved and restored, so this is safe to call on a built model.
+        """
+        from .ops.linalg import implied_timescales_from_flux
+
+        saved = (
+            getattr(self, "fluxMatrixRaw", None),
+            self.n_lag,
+            getattr(self, "_fluxMatrixParams", None),
+            getattr(self, "errorWeight", None),
+            getattr(self, "errorCount", None),
+        )
+        fms, lag_times = [], []
+        try:
+            for lag in lags:
+                self.get_fluxMatrix(int(lag), iters_to_use=iters_to_use)
+                fm = np.asarray(self.fluxMatrixRaw)
+                if drop_basis_target:
+                    n = self.n_clusters
+                    fm = fm[:n, :n]
+                fms.append(fm)
+                lag_times.append((int(lag) + 1) * self.tau)
+        finally:
+            (self.fluxMatrixRaw, self.n_lag, self._fluxMatrixParams,
+             self.errorWeight, self.errorCount) = saved
+
+        lag_times = np.asarray(lag_times, dtype=np.float64)
+        self.implied_timescales = implied_timescales_from_flux(
+            fms, lag_times, n_timescales=n_timescales
+        )
+        return lag_times, self.implied_timescales
+
     # ------------------------------------------------------- block validation
     def do_block_validation(
         self,
@@ -2171,6 +2221,11 @@ class modelWE:
         from . import plotting
 
         return plotting.draw_basis_target_boundaries(self, ax, pcoord_to_use)
+
+    def plot_implied_timescales(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_implied_timescales(self, *args, **kwargs)
 
     @staticmethod
     def print_pseudocommittor_warning():

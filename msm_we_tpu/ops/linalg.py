@@ -288,6 +288,46 @@ def net_flux_profile(flux_matrix, order):
     return J
 
 
+def implied_timescales_from_flux(flux_matrices, lag_times, n_timescales=3):
+    """Implied relaxation timescales from lagged flux/count matrices.
+
+    For each matrix: restrict to the largest strongly connected set
+    (relaxation timescales are undefined across disconnected components),
+    row-normalize, and convert the leading non-stationary eigenvalue
+    magnitudes to timescales ``t_i = -lag / ln |lambda_{i+1}|``. For a
+    process that is Markovian in the state space, the curves are
+    lag-independent -- the standard MSM lag-validation test. Returns a
+    ``(len(flux_matrices), n_timescales)`` array, NaN-padded when a matrix
+    has fewer usable eigenvalues; |lambda| >= 1 maps to +inf.
+
+    This extends the reference, whose lag machinery is gated off
+    (``msm_we.py:353-359``); built on the lag>0 transition support.
+    """
+    from ..utils import find_connected_sets
+
+    out = np.full((len(flux_matrices), n_timescales), np.nan)
+    for i, (fm, lag) in enumerate(zip(flux_matrices, lag_times)):
+        fm = np.asarray(fm, dtype=np.float64)
+        components = find_connected_sets(fm, directed=True)
+        if not len(components) or len(components[0]) < 2:
+            continue
+        keep = components[0]
+        sub = fm[np.ix_(keep, keep)]
+        rows = sub.sum(axis=1)
+        pos = rows > 0
+        T = np.zeros_like(sub)
+        T[pos] = sub[pos] / rows[pos, None]
+        zero_rows = np.flatnonzero(~pos)
+        T[zero_rows, zero_rows] = 1.0
+
+        mags = np.sort(np.abs(np.linalg.eigvals(T)))[::-1]
+        lams = mags[1 : 1 + n_timescales]  # drop the stationary lambda = 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ts = np.where(lams >= 1.0, np.inf, -float(lag) / np.log(lams))
+        out[i, : len(ts)] = ts
+    return out
+
+
 # -------------------------------------------------------------------- device
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "get_coarse_flux_profile",
     "plot_coarse_flux_profile",
     "draw_basis_target_boundaries",
+    "plot_implied_timescales",
 ]
 
 
@@ -405,4 +406,33 @@ def plot_coarse_flux_profile(model, pcoord_to_use=0):
     ax.set_xlabel(f"Pcoord {pcoord_to_use}")
     ax.set_yscale("log")
     ax.legend(bbox_to_anchor=(1.01, 1.0), loc="upper left")
+    return fig, ax
+
+
+def plot_implied_timescales(
+    model, lags=(0, 1, 2), n_timescales=3, ax=None, iters_to_use=None
+):
+    """Implied-timescale lag test plot: t_i vs physical lag time, with the
+    t = lag region shaded (timescales below the lag are unresolvable).
+    Flat curves indicate Markovian dynamics in the cluster space. Uses
+    :meth:`modelWE.get_implied_timescales` (lag support extends the
+    reference, whose lag machinery is gated)."""
+    plt = _plt()
+    lag_times, ts = model.get_implied_timescales(
+        lags=lags, n_timescales=n_timescales, iters_to_use=iters_to_use
+    )
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    else:
+        fig = ax.figure
+    for i in range(ts.shape[1]):
+        ax.plot(lag_times, ts[:, i], "o-", label=f"$t_{{{i + 2}}}$")
+    ax.fill_between(
+        lag_times, 0, lag_times, color="gray", alpha=0.3,
+        label="unresolvable (t < lag)",
+    )
+    ax.set_xlabel("lag time")
+    ax.set_ylabel("implied timescale")
+    ax.set_yscale("log")
+    ax.legend()
     return fig, ax

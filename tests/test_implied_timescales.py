@@ -1,0 +1,99 @@
+"""Implied-timescale lag analysis (extends the reference: its lag machinery
+is gated off, so it cannot run this standard MSM validation at all)."""
+import numpy as np
+import pytest
+
+from msm_we_tpu.ops.linalg import implied_timescales_from_flux
+from msm_we_tpu.utils import random_markov_matrix
+
+
+def test_markov_chain_timescales_are_lag_independent_and_exact():
+    """For flux matrices diag(pi) @ T^k of an exact Markov chain, the
+    implied timescales must be -tau/ln(lambda_i(T)) at EVERY lag."""
+    T = random_markov_matrix(6, seed=11)
+    evals, evecs = np.linalg.eig(T.T)
+    pi = np.real(evecs[:, np.argmax(np.real(evals))])
+    pi = pi / pi.sum()
+    tau = 2.5
+
+    lags = [1, 2, 3, 5]
+    fms = [np.diag(pi) @ np.linalg.matrix_power(T, k) for k in lags]
+    lag_times = [k * tau for k in lags]
+    ts = implied_timescales_from_flux(fms, lag_times, n_timescales=3)
+
+    mags = np.sort(np.abs(np.linalg.eigvals(T)))[::-1]
+    expected = -tau / np.log(mags[1:4])
+    for row in ts:
+        np.testing.assert_allclose(row, expected, rtol=1e-8)
+
+
+def test_eigenvalue_magnitude_one_maps_to_inf():
+    # Two disconnected 2-cycles: the largest SCC is a 2-state cycle whose
+    # spectrum is {1, -1}; |lambda_2| = 1 -> infinite timescale
+    fm = np.zeros((4, 4))
+    fm[0, 1] = fm[1, 0] = 1.0
+    fm[2, 3] = fm[3, 2] = 1.0
+    ts = implied_timescales_from_flux([fm], [1.0], n_timescales=2)
+    assert np.isinf(ts[0, 0])
+
+
+def test_degenerate_matrix_gives_nan():
+    fm = np.zeros((3, 3))
+    fm[0, 0] = 1.0  # largest SCC is a single state
+    ts = implied_timescales_from_flux([fm], [1.0], n_timescales=2)
+    assert np.isnan(ts).all()
+
+
+@pytest.fixture(scope="module")
+def built_model(tmp_path_factory):
+    from msm_we_tpu.binning import RectilinearBinMapper
+    from msm_we_tpu.data import generate_west_h5
+    from msm_we_tpu.model import modelWE
+
+    path = tmp_path_factory.mktemp("its") / "west.h5"
+    generate_west_h5(str(path), n_iterations=40, n_segments=24, seed=17)
+    m = modelWE()
+    m.build_analyze_model(
+        file_paths=[str(path)],
+        ref_struct={"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        modelName="its",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dimreduce_method="none",
+        tau=1.0,
+        n_clusters=3,
+        cross_validation_groups=0,
+        show_live_display=False,
+        step_kwargs={
+            "clustering": {
+                "user_bin_mapper": RectilinearBinMapper([np.linspace(0, 10, 11)])
+            }
+        },
+    )
+    return m
+
+
+def test_model_implied_timescales_and_state_restoration(built_model):
+    m = built_model
+    fm_before = np.array(m.fluxMatrixRaw)
+    n_lag_before = m.n_lag
+
+    lag_times, ts = m.get_implied_timescales(lags=(0, 1, 2), n_timescales=2)
+
+    np.testing.assert_allclose(lag_times, [1.0, 2.0, 3.0])
+    assert ts.shape == (3, 2)
+    # The slowest timescale is physical: finite and positive at every lag
+    assert (ts[:, 0] > 0).all() and np.isfinite(ts[:, 0]).all()
+    assert ts is m.implied_timescales
+    # Flux-matrix state untouched
+    np.testing.assert_array_equal(np.array(m.fluxMatrixRaw), fm_before)
+    assert m.n_lag == n_lag_before
+
+
+def test_model_plot_implied_timescales(built_model):
+    pytest.importorskip("matplotlib")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    fig, ax = built_model.plot_implied_timescales(lags=(0, 1))
+    assert len(ax.lines) >= 1
