@@ -1907,6 +1907,17 @@ class modelWE:
         """
         from .ops.linalg import implied_timescales_from_flux
 
+        fms, lag_times = self._lagged_flux_matrices(
+            lags, iters_to_use, drop_basis_target
+        )
+        self.implied_timescales = implied_timescales_from_flux(
+            fms, lag_times, n_timescales=n_timescales
+        )
+        return lag_times, self.implied_timescales
+
+    def _lagged_flux_matrices(self, lags, iters_to_use, drop_basis_target):
+        """Raw flux matrices at each ``n_lag`` in ``lags``, with the model's
+        flux-matrix state saved and restored around the rebuilds."""
         saved = (
             getattr(self, "fluxMatrixRaw", None),
             self.n_lag,
@@ -1927,12 +1938,40 @@ class modelWE:
         finally:
             (self.fluxMatrixRaw, self.n_lag, self._fluxMatrixParams,
              self.errorWeight, self.errorCount) = saved
+        return fms, np.asarray(lag_times, dtype=np.float64)
 
-        lag_times = np.asarray(lag_times, dtype=np.float64)
-        self.implied_timescales = implied_timescales_from_flux(
-            fms, lag_times, n_timescales=n_timescales
+    def get_ck_test(self, lags=(0, 1, 2, 3), sets=None, iters_to_use=None):
+        """Chapman-Kolmogorov test over WE lag windows.
+
+        The base model is the ``lags[0]`` window (physical lag
+        ``(lags[0]+1)*tau``); every later window's physical lag must be an
+        integer multiple of it (the defaults give factors 1, 2, 3, 4).
+        Compares set-residence probabilities of the directly estimated
+        lagged models against the base model propagated
+        (:func:`~msm_we_tpu.ops.linalg.chapman_kolmogorov_from_flux`);
+        coinciding curves indicate Markovian dynamics in the cluster space.
+        ``sets=None`` uses the 2-metastable split by the slowest mode's sign
+        structure. Returns ``(lag_times, sets, predicted, estimated)``;
+        stored as ``self.ck_test``. Extends the reference (lag gated off).
+        """
+        from .ops.linalg import chapman_kolmogorov_from_flux
+
+        fms, lag_times = self._lagged_flux_matrices(
+            lags, iters_to_use, drop_basis_target=True
         )
-        return lag_times, self.implied_timescales
+        base = lag_times[0]
+        factors = lag_times / base
+        int_factors = np.rint(factors).astype(int)
+        if not np.allclose(factors, int_factors):
+            raise ValueError(
+                f"CK test needs integer lag multiples of the base window; "
+                f"got physical lags {lag_times} (base {base})"
+            )
+        sets, predicted, estimated = chapman_kolmogorov_from_flux(
+            fms, int_factors, sets=sets
+        )
+        self.ck_test = (lag_times, sets, predicted, estimated)
+        return self.ck_test
 
     # ------------------------------------------------------- block validation
     def do_block_validation(
@@ -2226,6 +2265,11 @@ class modelWE:
         from . import plotting
 
         return plotting.plot_implied_timescales(self, *args, **kwargs)
+
+    def plot_ck_test(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_ck_test(self, *args, **kwargs)
 
     @staticmethod
     def print_pseudocommittor_warning():

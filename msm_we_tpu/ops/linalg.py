@@ -288,6 +288,27 @@ def net_flux_profile(flux_matrix, order):
     return J
 
 
+def _connected_tmatrix(flux_matrix):
+    """Row-normalized transition matrix of the largest strongly connected
+    component. Returns ``(T, keep)`` or ``(None, None)`` when no usable
+    component (fewer than 2 states) exists."""
+    from ..utils import find_connected_sets
+
+    fm = np.asarray(flux_matrix, dtype=np.float64)
+    components = find_connected_sets(fm, directed=True)
+    if not len(components) or len(components[0]) < 2:
+        return None, None
+    keep = components[0]
+    sub = fm[np.ix_(keep, keep)]
+    rows = sub.sum(axis=1)
+    pos = rows > 0
+    T = np.zeros_like(sub)
+    T[pos] = sub[pos] / rows[pos, None]
+    zero_rows = np.flatnonzero(~pos)
+    T[zero_rows, zero_rows] = 1.0
+    return T, keep
+
+
 def implied_timescales_from_flux(flux_matrices, lag_times, n_timescales=3):
     """Implied relaxation timescales from lagged flux/count matrices.
 
@@ -303,29 +324,88 @@ def implied_timescales_from_flux(flux_matrices, lag_times, n_timescales=3):
     This extends the reference, whose lag machinery is gated off
     (``msm_we.py:353-359``); built on the lag>0 transition support.
     """
-    from ..utils import find_connected_sets
-
     out = np.full((len(flux_matrices), n_timescales), np.nan)
     for i, (fm, lag) in enumerate(zip(flux_matrices, lag_times)):
-        fm = np.asarray(fm, dtype=np.float64)
-        components = find_connected_sets(fm, directed=True)
-        if not len(components) or len(components[0]) < 2:
+        T, _keep = _connected_tmatrix(fm)
+        if T is None:
             continue
-        keep = components[0]
-        sub = fm[np.ix_(keep, keep)]
-        rows = sub.sum(axis=1)
-        pos = rows > 0
-        T = np.zeros_like(sub)
-        T[pos] = sub[pos] / rows[pos, None]
-        zero_rows = np.flatnonzero(~pos)
-        T[zero_rows, zero_rows] = 1.0
-
         mags = np.sort(np.abs(np.linalg.eigvals(T)))[::-1]
         lams = mags[1 : 1 + n_timescales]  # drop the stationary lambda = 1
         with np.errstate(divide="ignore", invalid="ignore"):
             ts = np.where(lams >= 1.0, np.inf, -float(lag) / np.log(lams))
         out[i, : len(ts)] = ts
     return out
+
+
+def chapman_kolmogorov_from_flux(flux_matrices, factors, sets=None):
+    """Chapman-Kolmogorov test: compare set-residence probabilities of the
+    directly estimated lagged models against the base model propagated.
+
+    ``flux_matrices[0]`` is the base-lag estimate; ``flux_matrices[i]`` is
+    estimated at ``factors[i]`` times the base lag (``factors[0]`` must
+    be 1). For each coarse set ``S``:
+    ``predicted[i] = pi_S @ T_base^factors[i] @ 1_S`` and
+    ``estimated[i] = pi_S @ T_i @ 1_S``, with ``pi_S`` the base model's
+    stationary distribution restricted to ``S``. For Markovian dynamics the
+    two curves coincide. All matrices are restricted to the base model's
+    largest strongly connected component (set indices refer to the
+    original state numbering; states outside the component are ignored).
+
+    ``sets=None`` splits the component in two by the sign structure of the
+    slowest left-propagated mode (the standard 2-metastable partition).
+    Returns ``(sets, predicted, estimated)`` with probability arrays of
+    shape ``(n_sets, len(factors))``.
+    """
+    factors = [int(f) for f in factors]
+    assert factors[0] == 1, "the first matrix must be the base-lag estimate"
+    T0, keep = _connected_tmatrix(flux_matrices[0])
+    if T0 is None:
+        raise ValueError("Base flux matrix has no connected component of size >= 2")
+
+    evals, evecs = np.linalg.eig(T0.T)
+    order = np.argsort(-np.real(evals))
+    pi = np.real(evecs[:, order[0]])
+    pi = np.abs(pi) / np.abs(pi).sum()
+
+    if sets is None:
+        slow = np.real(evecs[:, order[1]])
+        sets = [keep[slow >= 0], keep[slow < 0]]
+        sets = [s for s in sets if len(s)]
+    sets = [np.asarray(s) for s in sets]
+
+    pos_of = {state: i for i, state in enumerate(keep)}
+    predicted = np.full((len(sets), len(factors)), np.nan)
+    estimated = np.full((len(sets), len(factors)), np.nan)
+    for si, S in enumerate(sets):
+        rows = np.array([pos_of[s] for s in S if s in pos_of], dtype=int)
+        if not len(rows):
+            continue
+        pi_S = np.zeros(len(keep))
+        pi_S[rows] = pi[rows]
+        if pi_S.sum() <= 0:
+            continue
+        pi_S /= pi_S.sum()
+        member = np.zeros(len(keep))
+        member[rows] = 1.0
+        for fi, k in enumerate(factors):
+            predicted[si, fi] = pi_S @ np.linalg.matrix_power(T0, k) @ member
+            Tk, keep_k = _connected_tmatrix(flux_matrices[fi])
+            if Tk is None:
+                continue
+            pos_k = {state: i for i, state in enumerate(keep_k)}
+            rows_k = np.array([pos_k[s] for s in S if s in pos_k], dtype=int)
+            pi_Sk = np.zeros(len(keep_k))
+            # Weight by the base stationary distribution on shared states
+            for s in S:
+                if s in pos_k and s in pos_of:
+                    pi_Sk[pos_k[s]] = pi[pos_of[s]]
+            if pi_Sk.sum() <= 0 or not len(rows_k):
+                continue
+            pi_Sk /= pi_Sk.sum()
+            member_k = np.zeros(len(keep_k))
+            member_k[rows_k] = 1.0
+            estimated[si, fi] = pi_Sk @ Tk @ member_k
+    return sets, predicted, estimated
 
 
 # -------------------------------------------------------------------- device

@@ -26,6 +26,7 @@ __all__ = [
     "plot_coarse_flux_profile",
     "draw_basis_target_boundaries",
     "plot_implied_timescales",
+    "plot_ck_test",
 ]
 
 
@@ -436,3 +437,28 @@ def plot_implied_timescales(
     ax.set_yscale("log")
     ax.legend()
     return fig, ax
+
+
+def plot_ck_test(model, lags=(0, 1, 2, 3), sets=None, axes=None, iters_to_use=None):
+    """Chapman-Kolmogorov test plot: one panel per coarse set, base-model
+    prediction (line) vs directly estimated lagged models (points).
+    Coinciding curves indicate Markovian dynamics in the cluster space."""
+    plt = _plt()
+    lag_times, sets, predicted, estimated = model.get_ck_test(
+        lags=lags, sets=sets, iters_to_use=iters_to_use
+    )
+    n_sets = len(sets)
+    if axes is None:
+        fig, axes = plt.subplots(1, n_sets, figsize=(4 * n_sets, 3.2), squeeze=False)
+        axes = axes[0]
+    else:
+        fig = axes[0].figure
+    for si, ax in enumerate(axes[:n_sets]):
+        ax.plot(lag_times, predicted[si], "-", label="predicted $T(\\tau)^k$")
+        ax.plot(lag_times, estimated[si], "o", label="estimated $T(k\\tau)$")
+        ax.set_title(f"set {si} ({len(sets[si])} states)")
+        ax.set_xlabel("lag time")
+        ax.set_ylabel("residence probability")
+        ax.set_ylim(0, 1.05)
+        ax.legend()
+    return fig, axes

@@ -97,3 +97,47 @@ def test_model_plot_implied_timescales(built_model):
     matplotlib.use("Agg")
     fig, ax = built_model.plot_implied_timescales(lags=(0, 1))
     assert len(ax.lines) >= 1
+
+
+def test_ck_exact_markov_chain():
+    """For matrices diag(pi) @ T^k, predicted and estimated CK curves must
+    coincide to numerical precision at every factor and for any sets."""
+    from msm_we_tpu.ops.linalg import chapman_kolmogorov_from_flux
+
+    T = random_markov_matrix(6, seed=23)
+    evals, evecs = np.linalg.eig(T.T)
+    pi = np.real(evecs[:, np.argmax(np.real(evals))])
+    pi = pi / pi.sum()
+
+    factors = [1, 2, 3, 5]
+    fms = [np.diag(pi) @ np.linalg.matrix_power(T, k) for k in factors]
+
+    for sets in (None, [np.array([0, 1, 2]), np.array([3, 4, 5])]):
+        out_sets, predicted, estimated = chapman_kolmogorov_from_flux(
+            fms, factors, sets=sets
+        )
+        assert np.isfinite(predicted).all() and np.isfinite(estimated).all()
+        np.testing.assert_allclose(predicted, estimated, rtol=1e-8, atol=1e-12)
+        # Residence probabilities
+        assert (predicted >= -1e-12).all() and (predicted <= 1 + 1e-12).all()
+        # At factor 1, predicted == estimated trivially (same matrix)
+        np.testing.assert_allclose(predicted[:, 0], estimated[:, 0], rtol=1e-12)
+
+
+def test_model_ck_test_and_plot(built_model):
+    m = built_model
+    lag_times, sets, predicted, estimated = m.get_ck_test(lags=(0, 1, 2))
+    assert len(sets) == 2
+    assert predicted.shape == estimated.shape == (2, 3)
+    assert np.isfinite(predicted).all()
+    assert m.ck_test[0] is lag_times
+
+    with pytest.raises(ValueError):
+        m.get_ck_test(lags=(1, 2))  # base window 2*tau, 3*tau not a multiple
+
+    pytest.importorskip("matplotlib")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    fig, axes = m.plot_ck_test(lags=(0, 1))
+    assert len(axes) >= 1
