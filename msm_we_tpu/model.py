@@ -551,8 +551,7 @@ class modelWE:
         coords_by_iter = {}
         for h in range(traj_length):
             it = from_iter - h
-            parent, child, _w = self._dataset.iter_coord_pairs(it)
-            coords_by_iter[it] = child
+            coords_by_iter[it] = self._dataset._iter_frame_block(it, -1)
 
         traj_set = []
         for iS in range(n_seg):
@@ -580,7 +579,7 @@ class modelWE:
             d = self._dataset.iter_data(i)
             p = d["pcoord1"].copy()
             if not streaming:
-                _parent, child, _w = self._dataset.iter_coord_pairs(i)
+                child = self._dataset._iter_frame_block(i, -1)
                 bad = np.isnan(child).any(axis=tuple(range(1, child.ndim)))
                 p[bad] = np.nan
                 coords_parts.append(child)
@@ -853,7 +852,10 @@ class modelWE:
                 # centering) breaks the gather. Catch it BEFORE the full
                 # dedup pass, not only at the post-hoc sample check --
                 # otherwise a doomed pass costs ~1.5x the direct path.
-                block = np.nan_to_num(child)
+                # Bounded to one chunk: featurizing the whole block would
+                # bypass the FEATURE_CHUNK streaming discipline (an extra
+                # compile shape + a memory spike on large iterations)
+                block = np.nan_to_num(child[: self.FEATURE_CHUNK])
                 k = min(8, len(block))
                 whole = np.asarray(self.reduceCoordinates(block))
                 sub = np.asarray(self.reduceCoordinates(block[:k]))
@@ -1677,8 +1679,7 @@ class modelWE:
         iter_parts, segidx_parts, westidx_parts, pcoord_parts = [], [], [], []
         for iteration in range(1, self.maxIter - 1):
             d = self._dataset.iter_data(iteration)
-            _parent, child, _w = self._dataset.iter_coord_pairs(iteration)
-            coords_parts.append(child)
+            coords_parts.append(self._dataset._iter_frame_block(iteration, -1))
             weights_parts.append(d["weights"])
             dtraj_parts.append(np.asarray(self.dtrajs[iteration - 1]))
             iter_parts.append(np.full(d["n_segs"], iteration))
@@ -2287,14 +2288,12 @@ class modelWE:
     def load_iter_coordinates(self):
         """Set ``cur_iter_coords`` to the current iteration's final-frame
         coordinates (reference ``_data.py:557-618``); NaN rows preserved."""
-        _parent, child, _w = self._dataset.iter_coord_pairs(self.n_iter)
-        self.cur_iter_coords = child
+        self.cur_iter_coords = self._dataset._iter_frame_block(self.n_iter, -1)
 
     def load_iter_coordinates0(self):
         """Set ``cur_iter_coords`` to the iteration's *initial* coordinates
         (reference ``_data.py:620-645``)."""
-        parent, _child, _w = self._dataset.iter_coord_pairs(self.n_iter)
-        self.cur_iter_coords = parent
+        self.cur_iter_coords = self._dataset._iter_frame_block(self.n_iter, 0)
 
     def get_iter_fluxMatrix(self, n_iter):
         """Single-iteration flux matrix (reference ``_fluxmatrix.py:21-72``)."""
@@ -2305,6 +2304,15 @@ class modelWE:
         n_states = self.n_clusters + 2
         end_idx = np.where(self.is_WE_target(d["pcoord1"]), self.n_clusters + 1, end_idx)
         start_idx = np.where(self.is_WE_basis(d["pcoord0"]), self.n_clusters, start_idx)
+        if self.clustering_method == "stratified":
+            # Same nominal-numbering routing as get_fluxMatrix: stratified
+            # predict short-circuits target-region parents to its own
+            # target index (n_total_clusters + 1), which pre-cleaning can be
+            # a dead regular-cluster slot in the nominal n_clusters + 2
+            # numbering -- route them to the nominal target row
+            start_idx = np.where(
+                self.is_WE_target(d["pcoord0"]), self.n_clusters + 1, start_idx
+            )
         end_idx = np.where(self.is_WE_basis(d["pcoord1"]), self.n_clusters, end_idx)
         flat = start_idx.astype(np.int64) * n_states + end_idx.astype(np.int64)
         return np.bincount(flat, weights=weights, minlength=n_states**2).reshape(
@@ -2353,8 +2361,7 @@ class modelWE:
         self.last_iter = last_iter
         blocks = []
         for i in range(first_iter, last_iter + 1):
-            _p, child, _w = self._dataset.iter_coord_pairs(i)
-            blocks.append(child)
+            blocks.append(self._dataset._iter_frame_block(i, -1))
         self.all_coords = np.concatenate(blocks)
 
     def collect_iter_coordinates(self):

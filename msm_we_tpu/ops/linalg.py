@@ -44,18 +44,26 @@ __all__ = [
 # --------------------------------------------------------------------- host
 
 
+def _row_stochastic(matrix):
+    """Row-normalize in place semantics: positive rows divided by their sum,
+    zero-outflow rows become self-transitions. The single shared home of the
+    zero-row convention (reference ``_analysis.py:44-60``)."""
+    M = np.array(matrix, dtype=np.float64)
+    out = M.sum(axis=1)
+    pos = out > 0
+    M[pos] = M[pos] / out[pos, None]
+    zero_rows = np.flatnonzero(out == 0.0)
+    M[zero_rows, zero_rows] = 1.0
+    return M
+
+
 def tmatrix_from_flux(flux_matrix, ind_targets, ind_basis, n_bins):
     """Row-normalize a flux matrix into a steady-state transition matrix.
 
     Zero-outflow rows become self-transitions; target (sink) rows recycle
     uniformly into the basis. Reference ``_analysis.py:23-79``.
     """
-    fm = np.array(flux_matrix, dtype=np.float64)
-    out = fm.sum(axis=1)
-    pos = out > 0
-    fm[pos] = fm[pos] / out[pos, None]
-    zero_rows = np.flatnonzero(out == 0.0)
-    fm[zero_rows, zero_rows] = 1.0
+    fm = _row_stochastic(flux_matrix)
 
     sink_rates = np.zeros(n_bins)
     sink_rates[np.asarray(ind_basis)] = 1.0 / np.size(ind_basis)
@@ -73,13 +81,7 @@ def equilibrium_tmatrix_from_flux(flux_matrix, ind_targets, ind_basis):
     n = fm.shape[0]
     drop = np.append(np.asarray(ind_targets), np.asarray(ind_basis))
     keep = np.setdiff1d(np.arange(n), drop)
-    sub = fm[np.ix_(keep, keep)]
-    out = sub.sum(axis=1)
-    pos = out > 0
-    sub[pos] = sub[pos] / out[pos, None]
-    zr = np.flatnonzero(out == 0.0)
-    sub[zr, zr] = 1.0
-    return sub
+    return _row_stochastic(fm[np.ix_(keep, keep)])
 
 
 def steady_state_algebraic(tmatrix, max_iters=1000, check_negative=True):
@@ -202,12 +204,7 @@ def committor(flux_matrix, ind_targets, ind_basis, n_bins, conv=1e-5,
     non-absorbing block mixes arbitrarily slowly), iteration stops after
     ``max_iters`` with a warning -- matching the jitted ``committor_jax``.
     """
-    M = np.array(flux_matrix, dtype=np.float64)
-    flux_out = M.sum(axis=1)
-    pos = flux_out > 0
-    M[pos] = M[pos] / flux_out[pos, None]
-    zr = np.flatnonzero(flux_out == 0.0)
-    M[zr, zr] = 1.0
+    M = _row_stochastic(flux_matrix)
 
     for ii in np.asarray(ind_basis):
         M[ii, :] = 0.0
@@ -239,12 +236,7 @@ def backwards_committor(flux_matrix, ind_targets, ind_basis, n_bins, conv,
                         max_iters=100_000):
     """Backward committor via time reversal. Reference ``_analysis.py:609-637``,
     plus the same ``max_iters`` cap as :func:`committor`."""
-    M = np.array(flux_matrix, dtype=np.float64)
-    out = M.sum(axis=1)
-    pos = out > 0
-    M[pos] = M[pos] / out[pos, None]
-    zr = np.flatnonzero(out == 0.0)
-    M[zr, zr] = 1.0
+    M = _row_stochastic(flux_matrix)
     for ii in np.asarray(ind_targets):
         M[ii, :] = 0.0
         M[ii, ii] = 1.0
@@ -299,14 +291,7 @@ def _connected_tmatrix(flux_matrix):
     if not len(components) or len(components[0]) < 2:
         return None, None
     keep = components[0]
-    sub = fm[np.ix_(keep, keep)]
-    rows = sub.sum(axis=1)
-    pos = rows > 0
-    T = np.zeros_like(sub)
-    T[pos] = sub[pos] / rows[pos, None]
-    zero_rows = np.flatnonzero(~pos)
-    T[zero_rows, zero_rows] = 1.0
-    return T, keep
+    return _row_stochastic(fm[np.ix_(keep, keep)]), keep
 
 
 def implied_timescales_from_flux(flux_matrices, lag_times, n_timescales=3):
@@ -373,7 +358,23 @@ def chapman_kolmogorov_from_flux(flux_matrices, factors, sets=None):
         sets = [s for s in sets if len(s)]
     sets = [np.asarray(s) for s in sets]
 
+    # Per-factor quantities hoisted out of the per-set loop: the SCC
+    # decomposition/normalization of each lagged matrix and the base-matrix
+    # powers depend only on the factor (O(n^3) each), not on the sets
     pos_of = {state: i for i, state in enumerate(keep)}
+    lagged = [_connected_tmatrix(flux_matrices[fi]) for fi in range(len(factors))]
+    pos_of_k = [
+        {state: i for i, state in enumerate(keep_k)} if keep_k is not None else None
+        for _Tk, keep_k in lagged
+    ]
+    T0_pow = {}
+    power = np.eye(len(keep))
+    previous = 0
+    for k in sorted(set(factors)):
+        power = power @ np.linalg.matrix_power(T0, k - previous)
+        T0_pow[k] = power
+        previous = k
+
     predicted = np.full((len(sets), len(factors)), np.nan)
     estimated = np.full((len(sets), len(factors)), np.nan)
     for si, S in enumerate(sets):
@@ -388,11 +389,11 @@ def chapman_kolmogorov_from_flux(flux_matrices, factors, sets=None):
         member = np.zeros(len(keep))
         member[rows] = 1.0
         for fi, k in enumerate(factors):
-            predicted[si, fi] = pi_S @ np.linalg.matrix_power(T0, k) @ member
-            Tk, keep_k = _connected_tmatrix(flux_matrices[fi])
+            predicted[si, fi] = pi_S @ T0_pow[k] @ member
+            Tk, keep_k = lagged[fi]
             if Tk is None:
                 continue
-            pos_k = {state: i for i, state in enumerate(keep_k)}
+            pos_k = pos_of_k[fi]
             rows_k = np.array([pos_k[s] for s in S if s in pos_k], dtype=int)
             pi_Sk = np.zeros(len(keep_k))
             # Weight by the base stationary distribution on shared states

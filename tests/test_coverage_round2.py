@@ -115,3 +115,43 @@ class TestExtendedKhBins:
         inner = np.digitize(centers, edges) - 1
         np.testing.assert_array_equal(inner, np.arange(kh_model.nB))
         assert (tmp_path / "khbins_binCenters.dat").exists()
+
+
+def test_iter_fluxmatrix_sums_to_full_fluxmatrix(tmp_path):
+    """get_iter_fluxMatrix must apply the same basis/target routing as
+    get_fluxMatrix (including the stratified start-in-target override), so
+    summing it over the default iteration range reproduces fluxMatrixRaw --
+    with bounds widened so start-in-target rows actually occur."""
+    from msm_we_tpu.binning import RectilinearBinMapper
+    from msm_we_tpu.data import generate_west_h5
+    from msm_we_tpu.model import modelWE
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=30, n_segments=24, seed=5)
+    m = modelWE()
+    m.initialize(
+        [path], {"coords": None, "nAtoms": 4, "coord_ndim": 3}, "ifm",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none", tau=1.0,
+    )
+    m.get_iterations()
+    m.get_coordSet(m.maxIter)
+    m.dimReduce()
+    m.cluster_coordinates(
+        n_clusters=2, stratified=True,
+        user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
+    )
+    # Widen the target so some segments *start* inside it (the generator
+    # recycles target-reachers, so with the narrow bounds no parent is ever
+    # in the target region and the routing branch would go unexercised)
+    m.target_pcoord_bounds = [[0.0, 3.0]]
+    m.get_fluxMatrix(0)
+
+    iters = range(2, m.maxIter)
+    total = sum(m.get_iter_fluxMatrix(i) for i in iters) / len(list(iters))
+    np.testing.assert_allclose(total, m.fluxMatrixRaw, rtol=1e-12, atol=1e-300)
+    # The widened bounds actually exercised start-in-target routing
+    assert any(
+        m.is_WE_target(m._dataset.iter_data(i)["pcoord0"]).any() for i in iters
+    )
