@@ -1335,18 +1335,18 @@ class modelWE:
             basis_start = self.is_WE_basis(p0) | warped_all
             target_start = self.is_WE_target(p0) & ~warped_all
 
-        # Basis/target overrides, reference order (_fluxmatrix.py:134-137):
-        # end-in-target, then start-in-basis, then end-in-basis. For
-        # stratified clustering the host predict path additionally routed
-        # target-region parents to the target state (the reference's
-        # predict-time short-circuit, stratified_clustering.py:159-169);
-        # apply it here with the *nominal* target index so the host path
-        # agrees with the fused device kernel even before cleaning syncs
-        # n_clusters to the actual live-center count
+        # Basis/target overrides, reference composition: predict routes
+        # target-region rows to the target cluster first
+        # (stratified_clustering.py:159-169) -- re-applied here with the
+        # *nominal* target index so the numbering agrees with the fused
+        # device kernel pre-cleaning -- and the flux build then applies
+        # start/end-in-basis unconditionally AFTER end-in-target
+        # (_fluxmatrix.py:134-137). So for rows inside BOTH regions
+        # (overlapping bounds), basis wins, for parents and children alike.
         end_idx = np.where(self.is_WE_target(p1), self.n_clusters + 1, end_idx)
-        start_idx = np.where(basis_start, self.n_clusters, start_idx)
         if self.clustering_method == "stratified":
             start_idx = np.where(target_start, self.n_clusters + 1, start_idx)
+        start_idx = np.where(basis_start, self.n_clusters, start_idx)
         end_idx = np.where(self.is_WE_basis(p1), self.n_clusters, end_idx)
 
         flat = start_idx * n_states + end_idx
@@ -2303,16 +2303,18 @@ class modelWE:
         start_idx, end_idx = pairs[:, 0].copy(), pairs[:, 1].copy()
         n_states = self.n_clusters + 2
         end_idx = np.where(self.is_WE_target(d["pcoord1"]), self.n_clusters + 1, end_idx)
-        start_idx = np.where(self.is_WE_basis(d["pcoord0"]), self.n_clusters, start_idx)
         if self.clustering_method == "stratified":
             # Same nominal-numbering routing as get_fluxMatrix: stratified
             # predict short-circuits target-region parents to its own
             # target index (n_total_clusters + 1), which pre-cleaning can be
             # a dead regular-cluster slot in the nominal n_clusters + 2
-            # numbering -- route them to the nominal target row
+            # numbering -- route them to the nominal target row. Applied
+            # BEFORE start-in-basis: with overlapping bounds, basis wins
+            # (reference composition, _fluxmatrix.py:134-137)
             start_idx = np.where(
                 self.is_WE_target(d["pcoord0"]), self.n_clusters + 1, start_idx
             )
+        start_idx = np.where(self.is_WE_basis(d["pcoord0"]), self.n_clusters, start_idx)
         end_idx = np.where(self.is_WE_basis(d["pcoord1"]), self.n_clusters, end_idx)
         flat = start_idx.astype(np.int64) * n_states + end_idx.astype(np.int64)
         return np.bincount(flat, weights=weights, minlength=n_states**2).reshape(

@@ -30,6 +30,7 @@ import numpy as np
 __all__ = [
     "pairwise_dist2",
     "assign_flat",
+    "masked_scores",
     "masked_assign",
     "kmeans_plusplus",
     "lloyd",
@@ -72,6 +73,40 @@ _PEN = jnp.float32(1e30)
 _MAX_ONEHOT_BINS = 64
 
 
+def masked_scores(X, seg_bin, C, center_bin, valid, n_bins=None, precision=None):
+    """Stratified assignment scores: per row, every valid center in the row's
+    WE bin scores ``|c|^2 - 2 x.c`` (plus a row-constant on the elementwise
+    path -- argmin-invariant), everything else a large penalty.
+
+    The SINGLE implementation shared by the host predict path
+    (:func:`masked_assign`) and the fused/sharded device step
+    (``parallel.sharded._local_masked_min``): their argmins being
+    bit-identical depends on matched scores coming from the same formula.
+
+    With ``n_bins`` given (static, and modest), the bin mask is folded INTO
+    the GEMM as a one-hot X block x penalty C block, so no (N, K)
+    elementwise mask pass breaks XLA's matmul->argmin fusion. Scores are
+    comparable across center-bank shards (the row-constant |x|^2 never
+    enters the matched values on the one-hot path and shifts all of a row
+    equally on the elementwise path).
+    """
+    prec = _HI if precision is None else precision
+    if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:
+        c2v = jnp.where(valid, jnp.sum(C * C, axis=1), _PEN)
+        onehot = jax.nn.one_hot(seg_bin, n_bins, dtype=X.dtype)
+        Xa = jnp.concatenate([X, onehot], axis=1)
+        pen_block = jnp.where(
+            center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
+        )
+        Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
+        return jnp.matmul(Xa, Ca, precision=prec) + c2v[None, :]
+    scores = jnp.sum(C * C, axis=1)[None, :] - 2.0 * jnp.matmul(
+        X, C.T, precision=prec
+    )
+    ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
+    return jnp.where(ok, scores, _BIG)
+
+
 @partial(jax.jit, static_argnames=("n_bins",))
 def masked_assign(X, seg_bin, C, center_bin, valid, n_bins=None):
     """Stratified assignment: nearest valid center *within each row's WE bin*.
@@ -83,27 +118,13 @@ def masked_assign(X, seg_bin, C, center_bin, valid, n_bins=None):
     C: (K, d) flattened center bank.
     center_bin: (K,) int32 -- owning WE bin of each center row.
     valid: (K,) bool -- live centers (False = padding or cleaned).
-    n_bins: static WE bin count; when given (and modest), the bin mask is
-        folded into the GEMM as a one-hot X block x penalty C block --
-        matched entries score exactly ``|c|^2 - 2 x.c`` (the row-constant
-        |x|^2 drops out of the argmin) and no (N, K) elementwise mask pass
-        breaks the matmul->argmin fusion.
+    n_bins: static WE bin count (see :func:`masked_scores`).
 
     Returns the flat center-row index (into C) of the winner for each segment.
     """
-    if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:
-        c2v = jnp.where(valid, jnp.sum(C * C, axis=1), _PEN)
-        onehot = jax.nn.one_hot(seg_bin, n_bins, dtype=X.dtype)
-        Xa = jnp.concatenate([X, onehot], axis=1)
-        pen_block = jnp.where(
-            center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
-        )
-        Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
-        return jnp.argmin(jnp.matmul(Xa, Ca, precision=_HI) + c2v[None, :], axis=1)
-    d2 = pairwise_dist2(X, C)
-    ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
-    d2 = jnp.where(ok, d2, _BIG)
-    return jnp.argmin(d2, axis=1)
+    return jnp.argmin(
+        masked_scores(X, seg_bin, C, center_bin, valid, n_bins=n_bins), axis=1
+    )
 
 
 @partial(jax.jit, static_argnames=("k",))

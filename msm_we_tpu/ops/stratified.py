@@ -198,6 +198,13 @@ class StratifiedKmeans:
 
         unique_bins = np.unique(seg_bins)
 
+        # Snapshot BEFORE seeding: a bin initialized in this call already
+        # consumed its members (k-means++ + Lloyd + counts); routing them
+        # through the minibatch update below too would double-count the
+        # seed batch's weights and take an extra half-step on the centers
+        # (sklearn's partial_fit counts a first batch once)
+        initialized_before = self.initialized.copy()
+
         # Initialize any new bins that now have enough members
         for b in unique_bins:
             if self.initialized[b]:
@@ -229,8 +236,9 @@ class StratifiedKmeans:
             self.valid[rows] = True
             self.initialized[b] = True
 
-        # Minibatch update for all initialized bins' members in one scatter
-        live = self.initialized[seg_bins]
+        # Minibatch update for all previously-initialized bins' members in
+        # one scatter (bins seeded above already consumed this batch)
+        live = initialized_before[seg_bins]
         if live.any():
             if live.sum() < HOST_BATCH_THRESHOLD:
                 self._sync_host()
@@ -253,8 +261,14 @@ class StratifiedKmeans:
                     X[live], w[live], seg_bins[live].astype(np.int32)
                 )
                 centers_d, counts_d = self._device_state()
+                # One host->device upload per array: the batch feeds both
+                # the assignment and the update (a second jnp.asarray of
+                # the same numpy array is a second transfer -- on a remote
+                # tunnel this path IS the clustering cost)
+                Xd = jnp.asarray(Xl_np)
+                wd = jnp.asarray(wl_np)
                 idx = masked_assign(
-                    jnp.asarray(Xl_np),
+                    Xd,
                     jnp.asarray(bl_np),
                     centers_d,
                     jnp.asarray(self.center_bin),
@@ -264,8 +278,8 @@ class StratifiedKmeans:
                 new_centers, new_counts = minibatch_update(
                     centers_d,
                     counts_d,
-                    jnp.asarray(Xl_np),
-                    jnp.asarray(wl_np),
+                    Xd,
+                    wd,
                     idx,
                 )
                 # Stay device-resident: no blocking host conversion per

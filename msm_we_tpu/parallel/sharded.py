@@ -18,12 +18,14 @@ The same kernel with a trivial 1x1 mesh is the single-chip fused step used by
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
+
+from ..ops.kmeans import masked_scores
 
 try:  # jax >= 0.6
     from jax import shard_map as _shard_map
@@ -38,22 +40,19 @@ except ImportError:  # pragma: no cover - older jax
 
 __all__ = ["build_sharded_step", "fused_step_single"]
 
-_BIG = jnp.float32(3.4e38)
-_PEN = jnp.float32(1e30)
 _HI = jax.lax.Precision.HIGHEST
-
-# Above this many WE bins the one-hot penalty block would dominate the GEMM
-# contraction dimension; fall back to the elementwise mask
-_MAX_ONEHOT_BINS = 64
 
 
 def _local_masked_min(X, seg_bin, C, center_bin, valid, n_bins=None,
                       precision=None):
     """Nearest valid same-bin center within the local center shard.
 
-    Returns (min_score, argmin_row) per row, where score = |c|^2 - 2 x.c
-    -- the squared distance minus the row-constant |x|^2, which preserves
-    the argmin and is comparable across center shards.
+    Returns (min_score, argmin_row) per row. Scoring is the shared
+    :func:`~msm_we_tpu.ops.kmeans.masked_scores` (one-hot penalty GEMM or
+    elementwise mask); scores are comparable across center shards. At
+    Precision.HIGHEST by default -- bf16 MXU scores flip near-tie
+    assignments (see ops/kmeans.py); the fast-math serving tier passes
+    precision='default' explicitly.
 
     The bank must be **compact**: valid centers first, in global-id order,
     so the argmin row index IS the global cluster id (plus a static shard
@@ -61,31 +60,10 @@ def _local_masked_min(X, seg_bin, C, center_bin, valid, n_bins=None,
     measured 0.86 ms on v5e for 102k rows -- XLA lowers small-table dynamic
     gathers as serialized per-element loads -- dwarfing the 0.48 ms
     assignment itself.
-
-    With ``n_bins`` given (static), the bin mask is folded INTO the GEMM:
-    X gains a one-hot(bin) block and C^T a (n_bins, K) penalty block that
-    contributes exactly 0 to same-bin entries and +1e30 otherwise. Matched
-    scores are bit-identical to the unmasked ones, and no (N, K) elementwise
-    mask pass exists to break XLA's matmul->argmin fusion.
     """
-    prec = _HI if precision is None else precision
-    c2 = jnp.sum(C * C, axis=1)
-    if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:
-        c2v = jnp.where(valid, c2, _PEN)
-        onehot = jax.nn.one_hot(seg_bin, n_bins, dtype=X.dtype)
-        Xa = jnp.concatenate([X, onehot], axis=1)
-        pen_block = jnp.where(
-            center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
-        )
-        Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
-        # Precision.HIGHEST by default: bf16 MXU scores flip near-tie
-        # assignments (see ops/kmeans.py); the fast-math serving tier
-        # passes precision='default' explicitly
-        scores = jnp.matmul(Xa, Ca, precision=prec) + c2v[None, :]
-    else:
-        scores = c2[None, :] - 2.0 * jnp.matmul(X, C.T, precision=prec)
-        ok = valid[None, :] & (center_bin[None, :] == seg_bin[:, None])
-        scores = jnp.where(ok, scores, _BIG)
+    scores = masked_scores(
+        X, seg_bin, C, center_bin, valid, n_bins=n_bins, precision=precision
+    )
     k = jnp.argmin(scores, axis=1)
     return jnp.take_along_axis(scores, k[:, None], axis=1)[:, 0], k
 
@@ -132,22 +110,22 @@ def _discretize_and_flux(
 
     basis_cluster = n_states - 2
     target_cluster = n_states - 1
-    # Reference override order (_fluxmatrix.py:134-137), composed with the
-    # predict-time overrides the host path bakes into pair_dtrajs
-    # (stratified_clustering.py:159-169): parent-in-target wins over
-    # parent-in-basis; child-in-basis wins over child-in-target
+    # Reference override composition: predict routes target-region rows to
+    # the target cluster first (stratified_clustering.py:159-169), but the
+    # flux build then applies start-in-basis and end-in-basis
+    # unconditionally AFTER end-in-target (_fluxmatrix.py:134-137) -- so
+    # for rows inside BOTH regions (overlapping bounds), basis wins, for
+    # parents and children alike. target_p (the predict-time short-circuit
+    # folded into this kernel) therefore applies BEFORE basis_p.
     cidx = jnp.where(target_c, target_cluster, cidx)
-    pidx = jnp.where(basis_p, basis_cluster, pidx)
     if target_p is not None:
         pidx = jnp.where(target_p, target_cluster, pidx)
+    pidx = jnp.where(basis_p, basis_cluster, pidx)
     cidx = jnp.where(basis_c, basis_cluster, cidx)
 
     flat = pidx.astype(jnp.int32) * n_states + cidx.astype(jnp.int32)
     fm = jax.ops.segment_sum(w, flat, num_segments=n_states * n_states)
     return fm.reshape(n_states, n_states), pidx, cidx
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=64)

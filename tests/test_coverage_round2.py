@@ -155,3 +155,31 @@ def test_iter_fluxmatrix_sums_to_full_fluxmatrix(tmp_path):
     assert any(
         m.is_WE_target(m._dataset.iter_data(i)["pcoord0"]).any() for i in iters
     )
+
+
+def test_partial_fit_counts_seed_batch_once():
+    """A bin initialized by a batch must not also route that same batch
+    through the minibatch update (seed weights counted twice, centers taking
+    an extra half-step; sklearn's partial_fit counts a first batch once)."""
+    from msm_we_tpu.ops.stratified import StratifiedKmeans
+
+    rng = np.random.default_rng(0)
+    n, k = 40, 3
+    X = rng.normal(size=(n, 2)).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+    bins = np.zeros(n, np.int32)
+
+    strat = StratifiedKmeans(n_bins=2, k_per_bin=k, n_features=2, seed=1)
+    strat.partial_fit(X, bins, weights=w)
+    strat._sync_host()
+    np.testing.assert_allclose(
+        strat.counts[: k].sum(), w.sum(), rtol=1e-5,
+        err_msg="seed batch weights entered the counts more than once",
+    )
+
+    # A second batch with already-initialized bins DOES update counts
+    X2 = rng.normal(size=(8, 2)).astype(np.float32)
+    w2 = rng.random(8).astype(np.float32)
+    strat.partial_fit(X2, np.zeros(8, np.int32), weights=w2)
+    strat._sync_host()
+    np.testing.assert_allclose(strat.counts[:k].sum(), w.sum() + w2.sum(), rtol=1e-5)
