@@ -106,8 +106,14 @@ def main(argv=None):
                 # Default grid spanning everything discretization will ever
                 # assign: parent AND child pcoords across all iterations, the
                 # basis/target bounds, and 0.0 (NaN pcoords are zero-filled)
-                extremes = [0.0, args.basis[0], args.basis[1],
-                            args.target[0], args.target[1]]
+                # Infinite bounds are legal (pcoord_in_bounds handles them);
+                # they just must not enter the finite bin grid
+                extremes = [
+                    b
+                    for b in (0.0, args.basis[0], args.basis[1],
+                              args.target[0], args.target[1])
+                    if np.isfinite(b)
+                ]
                 for i in range(1, model.maxIter):
                     d = model._dataset.iter_data(i)
                     for key in ("pcoord0", "pcoord1"):

@@ -384,7 +384,12 @@ class ExtendedModelWE(modelWE):
                 iT += 1
         self.probTransient = prob_transient[:iT]
         p = np.squeeze(np.asarray(p))
-        self.pSS = p / p.sum()
+        # Final relaxed distribution exposed WITHOUT clobbering self.pSS:
+        # the reference version assigns it to pSS, silently corrupting any
+        # later steady-state-dependent analysis (target flux, committors)
+        # run after a diagnostic relaxation. That side effect lived only in
+        # unreachable code there; making the methods live means dropping it.
+        self.pEvolved = p / p.sum()
         return self.probTransient
 
     def evolve_probability(self, nEvolve, nStore):
@@ -433,9 +438,9 @@ class ExtendedModelWE(modelWE):
         )
         feats = self.reduceCoordinates(np.nan_to_num(np.asarray(coords)))
         if self._strat is not None:
-            bins = self._strat.we_remap[self._bin_mapper.assign(
-                np.nan_to_num(np.asarray(pcoords))
-            )]
+            # predict applies we_remap internally; remapping here too would
+            # double-apply it (harmless only while remaps stay idempotent)
+            bins = self._bin_mapper.assign(np.nan_to_num(np.asarray(pcoords)))
             raw = self._strat.predict(
                 feats, bins,
                 is_basis=self.is_WE_basis(pcoords),

@@ -13,6 +13,19 @@ import numpy as np
 from .._logging import log
 
 
+def _final_frame(traj_xyz):
+    """(n_atoms, 3) final frame of an mdtraj ``xyz`` array.
+
+    Multi-frame trajectory files contribute their last saved frame. (The
+    reference ``np.squeeze``s instead, which silently writes a mis-shaped
+    5-D ``auxdata/coord`` for multi-frame files -- breaking the documented
+    ``(n_walkers, 2, n_atoms, 3)`` contract and every downstream reader.)
+    """
+    xyz = np.asarray(traj_xyz)
+    assert xyz.ndim == 3, f"expected (n_frames, n_atoms, 3), got {xyz.shape}"
+    return xyz[-1]
+
+
 class H5AugmentationDriver:
     """HDF5-framework augmentation: after each iteration, soft-link
     ``iter_XXX/auxdata/coord`` to the per-iteration trajectory dataset.
@@ -115,7 +128,7 @@ class MDAugmentationDriver:
             child_traj_path = f"{seg_path}/{self.child_traj_filename}"
 
             if os.path.exists(parent_traj_path):
-                parent_coords = np.squeeze(
+                parent_coords = _final_frame(
                     md.load(parent_traj_path, top=self.topology).xyz
                 )
             else:
@@ -134,11 +147,13 @@ class MDAugmentationDriver:
                 segment_bstate = self.data_manager.get_basis_states(
                     self.sim_manager.n_iter
                 )[bstate_id]
-                parent_coords = np.squeeze(
+                parent_coords = _final_frame(
                     md.load(segment_bstate.auxref, top=self.topology).xyz
                 )
 
-            child_coords = np.squeeze(md.load(child_traj_path, top=self.topology).xyz)
+            child_coords = _final_frame(
+                md.load(child_traj_path, top=self.topology).xyz
+            )
 
             auxcoord_dataset = self.data_manager.we_h5file.require_dataset(
                 name=f"{iter_group_name}/auxdata/coord",

@@ -61,10 +61,31 @@ def compute_optimized_bins_for_model(
     else:
         microstate_assignments = binning_strategy(model)
 
-    # Basis and target go to the last two WE bins
-    microstate_assignments = np.concatenate(
-        [microstate_assignments, [n_active_bins - 2, n_active_bins - 1]]
-    )
+    microstate_assignments = np.asarray(microstate_assignments, dtype=float)
+    n_states = model.nBins
+    if len(microstate_assignments) == n_states - 2:
+        # Strategies may exclude basis/target (the reference's documented
+        # strategy contract); extend to cover their sorted positions
+        microstate_assignments = np.concatenate(
+            [microstate_assignments, [n_active_bins - 2, n_active_bins - 1]]
+        )
+
+    # The assignments are computed in the pcoord-SORTED fluxMatrix numbering
+    # (discrepancy/variance/pSS all live there), but OptimizedBinMapper
+    # consumes RAW stratified predict ids -- permute into raw numbering.
+    # (The reference ships the sorted array and indexes it with raw ids:
+    # silently wrong WE bins whenever the sort is non-identity; fixed here.)
+    sort_idx = getattr(model, "pcoord_sort_indices", None)
+    if sort_idx is not None and len(microstate_assignments) == len(sort_idx):
+        inv = np.empty(len(sort_idx), dtype=np.int64)
+        inv[np.asarray(sort_idx)] = np.arange(len(sort_idx))
+        microstate_assignments = microstate_assignments[inv]
+
+    # Pin the raw basis/target slots to the last two WE bins (the mapper
+    # additionally overrides by pcoord region at assignment time)
+    if len(microstate_assignments) >= n_states:
+        microstate_assignments[n_states - 2] = n_active_bins - 2
+        microstate_assignments[n_states - 1] = n_active_bins - 1
     log.debug(f"Microstate assignments are {microstate_assignments}")
 
     return optimization.OptimizedBinMapper(

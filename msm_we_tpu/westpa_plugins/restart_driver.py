@@ -125,11 +125,23 @@ def start_state_entries(model, ss_dist):
     Sampling of Steady States", Alg 5.3: ``seg_weight * (bin_prob /
     bin_total_WE_weight)``. Basis/target pseudo-clusters and zero-probability
     bins are skipped. Reference ``restart_driver.py:948-1005``.
+
+    ``model.cluster_structures`` is keyed by *raw* global cluster ids (the
+    dtraj numbering) while ``ss_dist`` lives in the pcoord-sorted fluxMatrix
+    numbering, so the probability lookup maps through the recorded sort
+    permutation. (The reference indexes raw ids into the sorted pSS
+    directly -- silently wrong start-state weights whenever the sort is a
+    non-identity permutation; fixed here.)
     """
+    sort_idx = getattr(model, "pcoord_sort_indices", None)
+    inv = None
+    if sort_idx is not None:
+        inv = np.empty(len(sort_idx), dtype=np.int64)
+        inv[np.asarray(sort_idx)] = np.arange(len(sort_idx))
     for msm_bin_idx, structures in model.cluster_structures.items():
         if msm_bin_idx in [model.n_clusters, model.n_clusters + 1]:
             continue
-        bin_prob = ss_dist[msm_bin_idx]
+        bin_prob = ss_dist[inv[msm_bin_idx] if inv is not None else msm_bin_idx]
         if bin_prob == 0:
             log.info(
                 f"MSM-Bin {msm_bin_idx} has probability 0, so not saving any "

@@ -103,20 +103,20 @@ def test_evolve_probability(ext_model):
     prob = ext_model.evolve_probability(nEvolve=2000, nStore=100)
     assert prob.shape[1] == ext_model.nBins
     assert np.allclose(prob.sum(axis=1), 1.0, atol=1e-8)
-    # Long-time evolution converges to the steady state
-    assert np.allclose(ext_model.pSS, ref_pss, atol=1e-3)
+    # Long-time evolution converges to the steady state -- exposed as
+    # pEvolved; pSS must NOT be clobbered by a diagnostic relaxation
+    assert np.allclose(ext_model.pEvolved, ref_pss, atol=1e-3)
+    np.testing.assert_array_equal(ext_model.pSS, ref_pss)
     # evolve_target_flux consumes probTransient
     ext_model.evolve_target_flux()
     assert ext_model.Jtarget.shape[0] == prob.shape[0]
-    # restore
-    ext_model.pSS = ref_pss
 
     prob2 = ext_model.evolve_probability2(nEvolve=100, nStore=50)
     assert np.allclose(prob2.sum(axis=1), 1.0)
     p0 = np.ones(ext_model.nBins) / ext_model.nBins
     prob3 = ext_model.evolve_probability_from_initial(p0, 100, 50)
     assert np.allclose(prob3.sum(axis=1), 1.0)
-    ext_model.pSS = ref_pss
+    np.testing.assert_array_equal(ext_model.pSS, ref_pss)
 
 
 def test_iter_aristoffian_and_kh_pcoord_write(tmp_path):

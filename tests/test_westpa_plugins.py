@@ -256,3 +256,27 @@ def test_pcoord1d_flux_empty_range_raises(west_h5):
     model.get_iterations()
     with pytest.raises(ValueError, match="last_iter > first_iter"):
         model.get_pcoord1D_fluxMatrix(0, 5, 5, np.linspace(0, 10, 5))
+
+
+def test_start_state_weights_use_sorted_pss(hamsm_model):
+    """Per-cluster start-state weight mass must equal the pcoord-SORTED pSS
+    entry for that cluster: cluster_structures is keyed by raw dtraj ids,
+    pSS lives in the sorted fluxMatrix numbering, and the two differ by the
+    recorded sort permutation. (The total-mass check above cannot catch a
+    permutation mixup -- sums are permutation-invariant; the reference
+    indexes raw ids directly and gets this wrong.)"""
+    hamsm_model.update_cluster_structures(build_pcoord_cache=True)
+    sort_idx = np.asarray(hamsm_model.pcoord_sort_indices)
+    assert not np.array_equal(sort_idx, np.arange(hamsm_model.nBins)), (
+        "fixture's sort permutation became the identity; this test would "
+        "no longer distinguish raw from sorted indexing"
+    )
+    inv = np.empty(hamsm_model.nBins, dtype=int)
+    inv[sort_idx] = np.arange(hamsm_model.nBins)
+
+    per_bin = {}
+    for b, _s, w, _x in start_state_entries(hamsm_model, hamsm_model.pSS):
+        per_bin[b] = per_bin.get(b, 0.0) + w
+    assert per_bin
+    for b, w in per_bin.items():
+        np.testing.assert_allclose(w, hamsm_model.pSS[inv[b]], rtol=1e-9)
