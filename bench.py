@@ -322,8 +322,26 @@ def run_end_to_end():
     from msm_we_tpu.model import modelWE
 
     path = "/tmp/msm_we_tpu_bench_100k.h5"
-    if not os.path.exists(path):
-        generate_west_h5(path, n_iterations=101, n_segments=1000, seed=17)
+
+    def _valid():
+        # Guard against a truncated file from an interrupted earlier run
+        # (or one written by an older generator): silently benchmarking a
+        # different dataset would misreport the north-star shape
+        try:
+            import h5py
+
+            with h5py.File(path, "r") as h5:
+                groups = list(h5["iterations"])
+                return len(groups) == 102 and "auxdata/coord" in h5[
+                    f"iterations/{groups[-1]}"
+                ]
+        except Exception:
+            return False
+
+    if not os.path.exists(path) or not _valid():
+        tmp = path + ".tmp"
+        generate_west_h5(tmp, n_iterations=101, n_segments=1000, seed=17)
+        os.replace(tmp, path)  # atomic: no truncated file on interruption
 
     def build():
         mapper = RectilinearBinMapper([np.linspace(0, 10, 13)])

@@ -115,7 +115,6 @@ def generate_trajectory_arrays(settings: SynthWESettings):
 
     n_we_bins = 10
     bin_edges = np.linspace(settings.x_min, settings.x_max, n_we_bins + 1)
-    walkers_per_bin = max(2, M // n_we_bins)
 
     # Current walker ensemble (start-of-iteration state)
     xs = basis_x + rng.normal(0, 0.1, M)
@@ -158,10 +157,19 @@ def generate_trajectory_arrays(settings: SynthWESettings):
                 )
 
         if _it >= settings.warmup:
+            # First recorded iteration: parents point into unrecorded warmup
+            # history; real west.h5 files mark iteration-1 segments with
+            # parent_id < 0 (the start-of-trajectory sentinel WESTPA's
+            # w_trace and the reference's ancestry walks rely on)
+            recorded_parents = (
+                np.full_like(parent_of, -1)
+                if _it == settings.warmup
+                else parent_of.copy()
+            )
             iterations.append(
                 dict(
                     weights=ws.copy(),
-                    parent_ids=parent_of.copy(),
+                    parent_ids=recorded_parents,
                     pcoords=pcoords,
                     coords=np.stack([start_coords, end_coords], axis=1),
                     recycled=in_target.copy(),
@@ -181,11 +189,25 @@ def generate_trajectory_arrays(settings: SynthWESettings):
         bins = np.clip(
             np.digitize(next_x, bin_edges) - 1, 0, n_we_bins - 1
         )
+        # Equal-share walker targets per populated bin (WE's allocation),
+        # apportioned so the ensemble totals EXACTLY n_segments whenever
+        # n_segments >= populated bins (each populated bin keeps >= 1
+        # walker, so tiny ensembles may exceed the request)
+        populated = [b for b in range(n_we_bins) if (bins == b).any()]
+        base, rem = divmod(M, len(populated))
+        bin_target = {b: max(base, 1) for b in populated}
+        if base >= 1 and rem:
+            # Deterministic: the extra walkers go to the heaviest bins
+            heaviness = np.argsort(
+                [-next_w[bins == b].sum() for b in populated], kind="stable"
+            )
+            for i in heaviness[:rem]:
+                bin_target[populated[i]] += 1
+
         keep_x, keep_w, keep_coords, keep_parent = [], [], [], []
-        for b in range(n_we_bins):
+        for b in populated:
             members = np.flatnonzero(bins == b)
-            if len(members) == 0:
-                continue
+            walkers_per_bin = bin_target[b]
             mx = next_x[members]
             mw = next_w[members]
             mc = next_coords[members]

@@ -111,7 +111,11 @@ class Ensemble:
         return ensemble_sum
 
     def __iadd__(self, other):
-        return self.__add__(other)
+        # In place: delegating to __add__ would deep-copy the whole
+        # accumulated ensemble on every +=, O(total^2) over a loop
+        for traj in other.trajectories:
+            self.add_trajectory(traj)
+        return self
 
     def __iter__(self):
         return iter(self.trajectories)
@@ -185,7 +189,8 @@ class Ensemble:
                 if symmetric:
                     sum_ += np.sum(in_B[:n] & in_A[delay:])
                     counts += n
-            corr_values.append(sum_ / counts)
+            # No trajectory long enough for this delay -> NaN, not a crash
+            corr_values.append(sum_ / counts if counts else np.nan)
         return corr_values
 
 
@@ -248,8 +253,13 @@ class PathEnsemble(Ensemble):
                 snapshots = traj
 
             if discrete:
-                in_A = np.isin(snapshots, stateA)
-                in_B = np.isin(snapshots, stateB)
+                # Column-vector (n, 1) discrete trajectories must flatten:
+                # 2-D membership labels would silently yield zero paths
+                labels = np.asarray(snapshots)
+                if labels.ndim > 1:
+                    labels = labels[:, 0]
+                in_A = np.isin(labels, stateA)
+                in_B = np.isin(labels, stateB)
             else:
                 in_A = _membership(snapshots, intervalA, False)
                 in_B = _membership(snapshots, intervalB, False)
@@ -445,12 +455,12 @@ class DiscretePathEnsemble(PathEnsemble, DiscreteEnsemble):
         transitions observed in the path (reference ``ensembles.py:483-501``).
         """
         fundamental_seqs = []
+        matrix = (
+            transition_matrix * transition_matrix.T
+            if symmetric
+            else transition_matrix
+        )
         for path in self.trajectories:
-            matrix = (
-                transition_matrix * transition_matrix.T
-                if symmetric
-                else transition_matrix
-            )
             cmatrix = self._connectivity_matrix(path, matrix)
             path_graph = self._graph_from_matrix(cmatrix)
             shortest_path = nx.dijkstra_path(path_graph, path[0], path[-1], "distance")

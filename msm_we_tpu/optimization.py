@@ -230,9 +230,18 @@ class OptimizedBinMapper:
         stratified_cluster_assignments = self.clusterer.predict(extended_pcoords)
 
         microstate_mapper = self.microstate_mapper
+        # Membership test must respect the container type: for a dict with
+        # non-contiguous keys (e.g. after a microstate was cleaned),
+        # ``m < len(...)`` passes for missing keys and KeyErrors mid-run
+        if isinstance(microstate_mapper, dict):
+            def _known(m):
+                return m in microstate_mapper
+        else:
+            def _known(m):
+                return 0 <= m < len(microstate_mapper)
         we_bin_assignments = np.array(
             [
-                float(microstate_mapper[m]) if m < len(microstate_mapper) else -1.0
+                float(microstate_mapper[m]) if _known(m) else -1.0
                 for m in stratified_cluster_assignments
             ]
         )

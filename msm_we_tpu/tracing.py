@@ -27,7 +27,8 @@ class StageTimer:
     def __init__(self, on_change=None):
         self.stages = []  # list of (name, seconds, note)
         self.failed = set()  # indices of stages that raised
-        self.running = None  # index of the currently running stage
+        self.running = None  # index of the innermost currently running stage
+        self._stack = []  # indices of nested running stages
         self._on_change = on_change
 
     def _notify(self):
@@ -39,9 +40,16 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name, note=""):
-        # Append at entry so set_note() inside the block targets this stage
+        # Append at entry so set_note() inside the block targets this stage.
+        # Running stages form a STACK: after a nested stage exits, notes and
+        # the live display's running marker return to the enclosing stage
+        # (with a flat `running = None` reset, the outer stage would render
+        # finished while still executing)
         self.stages.append((name, 0.0, note))
         idx = len(self.stages) - 1
+        if not hasattr(self, "_stack"):  # unpickled older timers
+            self._stack = []
+        self._stack.append(idx)
         self.running = idx
         self._notify()
         t0 = time.perf_counter()
@@ -54,14 +62,16 @@ class StageTimer:
             elapsed = time.perf_counter() - t0
             n, _, note_now = self.stages[idx]
             self.stages[idx] = (n, elapsed, note_now)
-            self.running = None
+            self._stack.pop()
+            self.running = self._stack[-1] if self._stack else None
             self._notify()
             log.info(f"[stage] {name}: {elapsed:.3f}s {note_now}")
 
     def set_note(self, note):
         if self.stages:
-            name, elapsed, _ = self.stages[-1]
-            self.stages[-1] = (name, elapsed, note)
+            idx = self.running if self.running is not None else len(self.stages) - 1
+            name, elapsed, _ = self.stages[idx]
+            self.stages[idx] = (name, elapsed, note)
             self._notify()
 
     def __getstate__(self):

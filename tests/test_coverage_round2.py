@@ -183,3 +183,71 @@ def test_partial_fit_counts_seed_batch_once():
     strat.partial_fit(X2, np.zeros(8, np.int32), weights=w2)
     strat._sync_host()
     np.testing.assert_allclose(strat.counts[:k].sum(), w.sum() + w2.sum(), rtol=1e-5)
+
+
+def test_path_ensemble_from_column_vector_discrete_trajs():
+    """(n, 1) discrete trajectories must find the same reactive paths as
+    their 1-D equivalents (2-D labels silently found zero paths)."""
+    from msm_we_tpu.msm.ensembles import DiscreteEnsemble, PathEnsemble
+
+    traj = np.array([5, 5, 0, 2, 9, 9, 0, 3, 9])
+    flat = DiscreteEnsemble([traj])
+    col = DiscreteEnsemble([traj[:, None]])
+    p_flat = PathEnsemble.from_ensemble(flat, stateA=[0], stateB=[9], discrete=True)
+    p_col = PathEnsemble.from_ensemble(col, stateA=[0], stateB=[9], discrete=True)
+    assert len(p_flat.trajectories) == 2
+    assert len(p_col.trajectories) == len(p_flat.trajectories)
+
+
+def test_corr_function_short_trajectories_give_nan():
+    from msm_we_tpu.msm.ensembles import Ensemble
+
+    ens = Ensemble([np.arange(3, dtype=float)])
+    vals = ens.empirical_corr_function([0, 1.5], [1.5, 3], [1, 5])
+    assert np.isfinite(vals[0])
+    assert np.isnan(vals[1])
+
+
+def test_generator_honors_n_segments_and_first_iter_sentinel():
+    from msm_we_tpu.data.synthetic import SynthWESettings, generate_trajectory_arrays
+
+    its = generate_trajectory_arrays(
+        SynthWESettings(n_iterations=4, n_segments=32, warmup=3, seed=2)
+    )
+    assert all(len(d["weights"]) == 32 for d in its)
+    # First recorded iteration: start-of-trajectory sentinel, as in real
+    # west.h5 files (parents would index an unrecorded warmup iteration)
+    assert (its[0]["parent_ids"] == -1).all()
+    assert any((d["parent_ids"] >= 0).any() for d in its[1:])
+
+
+def test_optimized_mapper_handles_dict_with_gaps():
+    """A dict microstate_mapper with non-contiguous keys must route unknown
+    microstates to the pcoord fallback instead of KeyError-ing."""
+    from msm_we_tpu.binning import RectilinearBinMapper
+    from msm_we_tpu.model import StratifiedClustersShim, modelWE
+    from msm_we_tpu.optimization import OptimizedBinMapper
+    from msm_we_tpu.ops.stratified import StratifiedKmeans
+
+    rng = np.random.default_rng(0)
+    strat = StratifiedKmeans(n_bins=2, k_per_bin=2, n_features=1, seed=0)
+    strat.partial_fit(
+        rng.normal(size=(40, 1)).astype(np.float32) + 2.0,
+        np.repeat([0, 1], 20).astype(np.int32),
+    )
+    model = modelWE()
+    model._strat = strat
+    base_mapper = RectilinearBinMapper([[-100.0, 0.0, 100.0]])
+    shim = StratifiedClustersShim(base_mapper, model, strat)
+
+    mapper = OptimizedBinMapper(
+        6, 1, [[9.0, 10.0]], [[-10.0, -9.0]],
+        base_mapper,
+        {0: 0.0, 2: 1.0},  # microstate 1/3 missing (cleaned)
+        shim,
+    )
+    # Column 0: original pcoord; column 1: the extended (reduced) feature
+    coords = np.array([[1.0, 2.1], [2.5, 1.9], [9.5, 2.0], [-9.5, 2.2]])
+    out = mapper.assign(coords)
+    assert out.shape == (4,)
+    assert out[2] == 5 and out[3] == 4  # basis/target -> last two WE bins
