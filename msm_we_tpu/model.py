@@ -1952,14 +1952,18 @@ class modelWE:
         (:func:`~msm_we_tpu.ops.linalg.chapman_kolmogorov_from_flux`);
         coinciding curves indicate Markovian dynamics in the cluster space.
         ``sets=None`` uses the 2-metastable split by the slowest mode's sign
-        structure. Returns ``(lag_times, sets, predicted, estimated)``;
+        structure; an integer ``sets=n`` coarse-grains the base model into n
+        metastable sets with PCCA+ (:func:`~msm_we_tpu.ops.linalg.pcca_sets`).
+        Returns ``(lag_times, sets, predicted, estimated)``;
         stored as ``self.ck_test``. Extends the reference (lag gated off).
         """
-        from .ops.linalg import chapman_kolmogorov_from_flux
+        from .ops.linalg import chapman_kolmogorov_from_flux, pcca_sets
 
         fms, lag_times = self._lagged_flux_matrices(
             lags, iters_to_use, drop_basis_target=True
         )
+        if isinstance(sets, (int, np.integer)):
+            sets = pcca_sets(fms[0], int(sets))
         base = lag_times[0]
         factors = lag_times / base
         int_factors = np.rint(factors).astype(int)

@@ -322,6 +322,50 @@ def implied_timescales_from_flux(flux_matrices, lag_times, n_timescales=3):
     return out
 
 
+def pcca_sets(flux_matrix, n_sets):
+    """Metastable coarse sets by the PCCA+ inner-simplex algorithm.
+
+    Restricts to the largest strongly connected component, takes the
+    ``n_sets`` dominant right eigenvectors of the row-normalized matrix,
+    picks ``n_sets`` rows spanning the eigenvector simplex (Deuflhard &
+    Weber 2005's initial-guess construction), and assigns every state to
+    its maximum-membership vertex. Returns a list of arrays of ORIGINAL
+    state indices (every component state appears in exactly one set).
+
+    A coarse-graining utility the reference lacks entirely; also usable as
+    the set definition for :func:`chapman_kolmogorov_from_flux` via
+    ``modelWE.get_ck_test(sets=n)``.
+    """
+    T, keep = _connected_tmatrix(flux_matrix)
+    if T is None:
+        raise ValueError("No connected component of size >= 2 to coarse-grain")
+    m = int(min(n_sets, len(keep)))
+    if m < 2:
+        raise ValueError("n_sets must be >= 2")
+
+    evals, evecs = np.linalg.eig(T)
+    order = np.argsort(-np.real(evals))
+    X = np.real(evecs[:, order[:m]])
+
+    # Inner simplex: first vertex = row farthest from the centroid; each
+    # next vertex = row with the largest residual after removing the span
+    # of the already-chosen vertex directions
+    idx = np.zeros(m, dtype=int)
+    centered = X - X.mean(axis=0)
+    idx[0] = int(np.argmax(np.linalg.norm(centered, axis=1)))
+    ortho = X - X[idx[0]]
+    for j in range(1, m):
+        norms = np.linalg.norm(ortho, axis=1)
+        idx[j] = int(np.argmax(norms))
+        v = ortho[idx[j]] / max(norms[idx[j]], 1e-300)
+        ortho = ortho - np.outer(ortho @ v, v)
+
+    # chi solves  chi @ X[idx] = X  (memberships in the vertex basis)
+    memberships = X @ np.linalg.pinv(X[idx])
+    assignment = np.argmax(memberships, axis=1)
+    return [keep[assignment == j] for j in range(m) if (assignment == j).any()]
+
+
 def chapman_kolmogorov_from_flux(flux_matrices, factors, sets=None):
     """Chapman-Kolmogorov test: compare set-residence probabilities of the
     directly estimated lagged models against the base model propagated.

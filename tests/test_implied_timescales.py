@@ -141,3 +141,39 @@ def test_model_ck_test_and_plot(built_model):
     matplotlib.use("Agg")
     fig, axes = m.plot_ck_test(lags=(0, 1))
     assert len(axes) >= 1
+
+
+def test_pcca_sets_recover_metastable_blocks():
+    """On a 3-block metastable chain, PCCA+ must recover the blocks."""
+    from msm_we_tpu.ops.linalg import pcca_sets
+
+    rng = np.random.default_rng(4)
+    blocks = [np.arange(0, 4), np.arange(4, 7), np.arange(7, 11)]
+    n = 11
+    T = np.zeros((n, n))
+    for block in blocks:
+        sub = rng.random((len(block), len(block))) + 1.0
+        T[np.ix_(block, block)] = sub
+    # Weak inter-block links (both directions, so the chain is one SCC)
+    T[3, 4] = T[4, 3] = T[6, 7] = T[7, 6] = T[0, 10] = T[10, 0] = 1e-4
+    T = T / T.sum(axis=1, keepdims=True)
+
+    sets = pcca_sets(T, 3)
+    assert len(sets) == 3
+    found = sorted(tuple(sorted(s)) for s in sets)
+    expected = sorted(tuple(b) for b in blocks)
+    assert found == expected
+
+    # Partition property: every state in exactly one set
+    all_states = np.sort(np.concatenate(sets))
+    np.testing.assert_array_equal(all_states, np.arange(n))
+
+
+def test_ck_test_with_pcca_sets(built_model):
+    lag_times, sets, predicted, estimated = built_model.get_ck_test(
+        lags=(0, 1), sets=2
+    )
+    assert len(sets) == 2
+    assert np.isfinite(predicted).all()
+    # PCCA sets partition the base component
+    assert len(np.intersect1d(sets[0], sets[1])) == 0
