@@ -51,6 +51,19 @@ def main(argv=None):
     build.add_argument("--save-model", default=None,
                        help="Pickle the built model here")
 
+    validate = sub.add_parser(
+        "validate",
+        help="Lag-validate a saved model (implied timescales + CK test)",
+    )
+    validate.add_argument("model", help="Pickled model from build --save-model")
+    validate.add_argument("--lags", type=int, nargs="+", default=[0, 1, 2, 3],
+                          help="n_lag windows (physical lag = tau*(lag+1))")
+    validate.add_argument("--n-timescales", type=int, default=3)
+    validate.add_argument("--pcca-sets", type=int, default=None,
+                          help="Coarse-grain the CK test into N PCCA+ sets "
+                               "(default: 2-set slowest-mode sign split)")
+    validate.add_argument("--output", default=None, help="Write results as JSON here")
+
     info = sub.add_parser("info", help="Print package/device info")
 
     args = parser.parse_args(argv)
@@ -153,6 +166,36 @@ def main(argv=None):
                 json.dump(results, f)
         if args.save_model:
             model.save(args.save_model)
+        return 0
+
+    if args.command == "validate":
+        import numpy as np
+
+        from .model import modelWE
+
+        model = modelWE.load(args.model)
+        lag_times, ts = model.get_implied_timescales(
+            lags=args.lags, n_timescales=args.n_timescales
+        )
+        _lt, sets, predicted, estimated = model.get_ck_test(
+            lags=args.lags, sets=args.pcca_sets
+        )
+        ck_dev = float(np.nanmax(np.abs(predicted - estimated)))
+        results = {
+            "lag_times": [float(x) for x in lag_times],
+            "implied_timescales": [
+                [None if not np.isfinite(x) else float(x) for x in row]
+                for row in ts
+            ],
+            "ck_sets": [[int(s) for s in S] for S in sets],
+            "ck_predicted": predicted.tolist(),
+            "ck_estimated": estimated.tolist(),
+            "ck_max_abs_deviation": ck_dev,
+        }
+        print(json.dumps(results, indent=2))
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(results, f)
         return 0
 
     parser.print_help()

@@ -168,3 +168,31 @@ def test_augment_missing_segment_files_get_nan(tmp_path, monkeypatch):
         dset = h5["iterations/iter_00000001/auxdata/coord"][:]
     assert np.isfinite(dset[0]).all()
     assert np.isnan(dset[1]).all()  # missing files -> NaN (weight-0 downstream)
+
+
+def test_cli_validate(tmp_path):
+    from msm_we_tpu.cli import main
+    from msm_we_tpu.data import generate_west_h5
+
+    h5 = str(tmp_path / "west.h5")
+    generate_west_h5(h5, n_iterations=25, n_segments=24, seed=3)
+    model_path = str(tmp_path / "model.obj")
+    out_path = str(tmp_path / "validate.json")
+
+    assert main([
+        "build", h5, "--basis", "9", "10", "--target", "0", "1",
+        "--n-clusters", "3", "--stratified", "--save-model", model_path,
+    ]) == 0
+
+    assert main([
+        "validate", model_path, "--lags", "0", "1", "2",
+        "--pcca-sets", "2", "--output", out_path,
+    ]) == 0
+
+    import json
+
+    results = json.load(open(out_path))
+    assert results["lag_times"] == [1.0, 2.0, 3.0]
+    assert len(results["implied_timescales"]) == 3
+    assert len(results["ck_sets"]) == 2
+    assert results["ck_max_abs_deviation"] < 0.5
