@@ -91,3 +91,40 @@ def test_pipeline_lag_and_device_sweep(tmp_path, seed, n_lag, device):
     assert model.JtargetSS >= 0
     assert np.allclose(model.Tmatrix.sum(axis=1), 1.0)
     assert model.lagtime == pytest.approx(1.0 * (n_lag + 1))
+
+
+@pytest.mark.parametrize("seed", [707, 808])
+def test_pipeline_dedup_transparency_sweep(tmp_path, seed):
+    """Across random datasets, auto-dedup featurization must be bitwise
+    transparent: identical features and identical JtargetSS vs direct."""
+    path = str(tmp_path / f"west_{seed}.h5")
+    generate_west_h5(path, n_iterations=35, n_segments=20, seed=seed)
+
+    results = {}
+    for dedup in ("auto", False):
+        model = modelWE()
+        model.build_analyze_model(
+            file_paths=[path],
+            ref_struct={"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            modelName=f"fuzz{seed}",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dimreduce_method="pca",
+            tau=1.0,
+            n_clusters=2,
+            cross_validation_groups=0,
+            show_live_display=False,
+            step_kwargs={
+                "clustering": {
+                    "user_bin_mapper": RectilinearBinMapper([np.linspace(0, 10, 11)])
+                }
+            },
+            dedup_coordinates=dedup,
+        )
+        results[dedup] = model
+
+    a, b = results["auto"], results[False]
+    for key in ("parent", "child", "weights"):
+        assert np.array_equal(a._features[key], b._features[key]), key
+    assert a.JtargetSS == b.JtargetSS
+    np.testing.assert_array_equal(a.pSS, b.pSS)
