@@ -199,6 +199,18 @@ def minibatch_update(centers, counts, X, w, idx):
     return new_centers, new_counts
 
 
+@partial(jax.jit, static_argnames=("n_bins",))
+def masked_minibatch_step(centers, counts, X, w, seg_bin, center_bin, valid,
+                          n_bins=None):
+    """Fused stratified assign + running-mean update: ONE device dispatch per
+    streaming batch. Identical ops to masked_assign followed by
+    minibatch_update (the nested jitted calls inline); through a remote
+    tunnel the per-batch dispatch latency dominates the fill loop, so
+    halving the dispatches halves the clustering stage's overhead."""
+    idx = masked_assign(X, seg_bin, centers, center_bin, valid, n_bins=n_bins)
+    return minibatch_update(centers, counts, X, w, idx)
+
+
 def kmeans_fit(X, w, k, seed=0, n_iter=50, minibatch=False, batch_size=4096):
     """Host-orchestrated full fit: k-means++ seeding then Lloyd (or minibatch).
 

@@ -31,7 +31,7 @@ from .kmeans import (
     kmeans_plusplus,
     lloyd,
     masked_assign,
-    minibatch_update,
+    masked_minibatch_step,
 )
 
 __all__ = ["StratifiedKmeans"]
@@ -261,26 +261,18 @@ class StratifiedKmeans:
                     X[live], w[live], seg_bins[live].astype(np.int32)
                 )
                 centers_d, counts_d = self._device_state()
-                # One host->device upload per array: the batch feeds both
-                # the assignment and the update (a second jnp.asarray of
-                # the same numpy array is a second transfer -- on a remote
-                # tunnel this path IS the clustering cost)
-                Xd = jnp.asarray(Xl_np)
-                wd = jnp.asarray(wl_np)
-                idx = masked_assign(
-                    Xd,
-                    jnp.asarray(bl_np),
+                # Fused assign+update: one dispatch and one upload per batch
+                # (on a remote tunnel, per-batch dispatch latency IS the
+                # clustering cost)
+                new_centers, new_counts = masked_minibatch_step(
                     centers_d,
+                    counts_d,
+                    jnp.asarray(Xl_np),
+                    jnp.asarray(wl_np),
+                    jnp.asarray(bl_np),
                     jnp.asarray(self.center_bin),
                     jnp.asarray(self.valid),
                     n_bins=self.n_bins,
-                )
-                new_centers, new_counts = minibatch_update(
-                    centers_d,
-                    counts_d,
-                    Xd,
-                    wd,
-                    idx,
                 )
                 # Stay device-resident: no blocking host conversion per
                 # batch; _sync_host() materializes once when next read
