@@ -172,26 +172,62 @@ def main(argv=None):
         import numpy as np
 
         from .model import modelWE
+        from .ops.linalg import (
+            chapman_kolmogorov_from_flux,
+            implied_timescales_from_flux,
+            pcca_sets,
+        )
 
         model = modelWE.load(args.model)
-        lag_times, ts = model.get_implied_timescales(
-            lags=args.lags, n_timescales=args.n_timescales
+        # One pass over the lagged flux matrices feeds BOTH tests (each
+        # matrix is a full discretize+scatter rebuild -- ~1 s at 1M scale)
+        fms, lag_times = model._lagged_flux_matrices(
+            args.lags, iters_to_use=None, drop_basis_target=True
         )
-        _lt, sets, predicted, estimated = model.get_ck_test(
-            lags=args.lags, sets=args.pcca_sets
+        ts = implied_timescales_from_flux(
+            fms, lag_times, n_timescales=args.n_timescales
         )
-        ck_dev = float(np.nanmax(np.abs(predicted - estimated)))
+
+        def _clean(arr):
+            # RFC-compliant JSON: NaN/inf become null (strict parsers
+            # reject bare NaN tokens)
+            return [
+                [None if not np.isfinite(x) else float(x) for x in row]
+                for row in np.atleast_2d(arr)
+            ]
+
         results = {
             "lag_times": [float(x) for x in lag_times],
-            "implied_timescales": [
-                [None if not np.isfinite(x) else float(x) for x in row]
-                for row in ts
-            ],
-            "ck_sets": [[int(s) for s in S] for S in sets],
-            "ck_predicted": predicted.tolist(),
-            "ck_estimated": estimated.tolist(),
-            "ck_max_abs_deviation": ck_dev,
+            "implied_timescales": _clean(ts),
         }
+        try:
+            factors = np.rint(lag_times / lag_times[0]).astype(int)
+            if not np.allclose(lag_times / lag_times[0], factors):
+                raise ValueError(
+                    f"CK test needs integer lag multiples of the base "
+                    f"window; got physical lags {lag_times.tolist()}"
+                )
+            sets = (
+                pcca_sets(fms[0], args.pcca_sets)
+                if args.pcca_sets is not None
+                else None
+            )
+            sets, predicted, estimated = chapman_kolmogorov_from_flux(
+                fms, factors, sets=sets
+            )
+            dev = np.abs(predicted - estimated)
+            results.update(
+                ck_sets=[[int(s) for s in S] for S in sets],
+                ck_predicted=_clean(predicted),
+                ck_estimated=_clean(estimated),
+                ck_max_abs_deviation=(
+                    float(np.nanmax(dev)) if np.isfinite(dev).any() else None
+                ),
+            )
+        except ValueError as e:
+            # The implied-timescale results are still valid -- report them
+            # with the CK failure instead of discarding everything
+            results["ck_error"] = str(e)
         print(json.dumps(results, indent=2))
         if args.output:
             with open(args.output, "w") as f:

@@ -1962,6 +1962,11 @@ class modelWE:
         fms, lag_times = self._lagged_flux_matrices(
             lags, iters_to_use, drop_basis_target=True
         )
+        if isinstance(sets, bool):
+            raise ValueError(
+                "sets must be None (slowest-mode split), an integer PCCA+ "
+                "set count, or explicit state-index arrays -- not a bool"
+            )
         if isinstance(sets, (int, np.integer)):
             sets = pcca_sets(fms[0], int(sets))
         base = lag_times[0]

@@ -343,9 +343,34 @@ def pcca_sets(flux_matrix, n_sets):
     if m < 2:
         raise ValueError("n_sets must be >= 2")
 
+    # Real basis of the dominant invariant subspace. WE flux matrices are
+    # non-reversible (recycling edges), so complex-conjugate eigenvalue
+    # pairs near the top of the spectrum are routine; taking np.real of
+    # both pair members would duplicate a column and degenerate the
+    # simplex. Each pair instead contributes Re(v) and Im(v) once.
     evals, evecs = np.linalg.eig(T)
     order = np.argsort(-np.real(evals))
-    X = np.real(evecs[:, order[:m]])
+    cols = []
+    consumed = set()
+    for j in order:
+        if len(cols) >= m:
+            break
+        if j in consumed:
+            continue
+        lam, v = evals[j], evecs[:, j]
+        if abs(lam.imag) > 1e-12:
+            cols.append(np.real(v))
+            if len(cols) < m:
+                cols.append(np.imag(v))
+            for jj in order:  # retire the conjugate partner
+                if jj != j and jj not in consumed and np.isclose(
+                    evals[jj], np.conj(lam)
+                ):
+                    consumed.add(jj)
+                    break
+        else:
+            cols.append(np.real(v))
+    X = np.stack(cols, axis=1)
 
     # Inner simplex: first vertex = row farthest from the centroid; each
     # next vertex = row with the largest residual after removing the span
@@ -363,7 +388,14 @@ def pcca_sets(flux_matrix, n_sets):
     # chi solves  chi @ X[idx] = X  (memberships in the vertex basis)
     memberships = X @ np.linalg.pinv(X[idx])
     assignment = np.argmax(memberships, axis=1)
-    return [keep[assignment == j] for j in range(m) if (assignment == j).any()]
+    sets = [keep[assignment == j] for j in range(m) if (assignment == j).any()]
+    if len(sets) < n_sets:
+        log.warning(
+            f"PCCA+ produced {len(sets)} sets, fewer than the {n_sets} "
+            "requested (component too small or a degenerate vertex "
+            "attracted no states)."
+        )
+    return sets
 
 
 def chapman_kolmogorov_from_flux(flux_matrices, factors, sets=None):

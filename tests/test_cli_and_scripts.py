@@ -196,3 +196,27 @@ def test_cli_validate(tmp_path):
     assert len(results["implied_timescales"]) == 3
     assert len(results["ck_sets"]) == 2
     assert results["ck_max_abs_deviation"] < 0.5
+
+
+def test_cli_validate_reports_ck_error_for_bad_lags(tmp_path):
+    """Non-integer lag multiples must not discard the implied-timescale
+    results: the CLI reports them alongside a ck_error field."""
+    import json
+
+    from msm_we_tpu.cli import main
+    from msm_we_tpu.data import generate_west_h5
+
+    h5 = str(tmp_path / "west.h5")
+    generate_west_h5(h5, n_iterations=25, n_segments=24, seed=3)
+    model_path = str(tmp_path / "model.obj")
+    out_path = str(tmp_path / "validate.json")
+    assert main([
+        "build", h5, "--basis", "9", "10", "--target", "0", "1",
+        "--n-clusters", "3", "--stratified", "--save-model", model_path,
+    ]) == 0
+
+    assert main(["validate", model_path, "--lags", "1", "2",
+                 "--output", out_path]) == 0
+    results = json.load(open(out_path))
+    assert "ck_error" in results and "integer lag multiples" in results["ck_error"]
+    assert len(results["implied_timescales"]) == 2

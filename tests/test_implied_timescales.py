@@ -177,3 +177,33 @@ def test_ck_test_with_pcca_sets(built_model):
     assert np.isfinite(predicted).all()
     # PCCA sets partition the base component
     assert len(np.intersect1d(sets[0], sets[1])) == 0
+
+
+def test_pcca_sets_with_complex_eigenvalue_pair():
+    """A directed 3-block cycle puts a complex-conjugate pair in the top-3
+    spectrum (routine for non-reversible WE matrices); the Re/Im invariant-
+    subspace basis must still recover the blocks exactly."""
+    from msm_we_tpu.ops.linalg import pcca_sets
+
+    rng = np.random.default_rng(7)
+    blocks = [np.arange(0, 3), np.arange(3, 6), np.arange(6, 9)]
+    T = np.zeros((9, 9))
+    for bi, b in enumerate(blocks):
+        T[np.ix_(b, b)] = (rng.random((3, 3)) + 1.0) * 0.9
+        nxt = blocks[(bi + 1) % 3]
+        T[np.ix_(b, nxt)] = (rng.random((3, 3)) + 0.5) * 0.02
+    T /= T.sum(axis=1, keepdims=True)
+
+    evals = np.linalg.eigvals(T)
+    top3 = evals[np.argsort(-np.real(evals))[:3]]
+    assert np.abs(top3.imag).max() > 1e-6  # the pair is really in the top 3
+
+    sets = pcca_sets(T, 3)
+    assert sorted(tuple(sorted(s)) for s in sets) == sorted(
+        tuple(b) for b in blocks
+    )
+
+
+def test_get_ck_test_rejects_bool_sets(built_model):
+    with pytest.raises(ValueError):
+        built_model.get_ck_test(lags=(0, 1), sets=True)
