@@ -251,3 +251,33 @@ def test_optimized_mapper_handles_dict_with_gaps():
     out = mapper.assign(coords)
     assert out.shape == (4,)
     assert out[2] == 5 and out[3] == 4  # basis/target -> last two WE bins
+
+
+def test_masked_minibatch_step_equals_separate_calls():
+    """The fused one-dispatch streaming step must be bitwise-identical to
+    masked_assign followed by minibatch_update."""
+    import jax.numpy as jnp
+
+    from msm_we_tpu.ops.kmeans import (
+        masked_assign,
+        masked_minibatch_step,
+        minibatch_update,
+    )
+
+    rng = np.random.default_rng(1)
+    n, K, d, n_bins = 256, 12, 5, 4
+    X = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.random(n).astype(np.float32))
+    seg_bin = jnp.asarray(rng.integers(0, n_bins, n).astype(np.int32))
+    centers = jnp.asarray(rng.normal(size=(K, d)).astype(np.float32))
+    counts = jnp.asarray(rng.random(K).astype(np.float32))
+    center_bin = jnp.asarray(np.repeat(np.arange(n_bins, dtype=np.int32), 3))
+    valid = jnp.asarray(np.ones(K, bool))
+
+    idx = masked_assign(X, seg_bin, centers, center_bin, valid, n_bins=n_bins)
+    c_sep, n_sep = minibatch_update(centers, counts, X, w, idx)
+    c_fused, n_fused = masked_minibatch_step(
+        centers, counts, X, w, seg_bin, center_bin, valid, n_bins=n_bins
+    )
+    np.testing.assert_array_equal(np.asarray(c_sep), np.asarray(c_fused))
+    np.testing.assert_array_equal(np.asarray(n_sep), np.asarray(n_fused))
