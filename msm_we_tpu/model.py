@@ -1222,9 +1222,17 @@ class modelWE:
         self.dtrajs = [
             child_idx[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)
         ]
+        # (n, 2) arrays, not lists of tuples: `list(zip(...))` materializes
+        # one Python tuple per segment -- profiled at 35 s of a 74 s
+        # 2M-segment build (twice: discretization + cleaning's re-run).
+        # Rows still unpack as (parent, child) pairs for reference-style
+        # consumers; np.asarray(pair_dtrajs[i]) is now free.
         self.pair_dtrajs = [
-            list(zip(parent_idx[offsets[i] : offsets[i + 1]],
-                     child_idx[offsets[i] : offsets[i + 1]]))
+            np.stack(
+                [parent_idx[offsets[i] : offsets[i + 1]],
+                 child_idx[offsets[i] : offsets[i + 1]]],
+                axis=1,
+            )
             for i in range(len(offsets) - 1)
         ]
         self._parent_idx = parent_idx
