@@ -876,9 +876,9 @@ class modelWE:
             np.concatenate(nan_blocks) if nan_blocks else np.zeros(0, bool)
         )
 
-        parent_feats = np.empty_like(child_feats)
-        parent_nan = np.zeros(len(child_nan), bool)
-        gathered_rows = []
+        # Accumulate one global source-index array, then gather once: 100+
+        # small fancy-index copies have poor locality at millions of rows
+        src_all = np.full(int(offsets[-1]), -1, np.int64)
         fallback = []  # (iteration, local_rows)
         for iteration in range(1, self.maxIter):
             d = ds.iter_data(iteration)
@@ -890,12 +890,17 @@ class modelWE:
                 fb_local = np.flatnonzero(pg < 0)
                 ga_local = np.flatnonzero(pg >= 0)
                 if len(ga_local):
-                    src = offsets[iteration - 2] + pg[ga_local]
-                    parent_feats[base + ga_local] = child_feats[src]
-                    parent_nan[base + ga_local] = child_nan[src]
-                    gathered_rows.append(base + ga_local)
+                    src_all[base + ga_local] = offsets[iteration - 2] + pg[ga_local]
             if len(fb_local):
                 fallback.append((iteration, fb_local))
+
+        gathered_mask = src_all >= 0
+        parent_feats = np.empty_like(child_feats)
+        parent_nan = np.zeros(len(child_nan), bool)
+        if gathered_mask.any():
+            src = src_all[gathered_mask]
+            parent_feats[gathered_mask] = child_feats[src]
+            parent_nan[gathered_mask] = child_nan[src]
 
         if fallback:
             red_fb = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
@@ -909,8 +914,8 @@ class modelWE:
             parent_feats[rows] = red_fb.finish().astype(np.float32)
             parent_nan[rows] = np.concatenate(fb_nan)
 
-        if verify and gathered_rows:
-            gathered = np.concatenate(gathered_rows)
+        if verify and gathered_mask.any():
+            gathered = np.flatnonzero(gathered_mask)
             rng = np.random.default_rng(0)
             n_sample = min(256, len(gathered))
             sample = np.sort(rng.choice(gathered, n_sample, replace=False))
