@@ -53,6 +53,9 @@ class WEDataset:
         # Per-iteration caches populated lazily
         self._iter_data = {}
         self._pcoord_shape_warned = False
+        # Number of pcoord frames per segment, read from the file on the
+        # first pcoord load (reference ``_data.py:843``); None until then.
+        self.pcoord_len = None
 
     # ------------------------------------------------------------------ scan
     def _scan(self):
@@ -142,6 +145,7 @@ class WEDataset:
                         "extending your pcoord (e.g. in an optimization flow)."
                     )
                     self._pcoord_shape_warned = True
+                self.pcoord_len = int(pcoord.shape[1])
                 p0.append(pcoord[:, 0, : self.pcoord_ndim])
                 p1.append(pcoord[:, -1, : self.pcoord_ndim])
                 west_idx.append(np.full(n, file_idx, dtype=int))

@@ -253,6 +253,15 @@ class modelWE:
         non-row-independent featurizers) and falls back to the direct path
         on any mismatch; ``True`` forces the gather; ``False`` disables it.
         """
+        if dedup_coordinates not in (True, False, "auto"):
+            raise ValueError(
+                "dedup_coordinates must be True, False, or 'auto', got "
+                f"{dedup_coordinates!r}"
+            )
+        # Normalize np.bool_/1/0 (accepted by the `in` check above) to the
+        # literals the featurization dispatch tests against.
+        if dedup_coordinates != "auto":
+            dedup_coordinates = bool(dedup_coordinates)
         self.dedup_coordinates = dedup_coordinates
         self.modelName = modelName
         if isinstance(fileSpecifier, str):
@@ -263,6 +272,8 @@ class modelWE:
         self.fileList = fileList
         self.n_data_files = len(fileList)
         self.pcoord_ndim = pcoord_ndim
+        # Provisional; replaced by the file's actual frames-per-segment on
+        # the first load_iter_data (reference ``_data.py:843``).
         self.pcoord_len = 2
         self.auxpath = auxpath
 
@@ -280,6 +291,7 @@ class modelWE:
             tau = 1.0
         self.tau = float(tau)
 
+        self.refPDBfile = refPDBfile
         self.set_topology(refPDBfile)
 
         if dim_reduce_method is None:
@@ -449,6 +461,9 @@ class modelWE:
     def load_iter_data(self, n_iter):
         """Compat: expose the reference's per-iteration attributes."""
         d = self._dataset.iter_data(n_iter)
+        if self._dataset.pcoord_len is not None:
+            # Read from the file, as the reference does (``_data.py:843``)
+            self.pcoord_len = self._dataset.pcoord_len
         self.n_iter = n_iter
         self.westList = d["west_idx"]
         self.segindList = d["seg_idx"]
@@ -2388,14 +2403,40 @@ class modelWE:
             blocks.append(self._dataset._iter_frame_block(i, -1))
         self.all_coords = np.concatenate(blocks)
 
-    def collect_iter_coordinates(self):
-        """Post-hoc augmentation now lives in
-        :func:`msm_we_tpu.scripts.augment_west_h5` (working replacement for the
-        reference's AMBER-specific example, ``_data.py:423-529``)."""
-        raise NotImplementedError(
-            "Use msm_we_tpu.scripts.augment_west_h5(west_h5, topology, ...) to "
-            "write auxdata coordinates after a run."
+    def collect_iter_coordinates(self, **kwargs):
+        """Augment the model's west.h5 files with segment coordinates.
+
+        Delegates to :func:`msm_we_tpu.scripts.augment_west_h5` (the working
+        generalization of the reference's AMBER-specific example,
+        ``_data.py:423-529``, which hardcoded ``traj_segs/%06d/%06d`` +
+        ``parent.rst7``/``seg.rst7`` — the same defaults used here, but for
+        any mdtraj-loadable format). Topology defaults to the model's
+        ``refPDBfile``; layout/filenames are overridable via kwargs
+        (``seg_dir_format``, ``parent_filename``, ``child_filename``,
+        ``auxpath``, ``overwrite``). Unlike the reference, this augments
+        every complete iteration, not just ``self.n_iter``.
+
+        Returns the total number of iterations augmented across files.
+        """
+        from .scripts.collect_coordinates import augment_west_h5
+
+        log.warning(
+            "collect_iter_coordinates assumes a WESTPA traj_segs/ directory "
+            "layout -- be sure it matches your simulation output "
+            "(reference `_data.py:441-444`)."
         )
+        topology = kwargs.pop("topology_path", getattr(self, "refPDBfile", None))
+        if not isinstance(topology, str):
+            raise ValueError(
+                "collect_iter_coordinates needs a topology file path; the "
+                "model was initialized with a non-path topology. Pass "
+                "topology_path=..."
+            )
+        kwargs.setdefault("auxpath", self.auxpath)
+        total = 0
+        for west_file in self.fileList:
+            total += augment_west_h5(west_file, topology, **kwargs)
+        return total
 
     def launch_ray_discretization(self, progress_bar=None):
         """Compat alias: discretization is one batched device call now."""

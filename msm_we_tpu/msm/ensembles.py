@@ -112,8 +112,10 @@ class Ensemble:
 
     def __iadd__(self, other):
         # In place: delegating to __add__ would deep-copy the whole
-        # accumulated ensemble on every +=, O(total^2) over a loop
-        for traj in other.trajectories:
+        # accumulated ensemble on every +=, O(total^2) over a loop.
+        # Snapshot the source list so `ens += ens` terminates instead of
+        # iterating a list we are appending to.
+        for traj in list(other.trajectories):
             self.add_trajectory(traj)
         return self
 

@@ -514,7 +514,9 @@ class MarkovPlusColorModel(NonMarkovModel):
         self.markov_tmatrix = markov_tmatrix
 
     def populations(self):
-        return NotImplementedError(
+        # The reference (msm_we/nmm.py:574) *returns* the exception object
+        # instead of raising it — a known upstream bug.  We raise.
+        raise NotImplementedError(
             "You should use a regular Markov model or a non-Markovian model "
             "for estimating populations"
         )

@@ -75,8 +75,7 @@ _MAX_ONEHOT_BINS = 64
 
 def masked_scores(X, seg_bin, C, center_bin, valid, n_bins=None, precision=None):
     """Stratified assignment scores: per row, every valid center in the row's
-    WE bin scores ``|c|^2 - 2 x.c`` (plus a row-constant on the elementwise
-    path -- argmin-invariant), everything else a large penalty.
+    WE bin scores ``|c|^2 - 2 x.c``, everything else a large penalty.
 
     The SINGLE implementation shared by the host predict path
     (:func:`masked_assign`) and the fused/sharded device step
@@ -85,10 +84,9 @@ def masked_scores(X, seg_bin, C, center_bin, valid, n_bins=None, precision=None)
 
     With ``n_bins`` given (static, and modest), the bin mask is folded INTO
     the GEMM as a one-hot X block x penalty C block, so no (N, K)
-    elementwise mask pass breaks XLA's matmul->argmin fusion. Scores are
-    comparable across center-bank shards (the row-constant |x|^2 never
-    enters the matched values on the one-hot path and shifts all of a row
-    equally on the elementwise path).
+    elementwise mask pass breaks XLA's matmul->argmin fusion. Both paths
+    emit the same ``|c|^2 - 2 x.c`` values (no row-dependent constant), so
+    scores are comparable across center-bank shards.
     """
     prec = _HI if precision is None else precision
     if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:

@@ -401,6 +401,14 @@ def fused_transform_assign(
     traffic is the raw coordinate reads. ``with_flux=False`` returns ids only
     (flux left to XLA's scatter); the returned flux matrix is zeros then.
 
+    Caveat: the stratified predict-time *target* short-circuit for parents
+    (``target_p`` routing, applied by the production host path and by
+    ``parallel.sharded._discretize_and_flux`` before ``basis_p``) is NOT
+    implemented here -- in a stratified build where parents can already sit
+    in the target, this kernel's flux would diverge from the host matrix.
+    The kernel is a documented performance experiment (rejected: 61.9 ms vs
+    XLA's 3.16 ms at bench shapes), not a production path.
+
     Host-facing wrapper (pads rows to ``tile``, feature dims to 128); for
     in-jit use call ``_transform_assign_call`` with pre-padded device arrays.
     """
