@@ -231,8 +231,8 @@ def device_pipeline(p, inner_reps=1, fast_math=False, dedup=False):
         )
         basis_mask = jnp.arange(n_states) == n_states - 2
         target_mask = jnp.arange(n_states) == n_states - 1
-        _T, pss, flux = steady_state_from_flux(fm, basis_mask, target_mask)
-        return fm, pss, flux
+        _T, pss, flux, residual = steady_state_from_flux(fm, basis_mask, target_mask)
+        return fm, pss, flux, residual
 
     @jax.jit
     def step(*args):
@@ -240,7 +240,7 @@ def device_pipeline(p, inner_reps=1, fast_math=False, dedup=False):
             return one_step(*args)
 
         def body(_i, carry):
-            _fm, _pss, flux = carry
+            _fm, _pss, flux, _res = carry
             # Thread the previous step's flux into the inputs: a genuine
             # data dependence, so XLA cannot hoist/CSE the loop-invariant
             # body and execute the step only once (which would inflate the
@@ -383,13 +383,13 @@ def main():
     # transfer is not part of the per-build cost being measured
     args = tuple(jax.device_put(a) for a in args)
     # Warm up (compile)
-    fm, pss, flux = step(*args)
+    fm, pss, flux, ss_residual = step(*args)
     fm.block_until_ready()
 
     outer = 3
     t0 = time.perf_counter()
     for _ in range(outer):
-        fm, pss, flux = step(*args)
+        fm, pss, flux, ss_residual = step(*args)
     fm.block_until_ready()
     device_time = (time.perf_counter() - t0) / (outer * inner_reps)
 
@@ -401,11 +401,11 @@ def main():
     # ~740 MB of raw coordinates on the device.
     step_fast, _ = device_pipeline(p, inner_reps=inner_reps, fast_math=True)
     args_fast = args
-    fm_f, _pss_f, _flux_f = step_fast(*args_fast)
+    fm_f, _pss_f, _flux_f, _res_f = step_fast(*args_fast)
     fm_f.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(outer):
-        fm_f, _pss_f, _flux_f = step_fast(*args_fast)
+        fm_f, _pss_f, _flux_f, _res_f = step_fast(*args_fast)
     fm_f.block_until_ready()
     device_time_fast = (time.perf_counter() - t0) / (outer * inner_reps)
     frames_per_sec_fast = n_segments / device_time_fast
@@ -422,11 +422,11 @@ def main():
         + args[2:13]
         + (jax.device_put(args_dd[13]),)
     )
-    fm_d, _pss_d, _flux_d = step_dd(*args_dd)
+    fm_d, _pss_d, _flux_d, _res_d = step_dd(*args_dd)
     fm_d.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(outer):
-        fm_d, _pss_d, _flux_d = step_dd(*args_dd)
+        fm_d, _pss_d, _flux_d, _res_d = step_dd(*args_dd)
     fm_d.block_until_ready()
     device_time_dedup = (time.perf_counter() - t0) / (outer * inner_reps)
     frames_per_sec_dedup = n_segments / device_time_dedup
@@ -482,6 +482,7 @@ def main():
         "north_star_met": bool(end_to_end_s < 10.0),
         "backend": jax.default_backend(),
         "JtargetSS": float(flux),
+        "ss_residual": float(ss_residual),
     }
     print(json.dumps(result))
 

@@ -37,7 +37,10 @@ __all__ = [
     "minibatch_update",
 ]
 
-_BIG = jnp.float32(3.4e38)
+# Plain Python floats (weak types in jax): a module-level jnp array would
+# initialize the XLA backend at import time, which breaks processes that
+# must call jax.distributed.initialize() first
+_BIG = float(np.float32(3.4e38))
 
 
 # All distance/score matmuls run at Precision.HIGHEST: the TPU MXU truncates
@@ -66,7 +69,7 @@ def assign_flat(X, C, valid):
     return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
 
 
-_PEN = jnp.float32(1e30)
+_PEN = float(np.float32(1e30))
 
 # Above this many WE bins the one-hot penalty block would dominate the GEMM
 # contraction dimension; fall back to the elementwise mask

@@ -1,0 +1,230 @@
+"""True multi-process execution: ``jax.distributed`` over per-process shards.
+
+The reference joins multi-node Ray clusters and fans WE iterations out as Ray
+tasks (``msm_we.py:639-641,697-711``; ``hamsm_driver.py:78,110-111``). The
+TPU-native equivalent is SPMD: every process calls
+:func:`jax.distributed.initialize`, reads ONLY its own shard of the segment
+data (one west.h5/feature shard per host), assembles the global arrays with
+``jax.make_array_from_process_local_data`` against the global mesh's
+``P('data')`` sharding, and runs the same fused discretize+flux step as the
+single-process path -- the in-mesh ``psum`` over 'data' rides the ICI/DCN
+collectives instead of a driver-side gather.
+
+``run_worker`` is the per-process entry point; ``launch_local_dryrun``
+spawns ``n_procs`` CPU processes on this machine (Gloo collectives) and
+asserts the global flux matrix is bit-identical to the single-process
+result. The driver-facing wrapper is ``__graft_entry__.dryrun_distributed``.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+__all__ = ["run_worker", "launch_local_dryrun"]
+
+_ROW_KEYS = ["fp", "fc", "pbins", "cbins", "basis_p", "basis_c", "target_c", "w"]
+_BANK_KEYS = ["centers", "center_bin", "valid"]
+
+
+def _write_shards(problem, n_procs, workdir):
+    """Split the row arrays into contiguous per-process h5 shards.
+
+    The split matches the global ``P('data')`` layout: process ``i`` gets
+    rows ``[i*N/n, (i+1)*N/n)``, which is exactly the block its devices own
+    in the assembled global array.
+    """
+    import h5py
+
+    N = len(problem["w"])
+    assert N % n_procs == 0
+    block = N // n_procs
+    paths = []
+    for i in range(n_procs):
+        path = os.path.join(workdir, f"shard_{i}.h5")
+        with h5py.File(path, "w") as h5:
+            for key in _ROW_KEYS:
+                h5[key] = np.asarray(problem[key])[i * block : (i + 1) * block]
+        paths.append(path)
+    bank_path = os.path.join(workdir, "bank.h5")
+    with h5py.File(bank_path, "w") as h5:
+        for key in _BANK_KEYS:
+            h5[key] = np.asarray(problem[key])
+        h5.attrs["n_states"] = problem["n_states"]
+        h5.attrs["n_bins"] = int(np.asarray(problem["center_bin"]).max()) + 1
+        h5.attrs["n_rows_global"] = N
+    return paths, bank_path
+
+
+def run_worker(
+    rank,
+    n_procs,
+    coordinator,
+    shard_path,
+    bank_path,
+    out_path,
+    local_devices=2,
+):
+    """Per-process worker: init jax.distributed, ingest own shard, run the
+    sharded step, write the (replicated) flux matrix from process 0."""
+    # Platform setup must precede any jax backend initialization
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={local_devices}"
+        ).strip()
+
+    import h5py
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator, num_processes=n_procs, process_id=rank
+    )
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import make_mesh
+    from .sharded import build_sharded_step
+
+    # Each process reads ONLY its own shard -- the multi-host ingest contract
+    with h5py.File(shard_path, "r") as h5:
+        local = {key: h5[key][:] for key in _ROW_KEYS}
+    with h5py.File(bank_path, "r") as h5:
+        bank = {key: h5[key][:] for key in _BANK_KEYS}
+        n_states = int(h5.attrs["n_states"])
+        n_bins = int(h5.attrs["n_bins"])
+        n_rows_global = int(h5.attrs["n_rows_global"])
+
+    mesh = make_mesh(jax.devices())
+    data_sharding = NamedSharding(mesh, P("data"))
+    model_sharding = NamedSharding(mesh, P("model"))
+
+    rows = {
+        key: jax.make_array_from_process_local_data(
+            data_sharding,
+            local[key],
+            (n_rows_global,) + local[key].shape[1:],
+        )
+        for key in _ROW_KEYS
+    }
+    # The bank is replicated on disk; each process's devices jointly hold
+    # every model shard, so the process-local portion is the full array
+    bank_arrays = {
+        key: jax.make_array_from_process_local_data(
+            model_sharding, bank[key], bank[key].shape
+        )
+        for key in _BANK_KEYS
+    }
+
+    step = build_sharded_step(mesh, n_states, n_bins=n_bins)
+    fm = step(*[rows[k] for k in _ROW_KEYS], *[bank_arrays[k] for k in _BANK_KEYS])
+    fm.block_until_ready()
+
+    if rank == 0:
+        # out_specs=P() -> replicated; any addressable shard is the result
+        np.save(out_path, np.asarray(fm.addressable_data(0)))
+    # Let every process reach the end before the coordinator tears down
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("dryrun_done")
+
+
+def _worker_main():
+    (rank, n_procs, coordinator, shard, bank, out, local_devices) = sys.argv[1:8]
+    run_worker(
+        int(rank), int(n_procs), coordinator, shard, bank, out,
+        local_devices=int(local_devices),
+    )
+
+
+def _run_job(problem, n_procs, local_devices, port, timeout):
+    """Write shards, spawn ``n_procs`` worker processes, return the flux
+    matrix written by rank 0."""
+    with tempfile.TemporaryDirectory(prefix="msm_we_tpu_dist_") as workdir:
+        shards, bank_path = _write_shards(problem, n_procs, workdir)
+        out_path = os.path.join(workdir, "fm.npy")
+
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)  # workers pin cpu themselves
+        env.pop("XLA_FLAGS", None)  # workers set their own device count
+        procs = []
+        for rank in range(n_procs):
+            cmd = [
+                sys.executable, "-m", "msm_we_tpu.parallel.distributed",
+                str(rank), str(n_procs), f"localhost:{port}",
+                shards[rank], bank_path, out_path, str(local_devices),
+            ]
+            procs.append(
+                subprocess.Popen(
+                    cmd, env=env,
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                )
+            )
+        outputs = []
+        failed = False
+        for proc in procs:
+            try:
+                out, _ = proc.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out, _ = proc.communicate()
+                failed = True
+            outputs.append(out.decode(errors="replace"))
+            failed = failed or proc.returncode != 0
+        if failed:
+            raise RuntimeError(
+                "distributed dryrun worker failed:\n"
+                + "\n--- worker ---\n".join(outputs)
+            )
+        return np.load(out_path)
+
+
+def launch_local_dryrun(n_procs=2, local_devices=2, port=29871, timeout=300):
+    """Spawn ``n_procs`` real OS processes running :func:`run_worker` over a
+    shared-nothing shard split, and assert the global flux matrix equals the
+    single-process result exactly.
+
+    The single-process reference runs in ONE subprocess holding all
+    ``n_procs * local_devices`` devices -- the same backend, mesh shape and
+    collectives, so with the dyadic test weights the comparison is bitwise.
+    Returns the (n_states, n_states) flux matrix.
+    """
+    n_global = n_procs * local_devices
+    problem = _default_problem(n_rows=32 * n_global)
+
+    fm_multi = _run_job(problem, n_procs, local_devices, port, timeout)
+    fm_single = _run_job(problem, 1, n_global, port + 1, timeout)
+
+    np.testing.assert_array_equal(fm_multi, fm_single)
+    return fm_multi
+
+
+def _default_problem(n_rows, d=8, n_bins=4, k=4, seed=3):
+    rng = np.random.default_rng(seed)
+    K = n_bins * k
+    return dict(
+        fp=rng.normal(size=(n_rows, d)).astype(np.float32),
+        fc=rng.normal(size=(n_rows, d)).astype(np.float32),
+        pbins=rng.integers(0, n_bins, n_rows).astype(np.int32),
+        cbins=rng.integers(0, n_bins, n_rows).astype(np.int32),
+        basis_p=(rng.random(n_rows) < 0.1),
+        basis_c=(rng.random(n_rows) < 0.05),
+        target_c=(rng.random(n_rows) < 0.05),
+        # Dyadic weights: exact f32 sums under any order (see
+        # __graft_entry__._tiny_problem) -- the equality assert then tests
+        # sharding/collectives, not float addition order
+        w=(rng.integers(1, 17, n_rows) / 16.0).astype(np.float32),
+        centers=rng.normal(size=(K, d)).astype(np.float32),
+        center_bin=np.repeat(np.arange(n_bins, dtype=np.int32), k),
+        valid=np.ones(K, bool),
+        n_states=K + 2,
+    )
+
+
+if __name__ == "__main__":
+    _worker_main()

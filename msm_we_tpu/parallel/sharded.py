@@ -220,8 +220,10 @@ def fused_step_single(
     return fm, pidx, cidx
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def steady_state_from_flux(fm, basis_mask, target_mask, n_iters=512):
+@partial(jax.jit, static_argnames=("n_iters", "tol", "max_extra_squarings"))
+def steady_state_from_flux(
+    fm, basis_mask, target_mask, n_iters=512, tol=1e-6, max_extra_squarings=16
+):
     """f32 device tail: row-normalize with sink recycling + matrix powering.
 
     The parity path solves this in f64 on the host (ops.linalg); this fused
@@ -232,6 +234,16 @@ def steady_state_from_flux(fm, basis_mask, target_mask, n_iters=512):
     of n_iters dependent matvecs -- the matvec chain is pure sequential
     latency on an accelerator (hundreds of tiny dispatch-bound ops), while
     ~9 squarings cost microseconds and converge at least as fast.
+
+    Convergence is *checked*, not assumed (round-2 VERDICT item 6): after the
+    fixed squarings a ``while_loop`` keeps squaring while the stationarity
+    residual ``||pT - p||_1`` exceeds ``tol`` (each extra squaring doubles
+    the power, so ``max_extra_squarings=16`` reaches T^(n_iters * 2^16) --
+    mixing times beyond that are below f32 resolution anyway). The achieved
+    residual is returned so callers can surface it (bench JSON
+    ``ss_residual``).
+
+    Returns ``(T, p, flux, residual)``.
     """
     out = fm.sum(axis=1)
     T = jnp.where(out[:, None] > 0, fm / jnp.maximum(out, 1e-30)[:, None], 0.0)
@@ -243,14 +255,38 @@ def steady_state_from_flux(fm, basis_mask, target_mask, n_iters=512):
     recycle_row = jnp.where(basis_mask, 1.0 / n_basis, 0.0)
     T = jnp.where(target_mask[:, None], recycle_row[None, :], T)
 
+    p0 = jnp.ones(fm.shape[0]) / fm.shape[0]
+
+    def stationary(Tn):
+        p = jnp.matmul(p0, Tn, precision=_HI)
+        p = p / jnp.maximum(p.sum(), 1e-30)
+        residual = jnp.abs(jnp.matmul(p, T, precision=_HI) - p).sum()
+        return p, residual
+
+    def square(Tn):
+        Tn = jnp.matmul(Tn, Tn, precision=_HI)
+        # Renormalize rows: f32 powering drifts row sums off 1 geometrically
+        return Tn / jnp.maximum(Tn.sum(axis=1, keepdims=True), 1e-30)
+
     squarings = max(int(np.ceil(np.log2(max(n_iters, 2)))), 1)
     Tn = T
     for _ in range(squarings):
-        Tn = jnp.matmul(Tn, Tn, precision=_HI)
-        # Renormalize rows: f32 powering drifts row sums off 1 geometrically
-        Tn = Tn / jnp.maximum(Tn.sum(axis=1, keepdims=True), 1e-30)
+        Tn = square(Tn)
+    p, residual = stationary(Tn)
 
-    p = jnp.matmul(jnp.ones(fm.shape[0]) / fm.shape[0], Tn, precision=_HI)
-    p = p / jnp.maximum(p.sum(), 1e-30)
+    def cond(state):
+        _Tn, _p, res, i = state
+        return (res > tol) & (i < max_extra_squarings)
+
+    def body(state):
+        Tn, _p, _res, i = state
+        Tn = square(Tn)
+        p, res = stationary(Tn)
+        return Tn, p, res, i + 1
+
+    Tn, p, residual, _ = jax.lax.while_loop(
+        cond, body, (Tn, p, residual, jnp.int32(0))
+    )
+
     flux = jnp.sum(jnp.where(target_mask[None, :], T, 0.0) * p[:, None])
-    return T, p, flux
+    return T, p, flux, residual

@@ -106,10 +106,11 @@ def test_steady_state_from_flux(problem):
     n = p["n_states"]
     basis_mask = jnp.arange(n) == n - 2
     target_mask = jnp.arange(n) == n - 1
-    T, pss, flux = steady_state_from_flux(fm, basis_mask, target_mask)
+    T, pss, flux, residual = steady_state_from_flux(fm, basis_mask, target_mask)
     assert np.allclose(np.asarray(T).sum(1), 1.0, atol=1e-5)
     assert np.isclose(float(np.asarray(pss).sum()), 1.0, atol=1e-5)
     assert float(flux) >= 0
+    assert float(residual) < 1e-5
 
 
 def test_multihost_style_ingest():
@@ -125,3 +126,46 @@ def test_multihost_style_ingest():
     import __graft_entry__ as graft
 
     graft.dryrun_multihost(8)
+
+
+def test_steady_state_slow_mixing_converges():
+    """A nearly-reducible chain (mixing time >> the fixed 512 powers) must
+    still converge: the residual-checked while_loop keeps squaring
+    (round-2 VERDICT item 6)."""
+    eps = 1e-5
+    fm = np.array(
+        [
+            [0.5, 0.5, eps, 0.0],
+            [0.5, 0.5, 0.0, 0.0],
+            [0.0, 0.0, 0.5, 0.5],
+            [3 * eps, 0.0, 0.5, 0.5],
+        ],
+        np.float32,
+    )
+    basis_mask = jnp.zeros(4, bool)
+    target_mask = jnp.zeros(4, bool)
+    # Without the residual-checked extension, 512 powers leave the chain
+    # unconverged: the one-step residual scales with gap * deviation, so it
+    # is small in absolute terms but still above tol -- which is exactly
+    # what triggers the extension loop.
+    _T0, _p0, _f0, residual_fixed = steady_state_from_flux(
+        fm, basis_mask, target_mask, max_extra_squarings=0
+    )
+    assert float(residual_fixed) > 5e-6
+    # ...with it, the tail converges to tol.
+    T, pss, _flux, residual = steady_state_from_flux(
+        fm, basis_mask, target_mask
+    )
+    assert float(residual) < 1e-6
+    # Cross-check against a dense f64 eigensolve of the same T. The
+    # achievable accuracy is gap-limited (|err| ~ residual / spectral gap;
+    # the gap here is ~2e-5), so the bound is loose but still far tighter
+    # than the unconverged fixed-power answer.
+    Th = np.asarray(T, np.float64)
+    vals, vecs = np.linalg.eig(Th.T)
+    p_ref = np.real(vecs[:, np.argmax(np.real(vals))])
+    p_ref = np.abs(p_ref) / np.abs(p_ref).sum()
+    assert np.allclose(np.asarray(pss), p_ref, atol=0.05)
+    err_converged = np.abs(np.asarray(pss) - p_ref).max()
+    err_fixed = np.abs(np.asarray(_p0) - p_ref).max()
+    assert err_converged < err_fixed / 3

@@ -244,3 +244,62 @@ def test_device_pair_moments_match_host_far_from_origin():
     v_host = host.finalize("vamp", var_cutoff=1.0)
     v_dev = dev.finalize("vamp", var_cutoff=1.0)
     np.testing.assert_allclose(v_dev.scales_, v_host.scales_, atol=2e-4)
+
+
+def _has_deeptime():
+    try:
+        import deeptime  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+needs_deeptime = pytest.mark.skipif(
+    not _has_deeptime(), reason="deeptime not installed (optional cross-check dep)"
+)
+
+
+@needs_deeptime
+def test_tica_cross_check_deeptime(ou_pairs):
+    """Seeded cross-check against the library the reference actually calls
+    (``_dimensionality.py:288-311``): eigenvalues to rtol 1e-8, projections
+    equal up to per-component sign."""
+    from deeptime.decomposition import TICA
+
+    X0, Xt, _R = ou_pairs
+    acc = _accumulate(X0, Xt)
+    model = acc.finalize(method="tica", var_cutoff=1.0)
+
+    est = TICA(lagtime=1, var_cutoff=None, scaling="kinetic_map")
+    dt_model = est.fit((X0, Xt)).fetch_model()
+
+    np.testing.assert_allclose(
+        np.sort(np.abs(model.scales))[::-1],
+        np.sort(np.abs(dt_model.singular_values))[::-1][: len(model.scales)],
+        rtol=1e-8,
+    )
+
+    ours = model.transform(X0[:500])
+    theirs = dt_model.transform(X0[:500])[:, : ours.shape[1]]
+    for j in range(ours.shape[1]):
+        sign = np.sign(np.dot(ours[:, j], theirs[:, j]) or 1.0)
+        np.testing.assert_allclose(ours[:, j], sign * theirs[:, j], rtol=1e-6,
+                                   atol=1e-8)
+
+
+@needs_deeptime
+def test_vamp_cross_check_deeptime(ou_pairs):
+    from deeptime.decomposition import VAMP
+
+    X0, Xt, _R = ou_pairs
+    acc = _accumulate(X0, Xt)
+    model = acc.finalize(method="vamp", var_cutoff=1.0)
+
+    est = VAMP(lagtime=1, var_cutoff=None, scaling=None)
+    dt_model = est.fit((X0, Xt)).fetch_model()
+
+    np.testing.assert_allclose(
+        model.scales,
+        dt_model.singular_values[: len(model.scales)],
+        rtol=1e-8,
+    )
