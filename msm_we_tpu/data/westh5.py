@@ -56,6 +56,41 @@ class WEDataset:
         # Number of pcoord frames per segment, read from the file on the
         # first pcoord load (reference ``_data.py:843``); None until then.
         self.pcoord_len = None
+        # Read-only h5py handles, opened lazily and kept open: profiling a
+        # warm 100-iteration build showed ~0.36 s (a third of the clustering
+        # stage) spent in 856 h5py.File open/close cycles on the same file
+        self._open_handles = {}
+        self._coord_shape = None
+
+    def _h5(self, file_idx):
+        """Persistent read-only handle for ``file_list[file_idx]``."""
+        h5 = self._open_handles.get(file_idx)
+        if h5 is None or not h5.id.valid:
+            h5 = h5py.File(self.file_list[file_idx], "r")
+            self._open_handles[file_idx] = h5
+        return h5
+
+    def close(self):
+        """Close any cached file handles (call before re-writing the files,
+        e.g. augmentation scripts opening them in append mode)."""
+        for h5 in self._open_handles.values():
+            try:
+                h5.close()
+            except Exception:
+                pass
+        self._open_handles = {}
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_open_handles"] = {}  # h5py handles are process-local
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if "_open_handles" not in state:  # legacy pickles
+            self._open_handles = {}
+        if "_coord_shape" not in state:
+            self._coord_shape = None
 
     # ------------------------------------------------------------------ scan
     def _scan(self):
@@ -118,38 +153,38 @@ class WEDataset:
 
         weights, parents, p0, p1, west_idx, seg_idx = [], [], [], [], [], []
         for file_idx, _n in self._iter_index[n_iter]:
-            with h5py.File(self.file_list[file_idx], "r") as h5:
-                grp = h5[_iter_name(n_iter)]
-                seg_index = grp["seg_index"][:]
-                pcoord = grp["pcoord"][:]
-                n = len(seg_index)
-                weights.append(seg_index["weight"])
-                try:
-                    parents.append(seg_index["parent_id"])
-                except (KeyError, ValueError):
-                    # Positional field 1, as the reference indexes it
-                    parents.append(np.array([row[1] for row in seg_index]))
-                if pcoord.shape[2] < self.pcoord_ndim:
-                    raise ValueError(
-                        f"pcoord in {self.file_list[file_idx]} has only "
-                        f"{pcoord.shape[2]} dims but pcoord_ndim="
-                        f"{self.pcoord_ndim} was requested"
-                    )
-                if pcoord.shape[2] > self.pcoord_ndim and not self._pcoord_shape_warned:
-                    # Expected when pcoords were extended by the optimization
-                    # flow; warn once (reference ``_data.py:878-889``)
-                    log.warning(
-                        f"pcoord in {self.file_list[file_idx]} has "
-                        f"{pcoord.shape[2]} dims; loading only the first "
-                        f"{self.pcoord_ndim}. This is expected if you're "
-                        "extending your pcoord (e.g. in an optimization flow)."
-                    )
-                    self._pcoord_shape_warned = True
-                self.pcoord_len = int(pcoord.shape[1])
-                p0.append(pcoord[:, 0, : self.pcoord_ndim])
-                p1.append(pcoord[:, -1, : self.pcoord_ndim])
-                west_idx.append(np.full(n, file_idx, dtype=int))
-                seg_idx.append(np.arange(n))
+            h5 = self._h5(file_idx)
+            grp = h5[_iter_name(n_iter)]
+            seg_index = grp["seg_index"][:]
+            pcoord = grp["pcoord"][:]
+            n = len(seg_index)
+            weights.append(seg_index["weight"])
+            try:
+                parents.append(seg_index["parent_id"])
+            except (KeyError, ValueError):
+                # Positional field 1, as the reference indexes it
+                parents.append(np.array([row[1] for row in seg_index]))
+            if pcoord.shape[2] < self.pcoord_ndim:
+                raise ValueError(
+                    f"pcoord in {self.file_list[file_idx]} has only "
+                    f"{pcoord.shape[2]} dims but pcoord_ndim="
+                    f"{self.pcoord_ndim} was requested"
+                )
+            if pcoord.shape[2] > self.pcoord_ndim and not self._pcoord_shape_warned:
+                # Expected when pcoords were extended by the optimization
+                # flow; warn once (reference ``_data.py:878-889``)
+                log.warning(
+                    f"pcoord in {self.file_list[file_idx]} has "
+                    f"{pcoord.shape[2]} dims; loading only the first "
+                    f"{self.pcoord_ndim}. This is expected if you're "
+                    "extending your pcoord (e.g. in an optimization flow)."
+                )
+                self._pcoord_shape_warned = True
+            self.pcoord_len = int(pcoord.shape[1])
+            p0.append(pcoord[:, 0, : self.pcoord_ndim])
+            p1.append(pcoord[:, -1, : self.pcoord_ndim])
+            west_idx.append(np.full(n, file_idx, dtype=int))
+            seg_idx.append(np.arange(n))
 
         data = dict(
             weights=np.concatenate(weights),
@@ -202,13 +237,14 @@ class WEDataset:
         parent = None
         child = None
         for file_idx, _n in self._iter_index[n_iter]:
-            with h5py.File(self.file_list[file_idx], "r") as h5:
-                dset = h5[f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"]
-                assert dset.shape[1] > 1, (
-                    "Augmented coords need at least start & end frames"
-                )
-                block_parent = dset[:, 0]
-                block_child = dset[:, -1]
+            dset = self._h5(file_idx)[
+                f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"
+            ]
+            assert dset.shape[1] > 1, (
+                "Augmented coords need at least start & end frames"
+            )
+            block_parent = dset[:, 0]
+            block_child = dset[:, -1]
             mask = data["west_idx"] == file_idx
             if parent is None:
                 shape = (n,) + block_parent.shape[1:]
@@ -331,12 +367,13 @@ class WEDataset:
         n = data["n_segs"]
         out = None
         for file_idx, _n in self._iter_index[n_iter]:
-            with h5py.File(self.file_list[file_idx], "r") as h5:
-                dset = h5[f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"]
-                assert dset.shape[1] > 1, (
-                    "Augmented coords need at least start & end frames"
-                )
-                block = dset[:, frame]
+            dset = self._h5(file_idx)[
+                f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"
+            ]
+            assert dset.shape[1] > 1, (
+                "Augmented coords need at least start & end frames"
+            )
+            block = dset[:, frame]
             mask = data["west_idx"] == file_idx
             if out is None:
                 out = np.full((n,) + block.shape[1:], np.nan)
@@ -358,9 +395,10 @@ class WEDataset:
             # h5py wants strictly increasing unique indices; rows may repeat
             # (split walkers share a parent)
             uniq, inverse = np.unique(local, return_inverse=True)
-            with h5py.File(self.file_list[file_idx], "r") as h5:
-                dset = h5[f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"]
-                block = dset[uniq, frame]
+            dset = self._h5(file_idx)[
+                f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"
+            ]
+            block = dset[uniq, frame]
             out[in_file] = block[inverse]
         return out
 
@@ -417,9 +455,14 @@ class WEDataset:
         return child[good]
 
     def n_atoms_coord_ndim(self):
-        """(n_atoms, coord_ndim) of the augmented coordinates."""
-        first = next(iter(self._iter_index))
-        file_idx, _ = self._iter_index[first][0]
-        with h5py.File(self.file_list[file_idx], "r") as h5:
-            shape = h5[f"{_iter_name(first)}/auxdata/{self.auxpath}"].shape
-        return shape[2], shape[3]
+        """(n_atoms, coord_ndim) of the augmented coordinates (memoized:
+        this was re-read from the file on every subset read, ~0.2 s of a
+        warm 100-iteration clustering stage)."""
+        if self._coord_shape is None:
+            first = next(iter(self._iter_index))
+            file_idx, _ = self._iter_index[first][0]
+            shape = self._h5(file_idx)[
+                f"{_iter_name(first)}/auxdata/{self.auxpath}"
+            ].shape
+            self._coord_shape = (shape[2], shape[3])
+        return self._coord_shape

@@ -496,6 +496,9 @@ class ExtendedModelWE(modelWE):
         pcoords[:, 0, 1] = kh[idx0]
         pcoords[:, 1, 1] = kh[idx1]
 
+        # Release cached read handles: an "a" open conflicts with a live
+        # "r" open of the same file in-process (HDF5 locking)
+        self._dataset.close()
         for f_idx in np.unique(d["west_idx"]):
             rows = d["west_idx"] == f_idx
             with h5py.File(self.fileList[int(f_idx)], "a") as h5:

@@ -794,6 +794,7 @@ class modelWE:
         """
         if self._features is not None and not force:
             return self._features
+        self._raw_bins_cache = None  # bins follow the feature arrays
 
         mode = getattr(self, "dedup_coordinates", "auto")
         use_dedup = mode is True or (
@@ -1076,6 +1077,7 @@ class modelWE:
         else:
             bin_mapper = self._load_bin_mapper_from_h5(bin_iteration)
         self._bin_mapper = bin_mapper
+        self._raw_bins_cache = None
 
         iters_to_use = self._resolve_iters(iters_to_use, first_cluster_iter)
         feats = self._featurize_all()
@@ -1215,26 +1217,40 @@ class modelWE:
 
         Replaces the reference's per-iteration Ray fan-out
         (``launch_ray_discretization``, ``_clustering.py:1144-1242``).
+        Parent and child rows go through ONE predict call (2N rows): on a
+        remote-tunnel device each predict is a blocking dispatch+download
+        round trip, so fusing them halves the discretization latency.
         """
         feats = self._featurize_all()
         strat = self._strat
 
-        parent_bins = self._bin_mapper.assign(np.nan_to_num(feats["pcoord0"]))
-        child_bins = self._bin_mapper.assign(np.nan_to_num(feats["pcoord1"]))
+        parent_bins, child_bins = self._raw_we_bins()
+        n = len(parent_bins)
 
-        parent_idx = strat.predict(
-            feats["parent"],
-            parent_bins,
-            is_basis=self.is_WE_basis(feats["pcoord0"]),
-            is_target=self.is_WE_target(feats["pcoord0"]),
+        both_idx = strat.predict(
+            np.concatenate([feats["parent"], feats["child"]]),
+            np.concatenate([parent_bins, child_bins]),
+            is_basis=np.concatenate(
+                [self.is_WE_basis(feats["pcoord0"]),
+                 self.is_WE_basis(feats["pcoord1"])]
+            ),
+            is_target=np.concatenate(
+                [self.is_WE_target(feats["pcoord0"]),
+                 self.is_WE_target(feats["pcoord1"])]
+            ),
         )
-        child_idx = strat.predict(
-            feats["child"],
-            child_bins,
-            is_basis=self.is_WE_basis(feats["pcoord1"]),
-            is_target=self.is_WE_target(feats["pcoord1"]),
-        )
-        self._store_dtrajs(parent_idx, child_idx)
+        self._store_dtrajs(both_idx[:n], both_idx[n:])
+
+    def _raw_we_bins(self):
+        """Un-remapped WE bin of every segment's parent/child pcoord (cached:
+        recomputed bin assignments were a per-cleaning-pass cost)."""
+        if getattr(self, "_raw_bins_cache", None) is None:
+            feats = self._featurize_all()
+            self._raw_bins_cache = (
+                self._bin_mapper.assign(np.nan_to_num(feats["pcoord0"])),
+                self._bin_mapper.assign(np.nan_to_num(feats["pcoord1"])),
+            )
+        return self._raw_bins_cache
 
     def _store_dtrajs(self, parent_idx, child_idx):
         feats = self._features
@@ -2261,6 +2277,7 @@ class modelWE:
                 auxpath=model.auxpath,
             )
             model._features = None  # cached features refer to the old files
+            model._raw_bins_cache = None
         return model
 
     # -------------------------------------------------------------- plotting
@@ -2433,6 +2450,9 @@ class modelWE:
                 "topology_path=..."
             )
         kwargs.setdefault("auxpath", self.auxpath)
+        if self._dataset is not None:
+            # Release cached read handles before opening in append mode
+            self._dataset.close()
         total = 0
         for west_file in self.fileList:
             total += augment_west_h5(west_file, topology, **kwargs)
