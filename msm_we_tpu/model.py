@@ -1330,7 +1330,12 @@ class modelWE:
         feats = self._featurize_all()
         n_states = self.n_clusters + 2
 
-        if n_lag == 0 and self._mesh is not None and self.clusters is not None:
+        if (
+            n_lag == 0
+            and self._mesh is not None
+            and self.clusters is not None
+            and not getattr(self, "_flux_prefer_host", False)
+        ):
             # Production device path: one fused shard_map program
             # (discretize -> f64 scatter -> psum) over the mesh. Works for
             # stratified (per-bin bank) and aggregated (single-bin bank)
@@ -1518,13 +1523,20 @@ class modelWE:
                 f"Unrecognized clustering_method ({self.clustering_method})"
             )
 
-    def _organize_flux_cleaning(self, remove_and_rediscretize, max_passes=10):
+    def _organize_flux_cleaning(self, remove_and_rediscretize, max_passes=10,
+                                host_flux=False):
         """Shared flux-matrix cleaning driver (stratified + aggregated).
 
         Each pass: find strongly connected sets (with the artificial
         target->basis recycle edge), delete everything outside the largest
         via ``remove_and_rediscretize`` (the path-specific step), recompute
         the flux matrix at the new clustering, pcoord-sort and normalize.
+
+        ``host_flux`` recomputes the per-pass flux matrix from the (already
+        updated) dtrajs with the host f64 bincount even when a device mesh
+        is enabled: the assignments are in hand after the incremental
+        update, so the fused device step would only re-upload the feature
+        arrays to recompute what is already known.
 
         Improvement over the reference: re-discretization can itself create
         new disconnected states (segments move to surviving clusters), which
@@ -1570,7 +1582,11 @@ class modelWE:
             # assignments into the sorted fluxMatrix numbering (e.g. the
             # Aristoffian kh machinery in extended.py)
             self.pcoord_sort_indices = pcoord_sort_indices
-            self.get_fluxMatrix(*self._fluxMatrixParams)
+            self._flux_prefer_host = host_flux
+            try:
+                self.get_fluxMatrix(*self._fluxMatrixParams)
+            finally:
+                self._flux_prefer_host = False
             fluxMatrix = self.fluxMatrixRaw[
                 np.ix_(pcoord_sort_indices, pcoord_sort_indices)
             ]
@@ -1590,12 +1606,23 @@ class modelWE:
         remaining = find_connected_sets(fcheck, directed=True)
         assert len(remaining) == 1, "Still not clean after cleaning!"
 
-    def organize_stratified(self, use_ray=False, progress_bar=None, max_passes=10):
+    def organize_stratified(self, use_ray=False, progress_bar=None,
+                            max_passes=10, incremental=True):
         """Stratified cleaning (reference ``organize_stratified``,
         ``_clustering.py:920-1142``): remove everything outside the largest
         strongly connected set, remap emptied WE bins, re-discretize,
         recompute, sort by mean pcoord, normalize. See
         :meth:`_organize_flux_cleaning` for the shared loop semantics.
+
+        ``incremental`` (default): removing centers never changes the
+        nearest-center argmin of a row whose winner survives, so each pass
+        re-scores ONLY segments whose winning center was removed or whose WE
+        bin remap changed; everyone else's assignment is relabeled through
+        the old-row -> new-global-id map, and the flux matrix is rebuilt
+        with the host f64 bincount (no device feature re-upload). The full
+        re-discretization per pass (reference ``_clustering.py:1101-1115``)
+        is the ``incremental=False`` escape hatch; results are identical
+        (asserted in ``test_coverage_round3.py``).
         """
         strat = self._strat
 
@@ -1603,6 +1630,15 @@ class modelWE:
             real_removals = states_to_remove[
                 states_to_remove < strat.n_total_clusters
             ]
+            # Snapshot the pre-removal numbering for the incremental update
+            old_remap = strat.we_remap.copy()
+            rows_valid = np.flatnonzero(strat.valid)
+            old_gid_to_row = np.full(strat.n_total_clusters + 2, 0, np.int64)
+            old_gid_to_row[strat.global_id[rows_valid]] = rows_valid
+            removed_row_mask = np.zeros(len(strat.valid), bool)
+            if len(real_removals):
+                removed_row_mask[old_gid_to_row[real_removals]] = True
+
             emptied = strat.remove_global_clusters(real_removals)
             # Bins never initialized also count as empty (reference
             # ``_clustering.py:1023-1034``)
@@ -1626,10 +1662,109 @@ class modelWE:
                 strat.set_remap(
                     int(b), find_nearest_bin(self._bin_mapper, int(b), populated)
                 )
-            self.launch_discretization()
+            if incremental and self._parent_idx is not None:
+                self._incremental_rediscretize(
+                    strat, removed_row_mask, old_remap, old_gid_to_row
+                )
+            else:
+                self.launch_discretization()
+
+        self._organize_flux_cleaning(
+            remove_and_rediscretize, max_passes=max_passes,
+            host_flux=incremental,
+        )
+        self.cluster_mapping = {x: x for x in range(self.n_clusters + 2)}
+
+    def _incremental_rediscretize(self, strat, removed_row_mask, old_remap,
+                                  old_gid_to_row):
+        """Patch the stored dtrajs after center removal/remap instead of
+        re-discretizing every segment (see :meth:`organize_stratified`).
+
+        Invariant: a masked argmin over a row's (remapped) WE-bin centers is
+        unchanged by deleting centers the row did not win -- its winner is
+        still present and still beats the (shrunk) candidate set. Only rows
+        whose winner was deleted, or whose ``we_remap`` target changed (a
+        different candidate set entirely), are re-scored, through the same
+        jitted ``masked_assign`` scoring as the full path.
+        """
+        feats = self._featurize_all()
+        pbins_raw, cbins_raw = self._raw_we_bins()
+        remap_changed = strat.we_remap != old_remap
+        B_new = strat.basis_cluster_index
+        T_new = strat.target_cluster_index
+
+        def update(idx_old, X, raw_bins, pc):
+            is_b = np.asarray(self.is_WE_basis(pc))
+            is_t = np.asarray(self.is_WE_target(pc))
+            overridden = is_b | is_t
+            rows = old_gid_to_row[np.where(overridden, 0, idx_old)]
+            affected = ~overridden & (
+                removed_row_mask[rows] | remap_changed[raw_bins]
+            )
+            # Surviving winners keep their (renumbered) id; basis wins over
+            # target on overlap, as in predict
+            new_idx = np.where(
+                is_b, B_new, np.where(is_t, T_new, strat.global_id[rows])
+            )
+            if affected.any():
+                sub = np.flatnonzero(affected)
+                new_idx[sub] = self._assign_rows_subset(
+                    strat, X[sub], strat.we_remap[raw_bins[sub]]
+                )
+            assert (new_idx >= 0).all()
+            return new_idx
+
+        parent_idx = update(
+            self._parent_idx, feats["parent"], pbins_raw, feats["pcoord0"]
+        )
+        child_idx = update(
+            self._child_idx, feats["child"], cbins_raw, feats["pcoord1"]
+        )
+        self._store_dtrajs(parent_idx, child_idx)
+
+    def _assign_rows_subset(self, strat, X, bins_eff):
+        """Stratified assignment for a (usually small) row subset, through
+        the same ``masked_assign`` scoring as the device predict path.
+        Rows are padded to the next power of two so cleaning passes reuse a
+        handful of compiled shapes."""
+        import jax.numpy as jnp
+
+        from .ops.kmeans import masked_assign
+
+        m = len(X)
+        M = max(1 << (m - 1).bit_length(), 64)
+        Xp = np.zeros((M, X.shape[1]), np.float32)
+        Xp[:m] = X
+        bp = np.full(M, -1, np.int32)
+        bp[:m] = bins_eff
+        strat._sync_host()
+        flat = np.asarray(
+            masked_assign(
+                jnp.asarray(Xp), jnp.asarray(bp),
+                jnp.asarray(strat.centers), jnp.asarray(strat.center_bin),
+                jnp.asarray(strat.valid), n_bins=strat.n_bins,
+            )
+        )[:m]
+        return strat.global_id[flat]
+
+    def organize_aggregated_simple(self, max_passes=10):
+        """Aggregate-path cleaning: same SCC criterion applied to the
+        aggregate cluster bank. (The reference's ``organize_aggregated`` is
+        deprecated and raises -- ``_fluxmatrix.py:452-454``; this is the
+        working equivalent built on the shared cleaning driver.)
+        """
+
+        def remove_and_rediscretize(states_to_remove):
+            keep = np.setdiff1d(np.arange(self.n_clusters), states_to_remove)
+            self.removed_clusters = states_to_remove
+            self.clusters = _AggregateClustersShim(
+                self.clusters.cluster_centers_[keep]
+            )
+            self.n_clusters = len(keep)
+            self._discretize_all_aggregated()
 
         self._organize_flux_cleaning(remove_and_rediscretize, max_passes=max_passes)
-        self.cluster_mapping = {x: x for x in range(self.n_clusters + 2)}
+        self.removed_clusters = []
 
     def organize_aggregated_simple(self, max_passes=10):
         """Aggregate-path cleaning: same SCC criterion applied to the

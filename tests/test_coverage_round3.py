@@ -1,0 +1,95 @@
+"""Round-3 coverage: incremental cleaning parity, host-flux cleaning path.
+
+The incremental cleaning pass (``organize_stratified(incremental=True)``,
+the default) must produce results identical to the full re-discretization
+(``incremental=False``, the reference's behavior, ``_clustering.py:1101-1115``)
+-- same dtrajs, same cleaned flux matrix, same steady state.
+"""
+import numpy as np
+import pytest
+
+from msm_we_tpu.binning import RectilinearBinMapper
+from msm_we_tpu.data import generate_west_h5
+from msm_we_tpu.model import modelWE
+
+
+@pytest.fixture(scope="module")
+def west_h5_mid(tmp_path_factory):
+    # Big enough that predict takes the device path (>= HOST_BATCH_THRESHOLD
+    # rows), so the incremental subset re-scoring is compared against the
+    # same scoring family the full path used
+    path = tmp_path_factory.mktemp("we") / "west.h5"
+    generate_west_h5(str(path), n_iterations=60, n_segments=100, seed=11)
+    return str(path)
+
+
+def _build(path, incremental, device_pipeline=False):
+    model = modelWE()
+    model.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "synth",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="pca",
+        tau=1.0,
+        _suppress_boundary_warning=True,
+    )
+    if device_pipeline:
+        import jax
+
+        from msm_we_tpu.parallel import make_mesh
+
+        model.enable_mesh(make_mesh(jax.devices()[:4]))
+    model.get_iterations()
+    model.get_coordSet(model.maxIter)
+    model.dimReduce()
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 11)])
+    model.cluster_coordinates(
+        n_clusters=3, stratified=True, user_bin_mapper=mapper
+    )
+    model.get_fluxMatrix(0)
+    model.organize_stratified(incremental=incremental)
+    model.get_Tmatrix()
+    model.get_steady_state()
+    model.get_steady_state_target_flux()
+    return model
+
+
+@pytest.mark.parametrize("device_pipeline", [False, True])
+def test_incremental_cleaning_matches_full(west_h5_mid, device_pipeline):
+    full = _build(west_h5_mid, incremental=False,
+                  device_pipeline=device_pipeline)
+    inc = _build(west_h5_mid, incremental=True,
+                 device_pipeline=device_pipeline)
+
+    assert inc.n_clusters == full.n_clusters
+    for i, (a, b) in enumerate(zip(inc.dtrajs, full.dtrajs)):
+        np.testing.assert_array_equal(a, b, err_msg=f"dtrajs iter {i}")
+    np.testing.assert_array_equal(inc._parent_idx, full._parent_idx)
+    # The cleaned flux matrix: the incremental path accumulates with the
+    # host f64 bincount; the full path may accumulate on device (psum) when
+    # a mesh is enabled, so equality is up to f64 summation order there
+    if device_pipeline:
+        np.testing.assert_allclose(
+            inc.fluxMatrix, full.fluxMatrix, rtol=1e-12
+        )
+    else:
+        np.testing.assert_array_equal(inc.fluxMatrix, full.fluxMatrix)
+    np.testing.assert_allclose(inc.pSS, full.pSS, rtol=1e-10, atol=1e-18)
+    assert inc.JtargetSS == pytest.approx(full.JtargetSS, rel=1e-10)
+
+
+def test_incremental_cleaning_multiple_passes(tmp_path):
+    """A dataset engineered to need > 1 cleaning pass still fixpoints to a
+    clean matrix under the incremental path (the driver loop asserts
+    cleanliness at exit)."""
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=25, n_segments=12, seed=23)
+    model = _build(path, incremental=True)
+    fcheck = model.fluxMatrix.copy()
+    fcheck[-1, -2] = 1.0
+    from msm_we_tpu.utils import find_connected_sets
+
+    assert len(find_connected_sets(fcheck, directed=True)) == 1
+    assert model.pSS.sum() == pytest.approx(1.0)
