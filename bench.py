@@ -377,21 +377,46 @@ def main():
     p = make_problem()
     n_segments = len(p["raw_parent"])
 
-    inner_reps = 10
+    # Timing methodology (round-3 correction): on a remote-tunnel backend,
+    # `block_until_ready` returns without waiting (measured: 30 fused steps
+    # "completed" in 0.1 ms while the queue was still executing) and each
+    # dispatch costs a synchronous ~27 ms enqueue round trip. The round-2
+    # numbers timed THAT, not device compute. Honest per-step time:
+    # execute `inner_reps` steps inside one jit (loop-carried perturbation,
+    # so XLA cannot collapse the loop), force completion by materializing
+    # the output (np.asarray round-trips the result buffer), and subtract
+    # the same-shaped no-op dispatch+transfer baseline measured separately.
+    inner_reps = 25
+
+    @jax.jit
+    def _noop(fmp):
+        return fmp + 1.0
+
+    def measure_step(step, args, n_out=1):
+        out = step(*args)
+        np.asarray(out[0])  # warm: drains remote compile + first run
+        rtts = []
+        dummy = jax.device_put(np.zeros((p["n_states"], p["n_states"]), np.float32))
+        np.asarray(_noop(dummy))
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(_noop(dummy))
+            rtts.append(time.perf_counter() - t0)
+        rtt = min(rtts)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = step(*args)
+            np.asarray(out[0])
+            times.append(time.perf_counter() - t0)
+        per_step = max(min(times) - rtt, 1e-9) / inner_reps
+        return per_step, out
+
     step, args = device_pipeline(p, inner_reps=inner_reps)
     # Device-resident inputs: the pipeline holds features on device, so input
     # transfer is not part of the per-build cost being measured
     args = tuple(jax.device_put(a) for a in args)
-    # Warm up (compile)
-    fm, pss, flux, ss_residual = step(*args)
-    fm.block_until_ready()
-
-    outer = 3
-    t0 = time.perf_counter()
-    for _ in range(outer):
-        fm, pss, flux, ss_residual = step(*args)
-    fm.block_until_ready()
-    device_time = (time.perf_counter() - t0) / (outer * inner_reps)
+    device_time, (fm, pss, flux, ss_residual) = measure_step(step, args)
 
     frames_per_sec = n_segments / device_time
 
@@ -400,14 +425,7 @@ def main():
     # already device-resident inputs: a second device_put would duplicate
     # ~740 MB of raw coordinates on the device.
     step_fast, _ = device_pipeline(p, inner_reps=inner_reps, fast_math=True)
-    args_fast = args
-    fm_f, _pss_f, _flux_f, _res_f = step_fast(*args_fast)
-    fm_f.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(outer):
-        fm_f, _pss_f, _flux_f, _res_f = step_fast(*args_fast)
-    fm_f.block_until_ready()
-    device_time_fast = (time.perf_counter() - t0) / (outer * inner_reps)
+    device_time_fast, _out_f = measure_step(step_fast, args)
     frames_per_sec_fast = n_segments / device_time_fast
 
     # Continuity-dedup tier (the production dedup_coordinates path): one raw
@@ -422,13 +440,9 @@ def main():
         + args[2:13]
         + (jax.device_put(args_dd[13]),)
     )
-    fm_d, _pss_d, _flux_d, _res_d = step_dd(*args_dd)
-    fm_d.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(outer):
-        fm_d, _pss_d, _flux_d, _res_d = step_dd(*args_dd)
-    fm_d.block_until_ready()
-    device_time_dedup = (time.perf_counter() - t0) / (outer * inner_reps)
+    device_time_dedup, (fm_d, _pss_d, _flux_d, _res_d) = measure_step(
+        step_dd, args_dd
+    )
     frames_per_sec_dedup = n_segments / device_time_dedup
     dedup_max_diff = float(
         np.max(np.abs(np.asarray(fm_d) - np.asarray(fm)))

@@ -76,24 +76,16 @@ def _combine_argmin(local_min, local_gid, axis_name):
     return jnp.take_along_axis(gids, sel[None, :], axis=0)[0]
 
 
-def _discretize_and_flux(
-    fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
+def _assign_overridden(
+    fp, fc, pbins, cbins, basis_p, basis_c, target_c,
     centers, center_bin, valid, n_states, model_axis=None,
     target_p=None, n_bins=None, precision=None,
 ):
-    """Shared kernel body: assign parent+child, apply overrides, scatter flux.
+    """Assign parent+child rows and apply the basis/target overrides.
 
     The center bank must be compact (valid centers first, in global-id
     order; see :func:`_local_masked_min`), so the local argmin row plus the
     static shard offset is the global cluster id -- no gather.
-
-    The scatter accumulates in the dtype of ``w``: trace under
-    ``jax.enable_x64(True)`` with float64 weights and the flux matrix is
-    accumulated (and psum-reduced) in f64 while the distance matmuls stay
-    f32 -- the facade's parity-grade device path. WE weights span hundreds
-    of orders of magnitude (the reference does all accumulation in host
-    f64, ``_fluxmatrix.py:311-342``), so an f32 scatter would flush small
-    weights to zero and could silently disconnect low-weight states.
     """
     pmin, pk = _local_masked_min(
         fp, pbins, centers, center_bin, valid, n_bins=n_bins, precision=precision
@@ -122,7 +114,59 @@ def _discretize_and_flux(
         pidx = jnp.where(target_p, target_cluster, pidx)
     pidx = jnp.where(basis_p, basis_cluster, pidx)
     cidx = jnp.where(basis_c, basis_cluster, cidx)
+    return pidx, cidx
 
+
+def onehot_flux_f32(pidx, cidx, w, n_states):
+    """f32 flux matrix as MXU matmuls instead of a scatter (serving tier).
+
+    XLA lowers the 102k-row ``segment_sum`` scatter semi-serially (~0.66 ms
+    at bench shapes); two one-hot matmuls run it on the MXU instead. The
+    f32 weights split exactly into three bf16 terms (standard f32 = bf16x3
+    decomposition, the same trick Precision.HIGHEST uses), and one-hot
+    entries are exact in bf16, so every product is exact and only the f32
+    accumulation order differs from ``segment_sum``.
+
+    NOT for the production parity path: that accumulates in f64
+    (:func:`_discretize_and_flux` under ``jax.enable_x64``), where an MXU
+    formulation would need slow emulated f64 matmuls.
+    """
+    A = jax.nn.one_hot(pidx, n_states, dtype=jnp.bfloat16)
+    B = jax.nn.one_hot(cidx, n_states, dtype=jnp.bfloat16)
+    w = w.astype(jnp.float32)
+    w1 = w.astype(jnp.bfloat16)
+    r1 = w - w1.astype(jnp.float32)
+    w2 = r1.astype(jnp.bfloat16)
+    w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
+    fm = None
+    for wk in (w1, w2, w3):
+        part = jnp.matmul(
+            (A * wk[:, None]).T, B, preferred_element_type=jnp.float32
+        )
+        fm = part if fm is None else fm + part
+    return fm
+
+
+def _discretize_and_flux(
+    fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
+    centers, center_bin, valid, n_states, model_axis=None,
+    target_p=None, n_bins=None, precision=None,
+):
+    """Shared kernel body: assign parent+child, apply overrides, scatter flux.
+
+    The scatter accumulates in the dtype of ``w``: trace under
+    ``jax.enable_x64(True)`` with float64 weights and the flux matrix is
+    accumulated (and psum-reduced) in f64 while the distance matmuls stay
+    f32 -- the facade's parity-grade device path. WE weights span hundreds
+    of orders of magnitude (the reference does all accumulation in host
+    f64, ``_fluxmatrix.py:311-342``), so an f32 scatter would flush small
+    weights to zero and could silently disconnect low-weight states.
+    """
+    pidx, cidx = _assign_overridden(
+        fp, fc, pbins, cbins, basis_p, basis_c, target_c,
+        centers, center_bin, valid, n_states, model_axis=model_axis,
+        target_p=target_p, n_bins=n_bins, precision=precision,
+    )
     flat = pidx.astype(jnp.int32) * n_states + cidx.astype(jnp.int32)
     fm = jax.ops.segment_sum(w, flat, num_segments=n_states * n_states)
     return fm.reshape(n_states, n_states), pidx, cidx
