@@ -1227,6 +1227,13 @@ class modelWE:
         parent_bins, child_bins = self._raw_we_bins()
         n = len(parent_bins)
 
+        if self._mesh is not None and strat is not None:
+            pidx, cidx = self._sharded_pair_discretize(
+                strat, parent_bins, child_bins
+            )
+            self._store_dtrajs(pidx, cidx)
+            return
+
         both_idx = strat.predict(
             np.concatenate([feats["parent"], feats["child"]]),
             np.concatenate([parent_bins, child_bins]),
@@ -1240,6 +1247,67 @@ class modelWE:
             ),
         )
         self._store_dtrajs(both_idx[:n], both_idx[n:])
+
+    def _sharded_pair_discretize(self, strat, parent_bins, child_bins):
+        """One sharded dispatch assigning parent AND child rows, reading the
+        shared device-resident feature arrays (:meth:`_device_row_feats`) --
+        the same layout the fused flux step consumes, so features upload
+        once per build instead of once per stage. Identical ids to
+        ``strat.predict`` (same masked scores, same overrides)."""
+        from .parallel.sharded import build_sharded_pair_assign
+
+        feats = self._featurize_all()
+        mesh = self._mesh
+        N = len(parent_bins)
+
+        pbins = strat.we_remap[parent_bins].astype(np.int32)
+        cbins = strat.we_remap[child_bins].astype(np.int32)
+        # The predict-path guard: a present bin with no live centers and no
+        # remap would silently produce junk ids on device
+        present = np.unique(np.concatenate([pbins, cbins]))
+        bad = present[
+            ~strat.initialized[present] | (strat.n_centers_per_bin[present] == 0)
+        ]
+        if len(bad):
+            raise RuntimeError(
+                f"Bins {bad} have no live cluster centers and no remap. "
+                "Cluster more data or remap these bins."
+            )
+
+        basis_p = np.asarray(self.is_WE_basis(feats["pcoord0"]))
+        basis_c = np.asarray(self.is_WE_basis(feats["pcoord1"]))
+        target_p = np.asarray(self.is_WE_target(feats["pcoord0"]))
+        target_c = np.asarray(self.is_WE_target(feats["pcoord1"]))
+
+        data_size = mesh.shape["data"]
+        model_size = mesh.shape["model"]
+        N_pad = -(-N // data_size) * data_size
+        K = strat.n_total_clusters
+        K_pad = -(-K // model_size) * model_size
+        n_states = K + 2
+
+        def pad_rows(a, fill):
+            if N_pad == N:
+                return a
+            out = np.full((N_pad,) + a.shape[1:], fill, dtype=a.dtype)
+            out[:N] = a
+            return out
+
+        fp_dev, fc_dev = self._device_row_feats()
+        centersC, center_binC, validC = strat.compact_bank(pad_to=K_pad)
+        assign = build_sharded_pair_assign(
+            mesh, n_states, with_target_p=True,
+            n_bins=strat.n_bins,
+        )
+        pidx, cidx = assign(
+            fp_dev, fc_dev,
+            pad_rows(pbins, -1), pad_rows(cbins, -1),
+            pad_rows(basis_p, False), pad_rows(basis_c, False),
+            pad_rows(target_c, False),
+            centersC, center_binC, validC,
+            pad_rows(target_p, False),
+        )
+        return np.asarray(pidx)[:N], np.asarray(cidx)[:N]
 
     def _raw_we_bins(self):
         """Un-remapped WE bin of every segment's parent/child pcoord (cached:
@@ -1425,12 +1493,14 @@ class modelWE:
         strat = self._strat
         mesh = self._mesh
 
+        # Iteration selection folds into the weights (w * mask; f64 adds of
+        # zero are exact), so the big feature arrays need no sel-gather and
+        # the device copies cached by _device_row_feats (shared with the
+        # sharded discretization) are reused as-is -- one upload per build
         sel = np.isin(feats["iteration"], list(iters_to_use))
-        fp = feats["parent"][sel]
-        fc = feats["child"][sel]
-        w = feats["weights"][sel].astype(np.float64)
-        p0 = feats["pcoord0"][sel]
-        p1 = feats["pcoord1"][sel]
+        w = np.where(sel, feats["weights"], 0.0).astype(np.float64)
+        p0 = feats["pcoord0"]
+        p1 = feats["pcoord1"]
 
         basis_p = np.asarray(self.is_WE_basis(p0))
         # Target-region parents route to the target state only for
@@ -1449,9 +1519,10 @@ class modelWE:
         N = len(w)
 
         if strat is not None:
+            raw_pbins, raw_cbins = self._raw_we_bins()
             remap = strat.we_remap
-            pbins = remap[self._bin_mapper.assign(np.nan_to_num(p0))].astype(np.int32)
-            cbins = remap[self._bin_mapper.assign(np.nan_to_num(p1))].astype(np.int32)
+            pbins = remap[raw_pbins].astype(np.int32)
+            cbins = remap[raw_cbins].astype(np.int32)
             K = strat.n_total_clusters
             n_bins = strat.n_bins
             bank = lambda K_pad: strat.compact_bank(pad_to=K_pad)
@@ -1485,10 +1556,11 @@ class modelWE:
         # Padded rows carry weight 0 (their scatter adds nothing) and bin -1
         # (matches no center); the compact bank (argmin row == global id,
         # no device gather) pads with invalid rows
+        fp_dev, fc_dev = self._device_row_feats()
         centersC, center_binC, validC = bank(K_pad)
         args = (
-            pad_rows(fp.astype(np.float32), 0.0),
-            pad_rows(fc.astype(np.float32), 0.0),
+            fp_dev,
+            fc_dev,
             pad_rows(pbins, -1),
             pad_rows(cbins, -1),
             pad_rows(basis_p, False),
@@ -2355,9 +2427,44 @@ class modelWE:
         from .parallel import make_mesh
 
         self._mesh = mesh if mesh is not None else make_mesh()
+        self._dev_feats_cache = None  # device arrays are mesh-specific
         if self._strat is not None:
             self._strat.use_mesh(self._mesh)
         return self._mesh
+
+    def _device_row_feats(self):
+        """Padded, P('data')-sharded device copies of the parent/child
+        feature arrays, shared by the sharded discretization and the fused
+        flux step (same layout). One upload per featurization: at 2M
+        segments the repeated ~475 MB feature upload through a remote
+        tunnel was ~3.5 s of the flux stage alone.
+
+        The cache pins the feature dict it was built from; recomputed
+        features or a new mesh invalidate it.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        feats = self._featurize_all()
+        mesh = self._mesh
+        data_size = mesh.shape["data"]
+        N = len(feats["weights"])
+        N_pad = -(-N // data_size) * data_size
+
+        cache = getattr(self, "_dev_feats_cache", None)
+        if cache is not None and cache[0] is feats and cache[1] == N_pad:
+            return cache[2]
+
+        sharding = NamedSharding(mesh, P("data"))
+
+        def pad_put(a):
+            out = np.zeros((N_pad, a.shape[1]), np.float32)
+            out[:N] = a
+            return jax.device_put(out, sharding)
+
+        pair = (pad_put(feats["parent"]), pad_put(feats["child"]))
+        self._dev_feats_cache = (feats, N_pad, pair)
+        return pair
 
     # ---------------------------------------------------------- checkpointing
     def __getstate__(self):
@@ -2365,6 +2472,7 @@ class modelWE:
         # enable_mesh() again after load
         state = self.__dict__.copy()
         state["_mesh"] = None
+        state["_dev_feats_cache"] = None  # device arrays are process-local
         state.pop("_flux_step_cache", None)  # legacy pickles
         return state
 

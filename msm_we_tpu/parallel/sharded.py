@@ -218,6 +218,47 @@ def build_sharded_step(mesh, n_states, with_target_p=False, n_bins=None):
 
 
 @lru_cache(maxsize=64)
+def build_sharded_pair_assign(mesh, n_states, with_target_p=False, n_bins=None):
+    """Jitted (data, model)-sharded parent+child assignment over ``mesh``.
+
+    Same inputs and sharding as :func:`build_sharded_step` minus the
+    weights; returns the override-applied (pidx, cidx) id vectors instead
+    of the flux matrix. Sharing the input layout with the flux step lets
+    the facade keep ONE device-resident copy of the (padded) feature
+    arrays for both discretization and flux (at 2M segments the repeated
+    feature upload through a remote tunnel was ~3.5 s of the flux stage).
+    """
+
+    def body(fp, fc, pbins, cbins, basis_p, basis_c, target_c,
+             centers, center_bin, valid, *rest):
+        pidx, cidx = _assign_overridden(
+            fp, fc, pbins, cbins, basis_p, basis_c, target_c,
+            centers, center_bin, valid, n_states,
+            model_axis="model",
+            target_p=rest[0] if rest else None,
+            n_bins=n_bins,
+        )
+        # Identity on already-identical values; lets the compiler prove
+        # replication over 'model' for the out_specs
+        return jax.lax.pmax(pidx, "model"), jax.lax.pmax(cidx, "model")
+
+    data_spec = P("data")
+    model_spec = P("model")
+    in_specs = (
+        data_spec, data_spec, data_spec, data_spec,
+        data_spec, data_spec, data_spec,
+        model_spec, model_spec, model_spec,
+    )
+    if with_target_p:
+        in_specs = in_specs + (data_spec,)
+    sharded = shard_map(
+        body, mesh=mesh, in_specs=in_specs,
+        out_specs=(P("data"), P("data")),
+    )
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=64)
 def build_sharded_assign(mesh, n_bins=None):
     """Jitted data-parallel stratified assignment over ``mesh`` (memoized,
     as :func:`build_sharded_step`).
