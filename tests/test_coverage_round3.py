@@ -93,3 +93,30 @@ def test_incremental_cleaning_multiple_passes(tmp_path):
 
     assert len(find_connected_sets(fcheck, directed=True)) == 1
     assert model.pSS.sum() == pytest.approx(1.0)
+
+
+def test_sharded_pair_discretize_matches_predict(west_h5_mid):
+    """The one-dispatch pair-assign discretization (shared device feature
+    cache) must produce ids identical to strat.predict."""
+    model = _build(west_h5_mid, incremental=True, device_pipeline=True)
+    assert model._mesh is not None
+    strat = model._strat
+    feats = model._featurize_all()
+    parent_bins, child_bins = model._raw_we_bins()
+
+    n = len(parent_bins)
+    both = strat.predict(
+        np.concatenate([feats["parent"], feats["child"]]),
+        np.concatenate([parent_bins, child_bins]),
+        is_basis=np.concatenate(
+            [model.is_WE_basis(feats["pcoord0"]),
+             model.is_WE_basis(feats["pcoord1"])]
+        ),
+        is_target=np.concatenate(
+            [model.is_WE_target(feats["pcoord0"]),
+             model.is_WE_target(feats["pcoord1"])]
+        ),
+    )
+    pidx, cidx = model._sharded_pair_discretize(strat, parent_bins, child_bins)
+    np.testing.assert_array_equal(pidx, both[:n])
+    np.testing.assert_array_equal(cidx, both[n:])
