@@ -452,7 +452,7 @@ class WEDataset:
         Reads only the final frame (half the I/O of iter_coord_pairs)."""
         child = self._iter_frame_block(n_iter, -1)
         good = ~np.isnan(child).any(axis=tuple(range(1, child.ndim)))
-        return child[good]
+        return child[np.flatnonzero(good)]
 
     def n_atoms_coord_ndim(self):
         """(n_atoms, coord_ndim) of the augmented coordinates (memoized:

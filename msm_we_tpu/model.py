@@ -681,11 +681,13 @@ class modelWE:
             use_w = use_weights and method == "tica"
             for iteration in range(first_iter, last_iter, fine_stride):
                 parent, child, weights = self._dataset.iter_coord_pairs(iteration)
-                good = ~(
-                    np.isnan(parent).any(axis=tuple(range(1, parent.ndim)))
-                    | np.isnan(child).any(axis=tuple(range(1, child.ndim)))
+                good = np.flatnonzero(
+                    ~(
+                        np.isnan(parent).any(axis=tuple(range(1, parent.ndim)))
+                        | np.isnan(child).any(axis=tuple(range(1, child.ndim)))
+                    )
                 )
-                if good.sum() == 0:
+                if len(good) == 0:
                     continue
                 f0 = np.asarray(self.processCoordinates(parent[good]))
                 f1 = np.asarray(self.processCoordinates(child[good]))
@@ -1125,10 +1127,11 @@ class modelWE:
                 pc = feats["pcoord0"][sel]
                 keep = ~(self.is_WE_target(pc) | self.is_WE_basis(pc))
                 keep &= feats["weights"][sel] > 0
+                keep = np.flatnonzero(keep)
                 rows_it = sel[keep]
                 bins_it = (
                     bin_mapper.assign(pc[keep])
-                    if keep.sum()
+                    if len(keep)
                     else np.array([], dtype=int)
                 )
                 kept_rows.append(rows_it)
@@ -1414,7 +1417,10 @@ class modelWE:
             return
 
         if n_lag == 0:
-            sel = np.isin(feats["iteration"], iters_to_use)
+            # Integer rows, not a boolean mask: 2-D boolean indexing takes a
+            # slow numpy path on this host (~2x the int gather at 2M rows),
+            # and this runs once per cleaning pass
+            sel = np.flatnonzero(np.isin(feats["iteration"], iters_to_use))
             start_idx = self._parent_idx[sel].astype(np.int64)
             end_idx = self._child_idx[sel].astype(np.int64)
             weights = feats["weights"][sel]
@@ -1877,7 +1883,7 @@ class modelWE:
         # Grouped mean/min/max in one pass per statistic (bincount +
         # ufunc.at) instead of an O(n_clusters * N) masked python loop --
         # this runs inside every cleaning pass
-        in_range = (child_idx >= 0) & (child_idx < n)
+        in_range = np.flatnonzero((child_idx >= 0) & (child_idx < n))
         idx = child_idx[in_range]
         vals = p1[in_range]
         good = ~np.isnan(vals)
@@ -1886,7 +1892,7 @@ class modelWE:
         mins = np.full((n, self.pcoord_ndim), np.inf)
         maxs = np.full((n, self.pcoord_ndim), -np.inf)
         for dim in range(self.pcoord_ndim):
-            g = good[:, dim]
+            g = np.flatnonzero(good[:, dim])
             gi = idx[g]
             gv = vals[g, dim]
             counts[:, dim] = np.bincount(gi, minlength=n)

@@ -209,13 +209,13 @@ class StratifiedKmeans:
         for b in unique_bins:
             if self.initialized[b]:
                 continue
-            members = seg_bins == b
-            if members.sum() < self.k:
+            members = np.flatnonzero(seg_bins == b)
+            if len(members) < self.k:
                 continue
             # Seeding writes host rows; pull any device-resident state first
             self._sync_host()
             rows = slice(b * self.k, (b + 1) * self.k)
-            if members.sum() < HOST_BATCH_THRESHOLD:
+            if len(members) < HOST_BATCH_THRESHOLD:
                 rng = np.random.default_rng(self.seed + int(b))
                 init = _np_kmeans_pp(rng, X[members], w[members], self.k)
                 cb, idx = _np_lloyd(X[members], w[members], init, n_iter=5)
@@ -238,9 +238,9 @@ class StratifiedKmeans:
 
         # Minibatch update for all previously-initialized bins' members in
         # one scatter (bins seeded above already consumed this batch)
-        live = initialized_before[seg_bins]
-        if live.any():
-            if live.sum() < HOST_BATCH_THRESHOLD:
+        live = np.flatnonzero(initialized_before[seg_bins])
+        if len(live):
+            if len(live) < HOST_BATCH_THRESHOLD:
                 self._sync_host()
                 Xl, wl, bl = X[live], w[live], seg_bins[live]
                 idx = _np_masked_assign(
