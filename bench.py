@@ -392,7 +392,7 @@ def main():
     def _noop(fmp):
         return fmp + 1.0
 
-    def measure_step(step, args, n_out=1):
+    def measure_step(step, args):
         out = step(*args)
         np.asarray(out[0])  # warm: drains remote compile + first run
         rtts = []

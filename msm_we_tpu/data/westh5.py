@@ -87,10 +87,13 @@ class WEDataset:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        if "_open_handles" not in state:  # legacy pickles
+        # Backfill attributes absent from legacy (pre-0.3.0) pickles
+        if "_open_handles" not in state:
             self._open_handles = {}
         if "_coord_shape" not in state:
             self._coord_shape = None
+        if "pcoord_len" not in state:
+            self.pcoord_len = None
 
     # ------------------------------------------------------------------ scan
     def _scan(self):

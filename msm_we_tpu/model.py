@@ -141,6 +141,19 @@ class _AggregateClustersShim:
         return np.asarray(idx)
 
 
+
+def _pad_rows_to(a, n_pad, fill):
+    """Pad a row-sharded array to ``n_pad`` rows with ``fill`` (shared by the
+    mesh discretization and flux paths -- padded rows must be inert there:
+    weight 0, bin -1, masks False)."""
+    n = len(a)
+    if n_pad == n:
+        return a
+    out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
+    out[:n] = a
+    return out
+
+
 class modelWE:
     """History-augmented Markov state model estimation from WE data."""
 
@@ -1289,12 +1302,7 @@ class modelWE:
         K_pad = -(-K // model_size) * model_size
         n_states = K + 2
 
-        def pad_rows(a, fill):
-            if N_pad == N:
-                return a
-            out = np.full((N_pad,) + a.shape[1:], fill, dtype=a.dtype)
-            out[:N] = a
-            return out
+        pad_rows = lambda a, fill: _pad_rows_to(a, N_pad, fill)
 
         fp_dev, fc_dev = self._device_row_feats()
         centersC, center_binC, validC = strat.compact_bank(pad_to=K_pad)
@@ -1552,12 +1560,7 @@ class modelWE:
         N_pad = -(-N // data_size) * data_size
         K_pad = -(-K // model_size) * model_size
 
-        def pad_rows(a, fill):
-            if N_pad == N:
-                return a
-            out = np.full((N_pad,) + a.shape[1:], fill, dtype=a.dtype)
-            out[:N] = a
-            return out
+        pad_rows = lambda a, fill: _pad_rows_to(a, N_pad, fill)
 
         # Padded rows carry weight 0 (their scatter adds nothing) and bin -1
         # (matches no center); the compact bank (argmin row == global id,
@@ -1779,10 +1782,11 @@ class modelWE:
             affected = ~overridden & (
                 removed_row_mask[rows] | remap_changed[raw_bins]
             )
-            # Surviving winners keep their (renumbered) id; basis wins over
-            # target on overlap, as in predict
+            # Surviving winners keep their (renumbered) id; target wins
+            # overlaps, matching the reference's predict-time priority
+            # (stratified_clustering.py:159-169) that produced these dtrajs
             new_idx = np.where(
-                is_b, B_new, np.where(is_t, T_new, strat.global_id[rows])
+                is_t, T_new, np.where(is_b, B_new, strat.global_id[rows])
             )
             if affected.any():
                 sub = np.flatnonzero(affected)
@@ -1824,25 +1828,6 @@ class modelWE:
             )
         )[:m]
         return strat.global_id[flat]
-
-    def organize_aggregated_simple(self, max_passes=10):
-        """Aggregate-path cleaning: same SCC criterion applied to the
-        aggregate cluster bank. (The reference's ``organize_aggregated`` is
-        deprecated and raises -- ``_fluxmatrix.py:452-454``; this is the
-        working equivalent built on the shared cleaning driver.)
-        """
-
-        def remove_and_rediscretize(states_to_remove):
-            keep = np.setdiff1d(np.arange(self.n_clusters), states_to_remove)
-            self.removed_clusters = states_to_remove
-            self.clusters = _AggregateClustersShim(
-                self.clusters.cluster_centers_[keep]
-            )
-            self.n_clusters = len(keep)
-            self._discretize_all_aggregated()
-
-        self._organize_flux_cleaning(remove_and_rediscretize, max_passes=max_passes)
-        self.removed_clusters = []
 
     def organize_aggregated_simple(self, max_passes=10):
         """Aggregate-path cleaning: same SCC criterion applied to the
@@ -2417,7 +2402,19 @@ class modelWE:
                             raise
 
         log.info("\n" + timer.report())
+        # Release cached read handles: WESTPA reopens the same west.h5
+        # read-write after the plugin builds a model, and an in-process 'r'
+        # handle makes that reopen fail (HDF5 flag conflict). Later model
+        # reads lazily reopen.
+        model.close_files()
         return model
+
+    def close_files(self):
+        """Close any cached read-only h5 handles (they reopen lazily on the
+        next read). Call before another writer opens the same west.h5 files
+        in this process -- WESTPA's data manager, augmentation scripts."""
+        if self._dataset is not None:
+            self._dataset.close()
 
     # ---------------------------------------------------------------- meshes
     def enable_mesh(self, mesh=None):

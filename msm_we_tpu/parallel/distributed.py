@@ -184,7 +184,17 @@ def _run_job(problem, n_procs, local_devices, port, timeout):
         return np.load(out_path)
 
 
-def launch_local_dryrun(n_procs=2, local_devices=2, port=29871, timeout=300):
+def _free_port():
+    """An OS-assigned free TCP port (small bind race, retried by callers
+    via distinct picks; hard-coded ports collide with concurrent CI jobs)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300):
     """Spawn ``n_procs`` real OS processes running :func:`run_worker` over a
     shared-nothing shard split, and assert the global flux matrix equals the
     single-process result exactly.
@@ -197,8 +207,14 @@ def launch_local_dryrun(n_procs=2, local_devices=2, port=29871, timeout=300):
     n_global = n_procs * local_devices
     problem = _default_problem(n_rows=32 * n_global)
 
-    fm_multi = _run_job(problem, n_procs, local_devices, port, timeout)
-    fm_single = _run_job(problem, 1, n_global, port + 1, timeout)
+    fm_multi = _run_job(
+        problem, n_procs, local_devices,
+        port if port is not None else _free_port(), timeout,
+    )
+    fm_single = _run_job(
+        problem, 1, n_global,
+        port + 1 if port is not None else _free_port(), timeout,
+    )
 
     np.testing.assert_array_equal(fm_multi, fm_single)
     return fm_multi

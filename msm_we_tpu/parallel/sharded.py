@@ -79,13 +79,20 @@ def _combine_argmin(local_min, local_gid, axis_name):
 def _assign_overridden(
     fp, fc, pbins, cbins, basis_p, basis_c, target_c,
     centers, center_bin, valid, n_states, model_axis=None,
-    target_p=None, n_bins=None, precision=None,
+    target_p=None, n_bins=None, precision=None, predict_order=False,
 ):
     """Assign parent+child rows and apply the basis/target overrides.
 
     The center bank must be compact (valid centers first, in global-id
     order; see :func:`_local_masked_min`), so the local argmin row plus the
     static shard offset is the global cluster id -- no gather.
+
+    ``predict_order`` selects which override wins for rows inside BOTH the
+    basis and target regions (overlapping bounds): the reference's
+    *predict* checks target first (``stratified_clustering.py:159-169`` --
+    target wins, used for dtrajs), while its *flux build* applies
+    basis-membership after target (``_fluxmatrix.py:134-137`` -- basis
+    wins, used for the flux matrix).
     """
     pmin, pk = _local_masked_min(
         fp, pbins, centers, center_bin, valid, n_bins=n_bins, precision=precision
@@ -102,49 +109,24 @@ def _assign_overridden(
 
     basis_cluster = n_states - 2
     target_cluster = n_states - 1
-    # Reference override composition: predict routes target-region rows to
-    # the target cluster first (stratified_clustering.py:159-169), but the
-    # flux build then applies start-in-basis and end-in-basis
-    # unconditionally AFTER end-in-target (_fluxmatrix.py:134-137) -- so
-    # for rows inside BOTH regions (overlapping bounds), basis wins, for
-    # parents and children alike. target_p (the predict-time short-circuit
-    # folded into this kernel) therefore applies BEFORE basis_p.
-    cidx = jnp.where(target_c, target_cluster, cidx)
-    if target_p is not None:
-        pidx = jnp.where(target_p, target_cluster, pidx)
-    pidx = jnp.where(basis_p, basis_cluster, pidx)
-    cidx = jnp.where(basis_c, basis_cluster, cidx)
+    if predict_order:
+        # Predict semantics: target checked first, so target wins overlaps
+        pidx = jnp.where(basis_p, basis_cluster, pidx)
+        cidx = jnp.where(basis_c, basis_cluster, cidx)
+        if target_p is not None:
+            pidx = jnp.where(target_p, target_cluster, pidx)
+        cidx = jnp.where(target_c, target_cluster, cidx)
+    else:
+        # Flux-build semantics: start/end-in-basis applied unconditionally
+        # AFTER end-in-target (_fluxmatrix.py:134-137), so basis wins, for
+        # parents and children alike. target_p (the predict-time
+        # short-circuit folded into this kernel) applies BEFORE basis_p.
+        cidx = jnp.where(target_c, target_cluster, cidx)
+        if target_p is not None:
+            pidx = jnp.where(target_p, target_cluster, pidx)
+        pidx = jnp.where(basis_p, basis_cluster, pidx)
+        cidx = jnp.where(basis_c, basis_cluster, cidx)
     return pidx, cidx
-
-
-def onehot_flux_f32(pidx, cidx, w, n_states):
-    """f32 flux matrix as MXU matmuls instead of a scatter (serving tier).
-
-    XLA lowers the 102k-row ``segment_sum`` scatter semi-serially (~0.66 ms
-    at bench shapes); two one-hot matmuls run it on the MXU instead. The
-    f32 weights split exactly into three bf16 terms (standard f32 = bf16x3
-    decomposition, the same trick Precision.HIGHEST uses), and one-hot
-    entries are exact in bf16, so every product is exact and only the f32
-    accumulation order differs from ``segment_sum``.
-
-    NOT for the production parity path: that accumulates in f64
-    (:func:`_discretize_and_flux` under ``jax.enable_x64``), where an MXU
-    formulation would need slow emulated f64 matmuls.
-    """
-    A = jax.nn.one_hot(pidx, n_states, dtype=jnp.bfloat16)
-    B = jax.nn.one_hot(cidx, n_states, dtype=jnp.bfloat16)
-    w = w.astype(jnp.float32)
-    w1 = w.astype(jnp.bfloat16)
-    r1 = w - w1.astype(jnp.float32)
-    w2 = r1.astype(jnp.bfloat16)
-    w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
-    fm = None
-    for wk in (w1, w2, w3):
-        part = jnp.matmul(
-            (A * wk[:, None]).T, B, preferred_element_type=jnp.float32
-        )
-        fm = part if fm is None else fm + part
-    return fm
 
 
 def _discretize_and_flux(
@@ -231,12 +213,16 @@ def build_sharded_pair_assign(mesh, n_states, with_target_p=False, n_bins=None):
 
     def body(fp, fc, pbins, cbins, basis_p, basis_c, target_c,
              centers, center_bin, valid, *rest):
+        # predict_order: these ids become dtrajs, which follow the
+        # reference's predict-time override priority (target wins
+        # overlaps), unlike the flux kernel (basis wins)
         pidx, cidx = _assign_overridden(
             fp, fc, pbins, cbins, basis_p, basis_c, target_c,
             centers, center_bin, valid, n_states,
             model_axis="model",
             target_p=rest[0] if rest else None,
             n_bins=n_bins,
+            predict_order=True,
         )
         # Identity on already-identical values; lets the compiler prove
         # replication over 'model' for the out_specs

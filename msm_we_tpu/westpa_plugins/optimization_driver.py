@@ -292,6 +292,12 @@ class OptimizationDriver:
         data_manager.get_new_weight_data = lambda x: None
         system.pcoord_ndim = new_pcoord_dim
 
+        # The haMSM model may hold cached read-only handles on the same
+        # west.h5; an in-process 'r' open makes the read-write reopen fail
+        model = getattr(self.data_manager, "hamsm_model", None)
+        if model is not None and hasattr(model, "close_files"):
+            model.close_files()
+
         data_manager.open_backing()
         iter_group = data_manager.get_iter_group(sim_manager.n_iter)
         n_iter = sim_manager.n_iter

@@ -120,3 +120,41 @@ def test_sharded_pair_discretize_matches_predict(west_h5_mid):
     pidx, cidx = model._sharded_pair_discretize(strat, parent_bins, child_bins)
     np.testing.assert_array_equal(pidx, both[:n])
     np.testing.assert_array_equal(cidx, both[n:])
+
+
+def test_pair_discretize_override_order_overlap(west_h5_mid):
+    """Rows inside BOTH basis and target regions must take the target id in
+    dtrajs (the reference's predict checks target first,
+    stratified_clustering.py:159-169) -- on the host predict path AND the
+    mesh pair-assign path."""
+    model = _build(west_h5_mid, incremental=True, device_pipeline=True)
+    # Overlapping bounds: [7, 10] is both basis and target
+    model.basis_pcoord_bounds = [[5.0, 10.0]]
+    model.target_pcoord_bounds = [[7.0, 10.0]]
+
+    strat = model._strat
+    feats = model._featurize_all()
+    parent_bins, child_bins = model._raw_we_bins()
+    n = len(parent_bins)
+
+    both = strat.predict(
+        np.concatenate([feats["parent"], feats["child"]]),
+        np.concatenate([parent_bins, child_bins]),
+        is_basis=np.concatenate(
+            [model.is_WE_basis(feats["pcoord0"]),
+             model.is_WE_basis(feats["pcoord1"])]
+        ),
+        is_target=np.concatenate(
+            [model.is_WE_target(feats["pcoord0"]),
+             model.is_WE_target(feats["pcoord1"])]
+        ),
+    )
+    pidx, cidx = model._sharded_pair_discretize(strat, parent_bins, child_bins)
+    np.testing.assert_array_equal(pidx, both[:n])
+    np.testing.assert_array_equal(cidx, both[n:])
+
+    overlap_child = np.asarray(model.is_WE_basis(feats["pcoord1"])) & np.asarray(
+        model.is_WE_target(feats["pcoord1"])
+    )
+    assert overlap_child.any(), "test dataset must exercise the overlap"
+    assert (cidx[overlap_child] == strat.target_cluster_index).all()

@@ -19,5 +19,5 @@ import pytest
 def test_two_process_distributed_flux_matches_single():
     from msm_we_tpu.parallel.distributed import launch_local_dryrun
 
-    fm = launch_local_dryrun(n_procs=2, port=29935)
+    fm = launch_local_dryrun(n_procs=2)
     assert fm.sum() > 0
