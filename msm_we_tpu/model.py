@@ -1829,23 +1829,52 @@ class modelWE:
         )[:m]
         return strat.global_id[flat]
 
-    def organize_aggregated_simple(self, max_passes=10):
+    def organize_aggregated_simple(self, max_passes=10, incremental=True):
         """Aggregate-path cleaning: same SCC criterion applied to the
         aggregate cluster bank. (The reference's ``organize_aggregated`` is
         deprecated and raises -- ``_fluxmatrix.py:452-454``; this is the
         working equivalent built on the shared cleaning driver.)
+
+        ``incremental`` (default) mirrors the stratified incremental pass:
+        survivors relabel through the old-id -> new-id map (removal cannot
+        change an argmin whose winner survives); only rows assigned to a
+        removed center re-score against the kept bank. ``incremental=False``
+        re-discretizes everything, as the reference would.
         """
 
         def remove_and_rediscretize(states_to_remove):
-            keep = np.setdiff1d(np.arange(self.n_clusters), states_to_remove)
+            old_n = self.n_clusters
+            keep = np.setdiff1d(np.arange(old_n), states_to_remove)
+            relabel = np.full(old_n, -1, np.int64)
+            relabel[keep] = np.arange(len(keep))
             self.removed_clusters = states_to_remove
             self.clusters = _AggregateClustersShim(
                 self.clusters.cluster_centers_[keep]
             )
             self.n_clusters = len(keep)
-            self._discretize_all_aggregated()
+            if incremental and self._parent_idx is not None and len(keep) < old_n:
+                feats = self._featurize_all()
 
-        self._organize_flux_cleaning(remove_and_rediscretize, max_passes=max_passes)
+                def upd(idx, X):
+                    new_idx = relabel[idx]
+                    aff = np.flatnonzero(new_idx < 0)
+                    if len(aff):
+                        new_idx[aff] = self.clusters.predict(X[aff])
+                    return new_idx
+
+                self._store_dtrajs(
+                    upd(self._parent_idx, feats["parent"]),
+                    upd(self._child_idx, feats["child"]),
+                )
+            elif incremental and self._parent_idx is not None:
+                pass  # nothing removed: ids unchanged
+            else:
+                self._discretize_all_aggregated()
+
+        self._organize_flux_cleaning(
+            remove_and_rediscretize, max_passes=max_passes,
+            host_flux=incremental,
+        )
         self.removed_clusters = []
 
     # ------------------------------------------------------- cluster centers

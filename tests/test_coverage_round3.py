@@ -158,3 +158,37 @@ def test_pair_discretize_override_order_overlap(west_h5_mid):
     )
     assert overlap_child.any(), "test dataset must exercise the overlap"
     assert (cidx[overlap_child] == strat.target_cluster_index).all()
+
+
+def _build_aggregated(path, incremental):
+    model = modelWE()
+    model.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "synth",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="pca",
+        tau=1.0,
+        _suppress_boundary_warning=True,
+    )
+    model.get_iterations()
+    model.get_coordSet(model.maxIter)
+    model.dimReduce()
+    model.cluster_coordinates(n_clusters=24, stratified=False)
+    model.get_fluxMatrix(0)
+    model.organize_aggregated_simple(incremental=incremental)
+    model.get_Tmatrix()
+    model.get_steady_state()
+    model.get_steady_state_target_flux()
+    return model
+
+
+def test_incremental_aggregated_cleaning_matches_full(west_h5_mid):
+    full = _build_aggregated(west_h5_mid, incremental=False)
+    inc = _build_aggregated(west_h5_mid, incremental=True)
+    assert inc.n_clusters == full.n_clusters
+    np.testing.assert_array_equal(inc._parent_idx, full._parent_idx)
+    np.testing.assert_array_equal(inc._child_idx, full._child_idx)
+    np.testing.assert_array_equal(inc.fluxMatrix, full.fluxMatrix)
+    np.testing.assert_allclose(inc.pSS, full.pSS, rtol=1e-10, atol=1e-18)
