@@ -185,13 +185,28 @@ def _run_job(problem, n_procs, local_devices, port, timeout):
 
 
 def _free_port():
-    """An OS-assigned free TCP port (small bind race, retried by callers
-    via distinct picks; hard-coded ports collide with concurrent CI jobs)."""
+    """An OS-assigned free TCP port (hard-coded ports collide with
+    concurrent CI jobs). There is a small close-to-rebind race window;
+    :func:`_run_job_retrying` retries with a fresh port on failure."""
     import socket
 
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+def _run_job_retrying(problem, n_procs, local_devices, port, timeout,
+                      attempts=3):
+    """Run a job, retrying with a fresh ephemeral port if a concurrent
+    process stole the picked port between _free_port() and the workers'
+    coordinator bind."""
+    for attempt in range(attempts):
+        use_port = port if (port is not None and attempt == 0) else _free_port()
+        try:
+            return _run_job(problem, n_procs, local_devices, use_port, timeout)
+        except RuntimeError:
+            if attempt == attempts - 1:
+                raise
 
 
 def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300):
@@ -207,13 +222,11 @@ def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300):
     n_global = n_procs * local_devices
     problem = _default_problem(n_rows=32 * n_global)
 
-    fm_multi = _run_job(
-        problem, n_procs, local_devices,
-        port if port is not None else _free_port(), timeout,
+    fm_multi = _run_job_retrying(
+        problem, n_procs, local_devices, port, timeout
     )
-    fm_single = _run_job(
-        problem, 1, n_global,
-        port + 1 if port is not None else _free_port(), timeout,
+    fm_single = _run_job_retrying(
+        problem, 1, n_global, port + 1 if port is not None else None, timeout
     )
 
     np.testing.assert_array_equal(fm_multi, fm_single)
