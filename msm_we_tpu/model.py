@@ -1592,13 +1592,15 @@ class modelWE:
         assert fm.shape == (n_states, n_states)
         return fm
 
-    def organize_fluxMatrix(self, use_ray=False, progress_bar=None, **args):
+    def organize_fluxMatrix(self, use_ray=False, progress_bar=None,
+                            incremental=True, **args):
         """Clean the flux matrix (reference ``organize_fluxMatrix``,
-        ``_fluxmatrix.py:347-415``)."""
+        ``_fluxmatrix.py:347-415``). ``incremental=False`` forces the
+        reference-style full re-discretization per pass."""
         if self.clustering_method == "stratified":
-            self.organize_stratified()
+            self.organize_stratified(incremental=incremental)
         elif self.clustering_method == "aggregated":
-            self.organize_aggregated_simple()
+            self.organize_aggregated_simple(incremental=incremental)
         else:
             raise RuntimeError(
                 f"Unrecognized clustering_method ({self.clustering_method})"
