@@ -192,3 +192,113 @@ def test_incremental_aggregated_cleaning_matches_full(west_h5_mid):
     np.testing.assert_array_equal(inc._child_idx, full._child_idx)
     np.testing.assert_array_equal(inc.fluxMatrix, full.fluxMatrix)
     np.testing.assert_allclose(inc.pSS, full.pSS, rtol=1e-10, atol=1e-18)
+
+
+def _snapshot_for_incremental(strat, removals):
+    old_remap = strat.we_remap.copy()
+    rows_valid = np.flatnonzero(strat.valid)
+    old_gid_to_row = np.full(strat.n_total_clusters + 2, 0, np.int64)
+    old_gid_to_row[strat.global_id[rows_valid]] = rows_valid
+    removed_row_mask = np.zeros(len(strat.valid), bool)
+    if len(removals):
+        removed_row_mask[old_gid_to_row[np.asarray(removals)]] = True
+    return old_remap, old_gid_to_row, removed_row_mask
+
+
+def test_incremental_rediscretize_rescore_branch(west_h5_mid):
+    """Remove a well-connected mid-bin cluster directly, so non-overridden
+    segments LOSE their winner and the subset re-scoring branch actually
+    runs (cleaning on this dataset only ever removes basis/target-bin
+    clusters, whose members are overridden -- the relabel path alone)."""
+    from msm_we_tpu import model as M
+
+    model = _build(west_h5_mid, incremental=True)
+    strat = model._strat
+
+    # A cluster with non-overridden members whose bin keeps >= 1 other
+    # live center (so no bin is emptied by the removal)
+    counts = np.bincount(
+        model._child_idx[model._child_idx < strat.n_total_clusters],
+        minlength=strat.n_total_clusters,
+    )
+    bins_of_gid = strat.center_bin[np.flatnonzero(strat.valid)]
+    centers_per_bin = np.bincount(bins_of_gid, minlength=strat.n_bins)
+    eligible = np.flatnonzero(centers_per_bin[bins_of_gid] >= 2)
+    gid = int(eligible[np.argmax(counts[eligible])])
+    n_members = int(
+        (model._parent_idx == gid).sum() + (model._child_idx == gid).sum()
+    )
+    assert n_members > 0
+
+    calls = {"rows": 0}
+    orig = M.modelWE._assign_rows_subset
+
+    def counting(self, strat_, X, bins_eff):
+        calls["rows"] += len(X)
+        return orig(self, strat_, X, bins_eff)
+
+    M.modelWE._assign_rows_subset = counting
+    try:
+        old_remap, old_gid_to_row, removed_row_mask = _snapshot_for_incremental(
+            strat, [gid]
+        )
+        strat.remove_global_clusters([gid])
+        model.n_clusters = strat.n_total_clusters
+        model._incremental_rediscretize(
+            strat, removed_row_mask, old_remap, old_gid_to_row
+        )
+    finally:
+        M.modelWE._assign_rows_subset = orig
+
+    assert calls["rows"] >= n_members  # the branch genuinely ran
+    inc_p = model._parent_idx.copy()
+    inc_c = model._child_idx.copy()
+
+    # Ground truth: full re-discretization at the same bank state
+    model.launch_discretization()
+    np.testing.assert_array_equal(inc_p, model._parent_idx)
+    np.testing.assert_array_equal(inc_c, model._child_idx)
+
+
+def test_incremental_rediscretize_remap_branch(west_h5_mid):
+    """Emptying a whole WE bin exercises the remap-changed branch: every
+    (non-overridden) segment in the remapped bin must re-score against the
+    delegate bin's centers."""
+    model = _build(west_h5_mid, incremental=True)
+    strat = model._strat
+
+    # Pick a mid bin with live centers and empty it entirely
+    mid_bins = [
+        b for b in range(strat.n_bins)
+        if strat.initialized[b] and strat.n_centers_per_bin[b] > 0
+    ]
+    bin_to_empty = mid_bins[len(mid_bins) // 2]
+    gids = [
+        int(strat.global_id[r])
+        for r in np.flatnonzero(
+            strat.valid & (strat.center_bin == bin_to_empty)
+        )
+    ]
+    old_remap, old_gid_to_row, removed_row_mask = _snapshot_for_incremental(
+        strat, gids
+    )
+    strat.remove_global_clusters(gids)
+    model.n_clusters = strat.n_total_clusters
+    from msm_we_tpu.binning import find_nearest_bin
+
+    populated = [
+        b for b in range(strat.n_bins)
+        if strat.initialized[b] and strat.n_centers_per_bin[b] > 0
+    ]
+    strat.set_remap(
+        bin_to_empty, find_nearest_bin(model._bin_mapper, bin_to_empty, populated)
+    )
+    model._incremental_rediscretize(
+        strat, removed_row_mask, old_remap, old_gid_to_row
+    )
+    inc_p = model._parent_idx.copy()
+    inc_c = model._child_idx.copy()
+
+    model.launch_discretization()
+    np.testing.assert_array_equal(inc_p, model._parent_idx)
+    np.testing.assert_array_equal(inc_c, model._child_idx)
