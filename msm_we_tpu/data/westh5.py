@@ -63,7 +63,18 @@ class WEDataset:
         self._coord_shape = None
 
     def _h5(self, file_idx):
-        """Persistent read-only handle for ``file_list[file_idx]``."""
+        """Persistent read-only handle for ``file_list[file_idx]``.
+
+        Tradeoff: a cached handle holds the HDF5 shared read lock for the
+        dataset's lifetime, so a WRITER -- another process's ``w_run`` or an
+        augmentation script -- cannot open the same west.h5 read-write
+        until :meth:`close` runs. In-process writer sites call it
+        (``modelWE.close_files`` at build end, the kh pcoord writer, the
+        optimization driver before ``open_backing``); for external writers,
+        call ``model.close_files()`` first. (Opening with ``locking=False``
+        instead conflicts with every default-locking open of the same file
+        in this process, which is worse.)
+        """
         h5 = self._open_handles.get(file_idx)
         if h5 is None or not h5.id.valid:
             h5 = h5py.File(self.file_list[file_idx], "r")

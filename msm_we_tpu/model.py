@@ -1593,14 +1593,22 @@ class modelWE:
         return fm
 
     def organize_fluxMatrix(self, use_ray=False, progress_bar=None,
-                            incremental=True, **args):
+                            incremental=True, max_passes=10, **args):
         """Clean the flux matrix (reference ``organize_fluxMatrix``,
         ``_fluxmatrix.py:347-415``). ``incremental=False`` forces the
-        reference-style full re-discretization per pass."""
+        reference-style full re-discretization per pass; ``max_passes``
+        bounds the clean-until-fixpoint loop. Unknown kwargs warn instead
+        of silently disappearing (the reference swallows **args)."""
+        if args:
+            log.warning(f"organize_fluxMatrix ignoring unknown options {sorted(args)}")
         if self.clustering_method == "stratified":
-            self.organize_stratified(incremental=incremental)
+            self.organize_stratified(
+                incremental=incremental, max_passes=max_passes
+            )
         elif self.clustering_method == "aggregated":
-            self.organize_aggregated_simple(incremental=incremental)
+            self.organize_aggregated_simple(
+                incremental=incremental, max_passes=max_passes
+            )
         else:
             raise RuntimeError(
                 f"Unrecognized clustering_method ({self.clustering_method})"
@@ -1808,9 +1816,24 @@ class modelWE:
 
     def _assign_rows_subset(self, strat, X, bins_eff):
         """Stratified assignment for a (usually small) row subset, through
-        the same ``masked_assign`` scoring as the device predict path.
-        Rows are padded to the next power of two so cleaning passes reuse a
-        handful of compiled shapes."""
+        the SAME scoring family the full discretization used: the host
+        numpy formula when the original predict ran on host (no mesh and
+        under ``HOST_BATCH_THRESHOLD`` rows), the jitted ``masked_assign``
+        otherwise. Matching matters for the incremental==full identity: the
+        two families' f32 roundings differ on near-ties. Device rows are
+        padded to the next power of two so cleaning passes reuse a handful
+        of compiled shapes."""
+        from .ops.stratified import HOST_BATCH_THRESHOLD, _np_masked_assign
+
+        full_rows = 2 * len(self._parent_idx)
+        if self._mesh is None and full_rows < HOST_BATCH_THRESHOLD:
+            strat._sync_host()
+            flat = _np_masked_assign(
+                np.asarray(X, np.float32), np.asarray(bins_eff),
+                strat.centers, strat.center_bin, strat.valid,
+            )
+            return strat.global_id[flat]
+
         import jax.numpy as jnp
 
         from .ops.kmeans import masked_assign
@@ -2719,7 +2742,11 @@ class modelWE:
             "layout -- be sure it matches your simulation output "
             "(reference `_data.py:441-444`)."
         )
+        import os as _os
+
         topology = kwargs.pop("topology_path", getattr(self, "refPDBfile", None))
+        if isinstance(topology, _os.PathLike):
+            topology = _os.fspath(topology)
         if not isinstance(topology, str):
             raise ValueError(
                 "collect_iter_coordinates needs a topology file path; the "

@@ -94,10 +94,21 @@ def masked_scores(X, seg_bin, C, center_bin, valid, n_bins=None, precision=None)
     prec = _HI if precision is None else precision
     if n_bins is not None and n_bins <= _MAX_ONEHOT_BINS:
         c2v = jnp.where(valid, jnp.sum(C * C, axis=1), _PEN)
-        onehot = jax.nn.one_hot(seg_bin, n_bins, dtype=X.dtype)
+        # Out-of-range bins (e.g. the -1 padding convention) route to an
+        # extra all-penalty class: one_hot(-1) alone would be all-zeros,
+        # scoring the row un-penalized against every center. The extra
+        # class contributes exactly 0.0 to in-range rows' scores, so their
+        # values are bit-identical with or without it.
+        safe_bin = jnp.where(
+            (seg_bin >= 0) & (seg_bin < n_bins), seg_bin, n_bins
+        )
+        onehot = jax.nn.one_hot(safe_bin, n_bins + 1, dtype=X.dtype)
         Xa = jnp.concatenate([X, onehot], axis=1)
         pen_block = jnp.where(
             center_bin[None, :] == jnp.arange(n_bins)[:, None], 0.0, _PEN
+        )
+        pen_block = jnp.concatenate(
+            [pen_block, jnp.full((1, C.shape[0]), _PEN, X.dtype)], axis=0
         )
         Ca = jnp.concatenate([-2.0 * C.T, pen_block], axis=0)
         return jnp.matmul(Xa, Ca, precision=prec) + c2v[None, :]

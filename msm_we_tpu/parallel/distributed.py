@@ -195,17 +195,27 @@ def _free_port():
         return s.getsockname()[1]
 
 
+_PORT_RACE_MARKERS = (
+    "address already in use", "failed to bind", "bind failed",
+    "connection refused", "failed to connect",
+)
+
+
 def _run_job_retrying(problem, n_procs, local_devices, port, timeout,
                       attempts=3):
-    """Run a job, retrying with a fresh ephemeral port if a concurrent
+    """Run a job, retrying with a fresh ephemeral port ONLY when the
+    failure looks like a coordinator bind/connect race (a concurrent
     process stole the picked port between _free_port() and the workers'
-    coordinator bind."""
+    bind). Any other failure propagates immediately -- retrying would mask
+    real intermittent multi-process bugs."""
     for attempt in range(attempts):
         use_port = port if (port is not None and attempt == 0) else _free_port()
         try:
             return _run_job(problem, n_procs, local_devices, use_port, timeout)
-        except RuntimeError:
-            if attempt == attempts - 1:
+        except RuntimeError as e:
+            text = str(e).lower()
+            is_port_race = any(m in text for m in _PORT_RACE_MARKERS)
+            if not is_port_race or attempt == attempts - 1:
                 raise
 
 
@@ -219,8 +229,10 @@ def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300):
     collectives, so with the dyadic test weights the comparison is bitwise.
     Returns the (n_states, n_states) flux matrix.
     """
+    from ..testing import tiny_stratified_problem
+
     n_global = n_procs * local_devices
-    problem = _default_problem(n_rows=32 * n_global)
+    problem = tiny_stratified_problem(n_rows=32 * n_global, seed=3)
 
     fm_multi = _run_job_retrying(
         problem, n_procs, local_devices, port, timeout
@@ -231,28 +243,6 @@ def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300):
 
     np.testing.assert_array_equal(fm_multi, fm_single)
     return fm_multi
-
-
-def _default_problem(n_rows, d=8, n_bins=4, k=4, seed=3):
-    rng = np.random.default_rng(seed)
-    K = n_bins * k
-    return dict(
-        fp=rng.normal(size=(n_rows, d)).astype(np.float32),
-        fc=rng.normal(size=(n_rows, d)).astype(np.float32),
-        pbins=rng.integers(0, n_bins, n_rows).astype(np.int32),
-        cbins=rng.integers(0, n_bins, n_rows).astype(np.int32),
-        basis_p=(rng.random(n_rows) < 0.1),
-        basis_c=(rng.random(n_rows) < 0.05),
-        target_c=(rng.random(n_rows) < 0.05),
-        # Dyadic weights: exact f32 sums under any order (see
-        # __graft_entry__._tiny_problem) -- the equality assert then tests
-        # sharding/collectives, not float addition order
-        w=(rng.integers(1, 17, n_rows) / 16.0).astype(np.float32),
-        centers=rng.normal(size=(K, d)).astype(np.float32),
-        center_bin=np.repeat(np.arange(n_bins, dtype=np.int32), k),
-        valid=np.ones(K, bool),
-        n_states=K + 2,
-    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,35 @@
+"""Shared synthetic problem generators for dryruns and tests.
+
+One definition of the tiny stratified-assignment problem, used by the
+driver entry points (``__graft_entry__``) and the multi-process dryrun
+(``parallel.distributed``) -- keeping the dyadic-weight construction (cell
+sums exact in f32 under ANY summation order, so sharded-vs-single bitwise
+equality tests indexing/collectives rather than float addition order) in
+one place.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["tiny_stratified_problem"]
+
+
+def tiny_stratified_problem(n_rows=64, d=8, n_bins=4, k=4, seed=0):
+    """Rows + compact center bank for one fused discretize+flux step."""
+    rng = np.random.default_rng(seed)
+    K = n_bins * k
+    return dict(
+        fp=rng.normal(size=(n_rows, d)).astype(np.float32),
+        fc=rng.normal(size=(n_rows, d)).astype(np.float32),
+        pbins=rng.integers(0, n_bins, n_rows).astype(np.int32),
+        cbins=rng.integers(0, n_bins, n_rows).astype(np.int32),
+        basis_p=(rng.random(n_rows) < 0.1),
+        basis_c=(rng.random(n_rows) < 0.05),
+        target_c=(rng.random(n_rows) < 0.05),
+        # Dyadic weights (j/16): exact f32 sums under any order
+        w=(rng.integers(1, 17, n_rows) / 16.0).astype(np.float32),
+        centers=rng.normal(size=(K, d)).astype(np.float32),
+        center_bin=np.repeat(np.arange(n_bins, dtype=np.int32), k),
+        valid=np.ones(K, bool),
+        n_states=K + 2,
+    )

@@ -5,12 +5,13 @@ that breaks its step builders or measurement plumbing would silently
 produce a broken BENCH artifact. This exercises every tier's step builder
 and the flops/bytes model without TPU hardware or full-size arrays.
 """
+import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 

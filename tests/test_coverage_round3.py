@@ -302,3 +302,20 @@ def test_incremental_rediscretize_remap_branch(west_h5_mid):
     model.launch_discretization()
     np.testing.assert_array_equal(inc_p, model._parent_idx)
     np.testing.assert_array_equal(inc_c, model._child_idx)
+
+
+def test_incremental_cleaning_matches_full_small_dataset(tmp_path):
+    """Below HOST_BATCH_THRESHOLD the full discretization scores with the
+    host numpy formula; the incremental subset re-scoring must use the same
+    family or near-ties could round differently (round-3 review finding)."""
+    from msm_we_tpu.ops.stratified import HOST_BATCH_THRESHOLD
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=30, n_segments=30, seed=41)
+    full = _build(path, incremental=False)
+    assert 2 * len(full._parent_idx) < HOST_BATCH_THRESHOLD
+    inc = _build(path, incremental=True)
+    for a, b in zip(inc.dtrajs, full.dtrajs):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(inc.fluxMatrix, full.fluxMatrix)
+    np.testing.assert_allclose(inc.pSS, full.pSS, rtol=1e-10, atol=1e-18)

@@ -84,10 +84,15 @@ def test_collect_iter_coordinates_delegates(tmp_path):
 
 
 def test_version_consistent():
+    import os
     import re
 
     import msm_we_tpu
 
-    pyproject = open("pyproject.toml").read()
+    pyproject_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pyproject.toml",
+    )
+    pyproject = open(pyproject_path).read()
     version = re.search(r'^version = "([^"]+)"', pyproject, re.M).group(1)
     assert msm_we_tpu.__version__ == version
