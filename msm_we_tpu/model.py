@@ -345,6 +345,7 @@ class modelWE:
     def basis_pcoord_bounds(self, bounds):
         self._basis_pcoord_bounds = self._check_bounds(bounds)
         self.basis_bin_centers = self._bin_centers_of_bounds(self._basis_pcoord_bounds)
+        self._pc_masks_cache = None
 
     @property
     def target_pcoord_bounds(self):
@@ -354,6 +355,7 @@ class modelWE:
     def target_pcoord_bounds(self, bounds):
         self._target_pcoord_bounds = self._check_bounds(bounds)
         self.target_bin_centers = self._bin_centers_of_bounds(self._target_pcoord_bounds)
+        self._pc_masks_cache = None
 
     # Deprecated 1-D aliases (reference msm_we.py:279-298,365-387)
     @property
@@ -409,6 +411,27 @@ class modelWE:
 
     def is_WE_target(self, pcoords):
         return self._in_bounds(pcoords, self.target_pcoord_bounds)
+
+    def _pc_masks(self):
+        """Basis/target membership of every segment's parent/child pcoord,
+        cached on the current feature arrays: a full build consults the same
+        four boolean masks from clustering, discretization, the flux build,
+        and every cleaning pass. Invalidated when the bounds change
+        (setters), the features are recomputed, or ``is_WE_basis``/
+        ``is_WE_target`` are monkey-patched on the *instance* before the
+        first consumer runs (the reference's supported override point)."""
+        feats = self._featurize_all()
+        cache = getattr(self, "_pc_masks_cache", None)
+        if cache is not None and cache[0] is feats:
+            return cache[1]
+        masks = dict(
+            basis_p=np.asarray(self.is_WE_basis(feats["pcoord0"]), dtype=bool),
+            basis_c=np.asarray(self.is_WE_basis(feats["pcoord1"]), dtype=bool),
+            target_p=np.asarray(self.is_WE_target(feats["pcoord0"]), dtype=bool),
+            target_c=np.asarray(self.is_WE_target(feats["pcoord1"]), dtype=bool),
+        )
+        self._pc_masks_cache = (feats, masks)
+        return masks
 
     # ------------------------------------------------------------- topology
     def set_topology(self, topology):
@@ -810,6 +833,7 @@ class modelWE:
         if self._features is not None and not force:
             return self._features
         self._raw_bins_cache = None  # bins follow the feature arrays
+        self._pc_masks_cache = None  # and so do the basis/target masks
 
         mode = getattr(self, "dedup_coordinates", "auto")
         use_dedup = mode is True or (
@@ -1106,14 +1130,32 @@ class modelWE:
 
         all_filled = set()
 
+        # Training bins come from *parent* pcoords; basis/target segments
+        # are excluded (reference _clustering.py:846-885), as are
+        # bad-coordinate segments (weight zeroed by the NaN convention --
+        # their features are zero-filled garbage; the reference drops NaN
+        # rows from training, _data.py:557-618). One vectorized pass over
+        # all rows -- the per-iteration mask+assign loop this replaces was
+        # ~0.15 s of a warm 100k clustering stage.
+        masks = self._pc_masks()
+        keep_all = ~(masks["target_p"] | masks["basis_p"])
+        keep_all &= feats["weights"] > 0
+        kept_rows_all = np.flatnonzero(keep_all)
+        kept_bins_all = (
+            np.asarray(bin_mapper.assign(feats["pcoord0"][kept_rows_all]))
+            if len(kept_rows_all)
+            else np.zeros(0, dtype=int)
+        )
+        offsets = feats["offsets"]
+
         idx = 0
         while idx < len(iters_to_use):
             # Accumulate a batch of iterations until all seen bins are filled.
             # Bin counts update incrementally with each appended iteration --
-            # only the new iteration's rows are classified (O(N) total).
+            # only the new iteration's rows are counted (O(N) total).
             kept_rows = []
             kept_bins = []
-            bin_counts = {}
+            batch_counts = np.zeros(bin_mapper.nbins, dtype=np.int64)
             j = idx
             ran_out = False
             while True:
@@ -1121,40 +1163,27 @@ class modelWE:
                     ran_out = True
                     break
                 iteration = iters_to_use[j]
-                # O(1) row range from the featurization offsets (a
+                # O(log N) row range from the featurization offsets (a
                 # flatnonzero scan here is O(N) per iteration -- it was the
                 # dominant cost of million-segment clustering)
-                if 1 <= iteration < len(feats["offsets"]):
-                    sel = np.arange(
-                        feats["offsets"][iteration - 1],
-                        feats["offsets"][iteration],
+                if 1 <= iteration < len(offsets):
+                    lo, hi = np.searchsorted(
+                        kept_rows_all,
+                        (offsets[iteration - 1], offsets[iteration]),
                     )
                 else:
-                    sel = np.array([], dtype=int)
-
-                # Training bins come from *parent* pcoords; basis/target
-                # segments are excluded (reference _clustering.py:846-885),
-                # as are bad-coordinate segments (weight zeroed by the NaN
-                # convention -- their features are zero-filled garbage; the
-                # reference drops NaN rows from training, _data.py:557-618)
-                pc = feats["pcoord0"][sel]
-                keep = ~(self.is_WE_target(pc) | self.is_WE_basis(pc))
-                keep &= feats["weights"][sel] > 0
-                keep = np.flatnonzero(keep)
-                rows_it = sel[keep]
-                bins_it = (
-                    bin_mapper.assign(pc[keep])
-                    if len(keep)
-                    else np.array([], dtype=int)
-                )
+                    lo = hi = 0
+                rows_it = kept_rows_all[lo:hi]
+                bins_it = kept_bins_all[lo:hi]
                 kept_rows.append(rows_it)
                 kept_bins.append(bins_it)
-                for b, c in zip(*np.unique(bins_it, return_counts=True)):
-                    bin_counts[int(b)] = bin_counts.get(int(b), 0) + int(c)
+                if len(bins_it):
+                    batch_counts += np.bincount(
+                        bins_it, minlength=bin_mapper.nbins
+                    )
 
-                if bin_counts and all(
-                    c >= n_clusters for c in bin_counts.values()
-                ):
+                seen = batch_counts > 0
+                if seen.any() and (batch_counts[seen] >= n_clusters).all():
                     break
                 j += 1
 
@@ -1250,17 +1279,12 @@ class modelWE:
             self._store_dtrajs(pidx, cidx)
             return
 
+        masks = self._pc_masks()
         both_idx = strat.predict(
             np.concatenate([feats["parent"], feats["child"]]),
             np.concatenate([parent_bins, child_bins]),
-            is_basis=np.concatenate(
-                [self.is_WE_basis(feats["pcoord0"]),
-                 self.is_WE_basis(feats["pcoord1"])]
-            ),
-            is_target=np.concatenate(
-                [self.is_WE_target(feats["pcoord0"]),
-                 self.is_WE_target(feats["pcoord1"])]
-            ),
+            is_basis=np.concatenate([masks["basis_p"], masks["basis_c"]]),
+            is_target=np.concatenate([masks["target_p"], masks["target_c"]]),
         )
         self._store_dtrajs(both_idx[:n], both_idx[n:])
 
@@ -1290,10 +1314,11 @@ class modelWE:
                 "Cluster more data or remap these bins."
             )
 
-        basis_p = np.asarray(self.is_WE_basis(feats["pcoord0"]))
-        basis_c = np.asarray(self.is_WE_basis(feats["pcoord1"]))
-        target_p = np.asarray(self.is_WE_target(feats["pcoord0"]))
-        target_c = np.asarray(self.is_WE_target(feats["pcoord1"]))
+        masks = self._pc_masks()
+        basis_p = masks["basis_p"]
+        basis_c = masks["basis_c"]
+        target_p = masks["target_p"]
+        target_c = masks["target_c"]
 
         data_size = mesh.shape["data"]
         model_size = mesh.shape["model"]
@@ -1319,6 +1344,14 @@ class modelWE:
             pad_rows(target_p, False),
         )
         return np.asarray(pidx)[:N], np.asarray(cidx)[:N]
+
+    def _invalidate_pcoord_caches(self):
+        """Drop the caches derived from the feature pcoord arrays (WE bin
+        assignments, basis/target masks). The feature dict is treated as
+        immutable by the build pipeline; call this after mutating
+        ``_features['pcoord0']``/``'pcoord1'`` in place (tests do)."""
+        self._raw_bins_cache = None
+        self._pc_masks_cache = None
 
     def _raw_we_bins(self):
         """Un-remapped WE bin of every segment's parent/child pcoord (cached:
@@ -1432,13 +1465,17 @@ class modelWE:
             start_idx = self._parent_idx[sel].astype(np.int64)
             end_idx = self._child_idx[sel].astype(np.int64)
             weights = feats["weights"][sel]
-            p0 = feats["pcoord0"][sel]
-            p1 = feats["pcoord1"][sel]
-            basis_start = self.is_WE_basis(p0)
-            target_start = self.is_WE_target(p0)
+            masks = self._pc_masks()
+            basis_start = masks["basis_p"][sel]
+            target_start = masks["target_p"][sel]
+            basis_end = masks["basis_c"][sel]
+            target_end = masks["target_c"][sel]
         else:
             offsets = feats["offsets"]
-            starts, ends, ws, p0s, p1s, warps = [], [], [], [], [], []
+            masks = self._pc_masks()
+            starts, ends, ws, b0s, t0s, b1s, t1s, warps = (
+                [], [], [], [], [], [], [], []
+            )
             for it in iters_to_use:
                 anc, warped = self._dataset.ancestor_ids(it, n_lag)
                 rows_now = np.arange(offsets[it - 1], offsets[it])
@@ -1452,19 +1489,21 @@ class modelWE:
                 w_now = feats["weights"][rows_now].copy()
                 w_now[(feats["weights"][rows_lag] == 0.0) & ~warped] = 0.0
                 ws.append(w_now)
-                p0s.append(feats["pcoord0"][rows_lag])
-                p1s.append(feats["pcoord1"][rows_now])
+                b0s.append(masks["basis_p"][rows_lag])
+                t0s.append(masks["target_p"][rows_lag])
+                b1s.append(masks["basis_c"][rows_now])
+                t1s.append(masks["target_c"][rows_now])
                 warps.append(warped)
             start_idx = np.concatenate(starts).astype(np.int64)
             end_idx = np.concatenate(ends).astype(np.int64)
             weights = np.concatenate(ws)
-            p0 = np.concatenate(p0s)
-            p1 = np.concatenate(p1s)
             warped_all = np.concatenate(warps)
             # Recycled lineages depart from the basis state regardless of
             # the (meaningless) ancestor pcoord gathered at the safe index
-            basis_start = self.is_WE_basis(p0) | warped_all
-            target_start = self.is_WE_target(p0) & ~warped_all
+            basis_start = np.concatenate(b0s) | warped_all
+            target_start = np.concatenate(t0s) & ~warped_all
+            basis_end = np.concatenate(b1s)
+            target_end = np.concatenate(t1s)
 
         # Basis/target overrides, reference composition: predict routes
         # target-region rows to the target cluster first
@@ -1474,11 +1513,11 @@ class modelWE:
         # start/end-in-basis unconditionally AFTER end-in-target
         # (_fluxmatrix.py:134-137). So for rows inside BOTH regions
         # (overlapping bounds), basis wins, for parents and children alike.
-        end_idx = np.where(self.is_WE_target(p1), self.n_clusters + 1, end_idx)
+        end_idx = np.where(target_end, self.n_clusters + 1, end_idx)
         if self.clustering_method == "stratified":
             start_idx = np.where(target_start, self.n_clusters + 1, start_idx)
         start_idx = np.where(basis_start, self.n_clusters, start_idx)
-        end_idx = np.where(self.is_WE_basis(p1), self.n_clusters, end_idx)
+        end_idx = np.where(basis_end, self.n_clusters, end_idx)
 
         flat = start_idx * n_states + end_idx
         fm = np.bincount(
@@ -1516,16 +1555,17 @@ class modelWE:
         p0 = feats["pcoord0"]
         p1 = feats["pcoord1"]
 
-        basis_p = np.asarray(self.is_WE_basis(p0))
+        masks = self._pc_masks()
+        basis_p = masks["basis_p"]
         # Target-region parents route to the target state only for
         # stratified clustering (the reference's predict-time short-circuit;
         # its aggregated path leaves such parents at their raw cluster)
         if strat is not None:
-            target_p = np.asarray(self.is_WE_target(p0))
+            target_p = masks["target_p"]
         else:
             target_p = np.zeros(len(p0), bool)
-        basis_c = np.asarray(self.is_WE_basis(p1))
-        target_c = np.asarray(self.is_WE_target(p1))
+        basis_c = masks["basis_c"]
+        target_c = masks["target_c"]
 
         n_states = self.n_clusters + 2
         data_size = mesh.shape["data"]
@@ -1780,13 +1820,12 @@ class modelWE:
         """
         feats = self._featurize_all()
         pbins_raw, cbins_raw = self._raw_we_bins()
+        masks = self._pc_masks()
         remap_changed = strat.we_remap != old_remap
         B_new = strat.basis_cluster_index
         T_new = strat.target_cluster_index
 
-        def update(idx_old, X, raw_bins, pc):
-            is_b = np.asarray(self.is_WE_basis(pc))
-            is_t = np.asarray(self.is_WE_target(pc))
+        def update(idx_old, X, raw_bins, is_b, is_t):
             overridden = is_b | is_t
             rows = old_gid_to_row[np.where(overridden, 0, idx_old)]
             affected = ~overridden & (
@@ -1807,10 +1846,12 @@ class modelWE:
             return new_idx
 
         parent_idx = update(
-            self._parent_idx, feats["parent"], pbins_raw, feats["pcoord0"]
+            self._parent_idx, feats["parent"], pbins_raw,
+            masks["basis_p"], masks["target_p"],
         )
         child_idx = update(
-            self._child_idx, feats["child"], cbins_raw, feats["pcoord1"]
+            self._child_idx, feats["child"], cbins_raw,
+            masks["basis_c"], masks["target_c"],
         )
         self._store_dtrajs(parent_idx, child_idx)
 
@@ -2530,6 +2571,7 @@ class modelWE:
         state = self.__dict__.copy()
         state["_mesh"] = None
         state["_dev_feats_cache"] = None  # device arrays are process-local
+        state["_pc_masks_cache"] = None  # derived; rebuilt on demand
         state.pop("_flux_step_cache", None)  # legacy pickles
         return state
 

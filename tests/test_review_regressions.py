@@ -313,6 +313,7 @@ def test_device_flux_matches_host_with_target_region_parents(tmp_path, stratifie
     # Force some parent pcoords into the target region
     rows = np.arange(3, len(feats["pcoord0"]), 11)
     feats["pcoord0"][rows] = 0.5
+    model._invalidate_pcoord_caches()  # pcoords mutated in place
 
     # Re-discretize so host pair_dtrajs see the mutated pcoords
     if stratified:
