@@ -402,14 +402,25 @@ class WEDataset:
         kept), reading only that frame from ``auxdata`` -- half the I/O of
         :meth:`iter_coord_pairs` when only one endpoint is needed."""
         data = self.iter_data(n_iter)
+        per_file = self._iter_index[n_iter]
+        if len(per_file) == 1:
+            # Single-file iteration (the common case): the h5 read IS the
+            # concatenated block -- skip the NaN-filled f64 staging copy
+            # (which also silently upcast f32 coords to f64, doubling every
+            # downstream featurization pass)
+            return self._aux_dset(per_file[0][0], n_iter)[:, frame]
         n = data["n_segs"]
         out = None
-        for file_idx, _n in self._iter_index[n_iter]:
+        for file_idx, _n in per_file:
             dset = self._aux_dset(file_idx, n_iter)
             block = dset[:, frame]
             mask = data["west_idx"] == file_idx
             if out is None:
-                out = np.full((n,) + block.shape[1:], np.nan)
+                out = np.full(
+                    (n,) + block.shape[1:],
+                    np.nan,
+                    dtype=np.promote_types(block.dtype, np.float32),
+                )
             out[mask] = block
         return out
 

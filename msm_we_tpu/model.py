@@ -430,6 +430,16 @@ class modelWE:
             target_p=np.asarray(self.is_WE_target(feats["pcoord0"]), dtype=bool),
             target_c=np.asarray(self.is_WE_target(feats["pcoord1"]), dtype=bool),
         )
+        # Rows inside BOTH regions (overlapping bounds -- rare): the only
+        # rows where the flux build's basis-wins override order differs
+        # from the predict-time target-wins order baked into the dtrajs.
+        # None when absent so consumers can skip the fixup entirely.
+        for ov, a, b in (
+            ("overlap_p", "basis_p", "target_p"),
+            ("overlap_c", "basis_c", "target_c"),
+        ):
+            o = masks[a] & masks[b]
+            masks[ov] = o if o.any() else None
         self._pc_masks_cache = (feats, masks)
         return masks
 
@@ -789,14 +799,36 @@ class modelWE:
             self.out = []
 
         def add(self, coords):
-            self.buf.append(coords)
-            self.buffered += len(coords)
-            while self.buffered >= self.chunk:
-                block = np.concatenate(self.buf) if len(self.buf) > 1 else self.buf[0]
-                self.out.append(np.asarray(self.reduce_fn(block[: self.chunk])))
-                rest = block[self.chunk :]
-                self.buf = [rest] if len(rest) else []
-                self.buffered = len(rest)
+            # Drain directly from the incoming block: the previous
+            # append-concatenate-split loop re-copied the whole buffered
+            # tail once per flushed chunk (~0.5 GB of pure copies per 2M-
+            # segment featurization pass). Only the sub-chunk remainder is
+            # ever buffered (copied, so the big source block can be freed).
+            pos = 0
+            n = len(coords)
+            if self.buffered:
+                take = min(self.chunk - self.buffered, n)
+                if self.buffered + take < self.chunk:
+                    if take:
+                        # Copy: a view would pin the whole incoming block
+                        self.buf.append(coords[:take].copy())
+                        self.buffered += take
+                    return
+                self.buf.append(coords[:take])
+                self.out.append(
+                    np.asarray(self.reduce_fn(np.concatenate(self.buf)))
+                )
+                self.buf = []
+                self.buffered = 0
+                pos = take
+            while n - pos >= self.chunk:
+                self.out.append(
+                    np.asarray(self.reduce_fn(coords[pos : pos + self.chunk]))
+                )
+                pos += self.chunk
+            if n - pos:
+                self.buf = [coords[pos:].copy()]
+                self.buffered = n - pos
 
         def finish(self):
             if self.buffered:
@@ -949,13 +981,15 @@ class modelWE:
             if len(fb_local):
                 fallback.append((iteration, fb_local))
 
-        gathered_mask = src_all >= 0
+        # Integer rows, not boolean masks: 2-D boolean fancy indexing takes
+        # a slow numpy path on this host (~2x the int gather at 2M rows)
+        gathered = np.flatnonzero(src_all >= 0)
         parent_feats = np.empty_like(child_feats)
         parent_nan = np.zeros(len(child_nan), bool)
-        if gathered_mask.any():
-            src = src_all[gathered_mask]
-            parent_feats[gathered_mask] = child_feats[src]
-            parent_nan[gathered_mask] = child_nan[src]
+        if len(gathered):
+            src = src_all[gathered]
+            parent_feats[gathered] = child_feats[src]
+            parent_nan[gathered] = child_nan[src]
 
         if fallback:
             red_fb = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
@@ -969,8 +1003,7 @@ class modelWE:
             parent_feats[rows] = red_fb.finish().astype(np.float32)
             parent_nan[rows] = np.concatenate(fb_nan)
 
-        if verify and gathered_mask.any():
-            gathered = np.flatnonzero(gathered_mask)
+        if verify and len(gathered):
             rng = np.random.default_rng(0)
             n_sample = min(256, len(gathered))
             sample = np.sort(rng.choice(gathered, n_sample, replace=False))
@@ -1458,18 +1491,62 @@ class modelWE:
             return
 
         if n_lag == 0:
-            # Integer rows, not a boolean mask: 2-D boolean indexing takes a
-            # slow numpy path on this host (~2x the int gather at 2M rows),
-            # and this runs once per cleaning pass
-            sel = np.flatnonzero(np.isin(feats["iteration"], iters_to_use))
-            start_idx = self._parent_idx[sel].astype(np.int64)
-            end_idx = self._child_idx[sel].astype(np.int64)
+            if len(iters_to_use) == len(feats["offsets"]) - 1:
+                # Every discretizable iteration selected (the common case,
+                # and every cleaning pass): skip the O(N) isin scan and let
+                # basic slicing replace the row gathers
+                sel = slice(None)
+            else:
+                # Integer rows, not a boolean mask: 2-D boolean indexing
+                # takes a slow numpy path on this host (~2x the int gather
+                # at 2M rows)
+                sel = np.flatnonzero(np.isin(feats["iteration"], iters_to_use))
             weights = feats["weights"][sel]
             masks = self._pc_masks()
-            basis_start = masks["basis_p"][sel]
-            target_start = masks["target_p"][sel]
-            basis_end = masks["basis_c"][sel]
-            target_end = masks["target_c"][sel]
+            start_idx = np.asarray(self._parent_idx[sel], dtype=np.int64)
+            end_idx = np.asarray(self._child_idx[sel], dtype=np.int64)
+            strat = self._strat
+            if (
+                self.clustering_method == "stratified"
+                and strat is not None
+                and self.n_clusters == strat.n_total_clusters
+            ):
+                # Fast path (every cleaning pass): stored stratified dtrajs
+                # already carry the predict-time basis/target overrides
+                # (target wins overlaps, stratified_clustering.py:159-169)
+                # in the CURRENT numbering; the flux build's basis-wins
+                # composition (_fluxmatrix.py:134-137) differs only on rows
+                # inside BOTH regions. Bitwise-identical to the general
+                # chain below, minus ~6 O(N) passes per pass. Pre-cleaning
+                # (nominal n_clusters > live total) the stored basis/target
+                # ids use the live total, so the general chain re-applies
+                # them with the nominal index instead.
+                if masks["overlap_p"] is not None:
+                    start_idx = start_idx.copy()
+                    start_idx[masks["overlap_p"][sel]] = self.n_clusters
+                if masks["overlap_c"] is not None:
+                    end_idx = end_idx.copy()
+                    end_idx[masks["overlap_c"][sel]] = self.n_clusters
+            else:
+                # General chain: aggregated clustering stores raw
+                # (un-overridden) ids, and pre-cleaning stratified ids
+                # carry live-total basis/target states -- re-apply the
+                # flux-order overrides at the nominal numbering
+                # (end-in-target, start-in-target for stratified, then
+                # basis unconditionally)
+                end_idx = np.where(
+                    masks["target_c"][sel], self.n_clusters + 1, end_idx
+                )
+                if self.clustering_method == "stratified":
+                    start_idx = np.where(
+                        masks["target_p"][sel], self.n_clusters + 1, start_idx
+                    )
+                start_idx = np.where(
+                    masks["basis_p"][sel], self.n_clusters, start_idx
+                )
+                end_idx = np.where(
+                    masks["basis_c"][sel], self.n_clusters, end_idx
+                )
         else:
             offsets = feats["offsets"]
             masks = self._pc_masks()
@@ -1505,19 +1582,22 @@ class modelWE:
             basis_end = np.concatenate(b1s)
             target_end = np.concatenate(t1s)
 
-        # Basis/target overrides, reference composition: predict routes
-        # target-region rows to the target cluster first
-        # (stratified_clustering.py:159-169) -- re-applied here with the
-        # *nominal* target index so the numbering agrees with the fused
-        # device kernel pre-cleaning -- and the flux build then applies
-        # start/end-in-basis unconditionally AFTER end-in-target
-        # (_fluxmatrix.py:134-137). So for rows inside BOTH regions
-        # (overlapping bounds), basis wins, for parents and children alike.
-        end_idx = np.where(target_end, self.n_clusters + 1, end_idx)
-        if self.clustering_method == "stratified":
-            start_idx = np.where(target_start, self.n_clusters + 1, start_idx)
-        start_idx = np.where(basis_start, self.n_clusters, start_idx)
-        end_idx = np.where(basis_end, self.n_clusters, end_idx)
+            # Basis/target overrides, reference composition: predict routes
+            # target-region rows to the target cluster first
+            # (stratified_clustering.py:159-169) -- re-applied here with the
+            # *nominal* target index so the numbering agrees with the fused
+            # device kernel pre-cleaning -- and the flux build then applies
+            # start/end-in-basis unconditionally AFTER end-in-target
+            # (_fluxmatrix.py:134-137). So for rows inside BOTH regions
+            # (overlapping bounds), basis wins, for parents and children
+            # alike. (The lag-0 branches above compose the same order.)
+            end_idx = np.where(target_end, self.n_clusters + 1, end_idx)
+            if self.clustering_method == "stratified":
+                start_idx = np.where(
+                    target_start, self.n_clusters + 1, start_idx
+                )
+            start_idx = np.where(basis_start, self.n_clusters, start_idx)
+            end_idx = np.where(basis_end, self.n_clusters, end_idx)
 
         flat = start_idx * n_states + end_idx
         fm = np.bincount(
@@ -1763,12 +1843,8 @@ class modelWE:
             ]
             # Snapshot the pre-removal numbering for the incremental update
             old_remap = strat.we_remap.copy()
-            rows_valid = np.flatnonzero(strat.valid)
-            old_gid_to_row = np.full(strat.n_total_clusters + 2, 0, np.int64)
-            old_gid_to_row[strat.global_id[rows_valid]] = rows_valid
-            removed_row_mask = np.zeros(len(strat.valid), bool)
-            if len(real_removals):
-                removed_row_mask[old_gid_to_row[real_removals]] = True
+            old_global = strat.global_id.copy()
+            old_total = strat.n_total_clusters
 
             emptied = strat.remove_global_clusters(real_removals)
             # Bins never initialized also count as empty (reference
@@ -1795,7 +1871,7 @@ class modelWE:
                 )
             if incremental and self._parent_idx is not None:
                 self._incremental_rediscretize(
-                    strat, removed_row_mask, old_remap, old_gid_to_row
+                    strat, old_remap, old_global, old_total
                 )
             else:
                 self.launch_discretization()
@@ -1806,8 +1882,8 @@ class modelWE:
         )
         self.cluster_mapping = {x: x for x in range(self.n_clusters + 2)}
 
-    def _incremental_rediscretize(self, strat, removed_row_mask, old_remap,
-                                  old_gid_to_row):
+    def _incremental_rediscretize(self, strat, old_remap, old_global,
+                                  old_total):
         """Patch the stored dtrajs after center removal/remap instead of
         re-discretizing every segment (see :meth:`organize_stratified`).
 
@@ -1817,26 +1893,34 @@ class modelWE:
         whose winner was deleted, or whose ``we_remap`` target changed (a
         different candidate set entirely), are re-scored, through the same
         jitted ``masked_assign`` scoring as the full path.
+
+        Survivors (and basis/target rows, whose stored ids already carry the
+        predict-time override priority -- target wins overlaps,
+        ``stratified_clustering.py:159-169``) relabel through ONE
+        old-state -> new-state table gather; removed states map to -1 and
+        flag their rows for re-scoring. The previous where-chain rebuild
+        was ~7 O(N) array passes per dtraj (5.3 s of a 2M cleaning stage on
+        a 1-core host); this is ~3.
         """
         feats = self._featurize_all()
         pbins_raw, cbins_raw = self._raw_we_bins()
         masks = self._pc_masks()
         remap_changed = strat.we_remap != old_remap
-        B_new = strat.basis_cluster_index
-        T_new = strat.target_cluster_index
+        any_remap_changed = bool(remap_changed.any())
+
+        # old-state -> new-state: surviving global ids renumber, the old
+        # basis/target states become the new ones, removed ids stay -1
+        table = np.full(old_total + 2, -1, np.int64)
+        still = np.flatnonzero(strat.valid)
+        table[old_global[still]] = strat.global_id[still]
+        table[old_total] = strat.basis_cluster_index
+        table[old_total + 1] = strat.target_cluster_index
 
         def update(idx_old, X, raw_bins, is_b, is_t):
-            overridden = is_b | is_t
-            rows = old_gid_to_row[np.where(overridden, 0, idx_old)]
-            affected = ~overridden & (
-                removed_row_mask[rows] | remap_changed[raw_bins]
-            )
-            # Surviving winners keep their (renumbered) id; target wins
-            # overlaps, matching the reference's predict-time priority
-            # (stratified_clustering.py:159-169) that produced these dtrajs
-            new_idx = np.where(
-                is_t, T_new, np.where(is_b, B_new, strat.global_id[rows])
-            )
+            new_idx = table[idx_old]
+            affected = new_idx < 0
+            if any_remap_changed:
+                affected |= remap_changed[raw_bins] & ~(is_b | is_t)
             if affected.any():
                 sub = np.flatnonzero(affected)
                 new_idx[sub] = self._assign_rows_subset(
@@ -1960,9 +2044,11 @@ class modelWE:
         child_idx = self._child_idx
         p1 = feats["pcoord1"]
 
-        # Grouped mean/min/max in one pass per statistic (bincount +
-        # ufunc.at) instead of an O(n_clusters * N) masked python loop --
-        # this runs inside every cleaning pass
+        # Grouped mean/min/max in one pass per statistic (bincount for
+        # count/sum; a group sort + ufunc.reduceat for min/max -- ufunc.at
+        # is an unbuffered scalar loop, ~3 s at 2M rows where the sort-based
+        # grouping is ~0.3 s) instead of an O(n_clusters * N) masked python
+        # loop -- this runs inside every cleaning pass
         in_range = np.flatnonzero((child_idx >= 0) & (child_idx < n))
         idx = child_idx[in_range]
         vals = p1[in_range]
@@ -1977,8 +2063,14 @@ class modelWE:
             gv = vals[g, dim]
             counts[:, dim] = np.bincount(gi, minlength=n)
             sums[:, dim] = np.bincount(gi, weights=gv, minlength=n)
-            np.minimum.at(mins[:, dim], gi, gv)
-            np.maximum.at(maxs[:, dim], gi, gv)
+            if len(gi):
+                order_g = np.argsort(gi, kind="stable")
+                gis = gi[order_g]
+                gvs = gv[order_g]
+                starts = np.r_[0, np.flatnonzero(np.diff(gis)) + 1]
+                present = gis[starts]
+                mins[present, dim] = np.minimum.reduceat(gvs, starts)
+                maxs[present, dim] = np.maximum.reduceat(gvs, starts)
         populated = counts > 0
         centers[:n][populated] = sums[populated] / counts[populated]
         crange[:n, :, 0][populated] = mins[populated]

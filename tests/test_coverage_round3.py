@@ -194,15 +194,10 @@ def test_incremental_aggregated_cleaning_matches_full(west_h5_mid):
     np.testing.assert_allclose(inc.pSS, full.pSS, rtol=1e-10, atol=1e-18)
 
 
-def _snapshot_for_incremental(strat, removals):
-    old_remap = strat.we_remap.copy()
-    rows_valid = np.flatnonzero(strat.valid)
-    old_gid_to_row = np.full(strat.n_total_clusters + 2, 0, np.int64)
-    old_gid_to_row[strat.global_id[rows_valid]] = rows_valid
-    removed_row_mask = np.zeros(len(strat.valid), bool)
-    if len(removals):
-        removed_row_mask[old_gid_to_row[np.asarray(removals)]] = True
-    return old_remap, old_gid_to_row, removed_row_mask
+def _snapshot_for_incremental(strat):
+    """Pre-removal state the incremental pass needs (mirrors
+    remove_and_rediscretize in model.organize_stratified)."""
+    return strat.we_remap.copy(), strat.global_id.copy(), strat.n_total_clusters
 
 
 def test_incremental_rediscretize_rescore_branch(west_h5_mid):
@@ -239,14 +234,10 @@ def test_incremental_rediscretize_rescore_branch(west_h5_mid):
 
     M.modelWE._assign_rows_subset = counting
     try:
-        old_remap, old_gid_to_row, removed_row_mask = _snapshot_for_incremental(
-            strat, [gid]
-        )
+        old_remap, old_global, old_total = _snapshot_for_incremental(strat)
         strat.remove_global_clusters([gid])
         model.n_clusters = strat.n_total_clusters
-        model._incremental_rediscretize(
-            strat, removed_row_mask, old_remap, old_gid_to_row
-        )
+        model._incremental_rediscretize(strat, old_remap, old_global, old_total)
     finally:
         M.modelWE._assign_rows_subset = orig
 
@@ -279,9 +270,7 @@ def test_incremental_rediscretize_remap_branch(west_h5_mid):
             strat.valid & (strat.center_bin == bin_to_empty)
         )
     ]
-    old_remap, old_gid_to_row, removed_row_mask = _snapshot_for_incremental(
-        strat, gids
-    )
+    old_remap, old_global, old_total = _snapshot_for_incremental(strat)
     strat.remove_global_clusters(gids)
     model.n_clusters = strat.n_total_clusters
     from msm_we_tpu.binning import find_nearest_bin
@@ -293,9 +282,7 @@ def test_incremental_rediscretize_remap_branch(west_h5_mid):
     strat.set_remap(
         bin_to_empty, find_nearest_bin(model._bin_mapper, bin_to_empty, populated)
     )
-    model._incremental_rediscretize(
-        strat, removed_row_mask, old_remap, old_gid_to_row
-    )
+    model._incremental_rediscretize(strat, old_remap, old_global, old_total)
     inc_p = model._parent_idx.copy()
     inc_c = model._child_idx.copy()
 
