@@ -1174,11 +1174,11 @@ class modelWE:
         keep_all = ~(masks["target_p"] | masks["basis_p"])
         keep_all &= feats["weights"] > 0
         kept_rows_all = np.flatnonzero(keep_all)
-        kept_bins_all = (
-            np.asarray(bin_mapper.assign(feats["pcoord0"][kept_rows_all]))
-            if len(kept_rows_all)
-            else np.zeros(0, dtype=int)
-        )
+        # Slice the cached full parent-bin assignment instead of digitizing
+        # the kept rows again (launch_discretization needs the full arrays
+        # right after this anyway). Kept rows all have weight > 0, so the
+        # nan_to_num inside _raw_we_bins never changes their bin.
+        kept_bins_all = self._raw_we_bins()[0][kept_rows_all]
         offsets = feats["offsets"]
 
         idx = 0
@@ -1909,8 +1909,10 @@ class modelWE:
         any_remap_changed = bool(remap_changed.any())
 
         # old-state -> new-state: surviving global ids renumber, the old
-        # basis/target states become the new ones, removed ids stay -1
-        table = np.full(old_total + 2, -1, np.int64)
+        # basis/target states become the new ones, removed ids stay -1.
+        # int32 keeps the relabeled dtrajs the dtype the device path
+        # produced (and halves the bytes of every later O(N) host pass)
+        table = np.full(old_total + 2, -1, np.int32)
         still = np.flatnonzero(strat.valid)
         table[old_global[still]] = strat.global_id[still]
         table[old_total] = strat.basis_cluster_index
