@@ -393,18 +393,36 @@ def _device_reachable(timeout=240):
     while a CPU-fallback run still records a well-formed (clearly flagged)
     JSON line. Returns the backend name, or None if unreachable.
     """
+    import signal
     import subprocess
     import sys
 
+    # Popen + killpg rather than subprocess.run: run() only kills the
+    # direct child on timeout and then blocks in communicate() until pipe
+    # EOF, so a hung grandchild (backend helper holding inherited stdout)
+    # would wedge the bench anyway. A fresh session lets us kill the whole
+    # tree.
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _PROBE_SNIPPET],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        start_new_session=True,
+    )
     try:
-        out = subprocess.run(
-            [sys.executable, "-c", _PROBE_SNIPPET],
-            capture_output=True, timeout=timeout,
-        )
-        if out.returncode == 0:
-            return out.stdout.decode().strip().splitlines()[-1]
+        stdout, _ = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
-        pass
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except Exception:
+            proc.kill()
+        try:
+            proc.communicate(timeout=10)
+        except Exception:
+            pass
+        return None
+    if proc.returncode == 0:
+        lines = stdout.decode().strip().splitlines()
+        if lines:
+            return lines[-1]
     return None
 
 
@@ -413,7 +431,7 @@ def main():
     device_fallback = None
     if probed is None:
         device_fallback = (
-            "default backend unreachable (init probe timed out); "
+            "default backend unreachable (init probe timed out or failed); "
             "measured on CPU fallback"
         )
         os.environ["JAX_PLATFORMS"] = "cpu"

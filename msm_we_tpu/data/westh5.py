@@ -403,25 +403,33 @@ class WEDataset:
         :meth:`iter_coord_pairs` when only one endpoint is needed."""
         data = self.iter_data(n_iter)
         per_file = self._iter_index[n_iter]
+        n = data["n_segs"]
         if len(per_file) == 1:
             # Single-file iteration (the common case): the h5 read IS the
             # concatenated block -- skip the NaN-filled f64 staging copy
             # (which also silently upcast f32 coords to f64, doubling every
             # downstream featurization pass)
-            return self._aux_dset(per_file[0][0], n_iter)[:, frame]
-        n = data["n_segs"]
-        out = None
-        for file_idx, _n in per_file:
-            dset = self._aux_dset(file_idx, n_iter)
-            block = dset[:, frame]
-            mask = data["west_idx"] == file_idx
-            if out is None:
-                out = np.full(
-                    (n,) + block.shape[1:],
-                    np.nan,
-                    dtype=np.promote_types(block.dtype, np.float32),
+            block = self._aux_dset(per_file[0][0], n_iter)[:, frame]
+            if len(block) != n:
+                # Keep the loud failure the staging copy used to provide
+                # (a broadcast error) for truncated/partial auxdata writes
+                raise ValueError(
+                    f"iteration {n_iter}: auxdata has {len(block)} segments "
+                    f"but seg_index has {n} (truncated augmentation write?)"
                 )
-            out[mask] = block
+            return block
+        # Read every file's block first so the output dtype promotes over
+        # ALL of them (files written by different augmentation versions may
+        # mix f32/f64; fixing the dtype from the first block would silently
+        # truncate wider later blocks)
+        blocks = [
+            (file_idx, self._aux_dset(file_idx, n_iter)[:, frame])
+            for file_idx, _n in per_file
+        ]
+        dtype = np.result_type(np.float32, *(b.dtype for _, b in blocks))
+        out = np.full((n,) + blocks[0][1].shape[1:], np.nan, dtype=dtype)
+        for file_idx, block in blocks:
+            out[data["west_idx"] == file_idx] = block
         return out
 
     def iter_frame_subset(self, n_iter, rows, frame):
@@ -471,10 +479,13 @@ class WEDataset:
         import os
 
         try:
+            # (realpath, inode, mtime_ns, size): an in-place same-size
+            # rewrite inside one mtime tick can still alias (filesystem
+            # timestamp granularity) -- callers mutating files they just
+            # checked should reopen under a new Dataset or touch the file
             ident = tuple(
-                (os.path.realpath(p),) + (lambda s: (s.st_mtime_ns, s.st_size))(
-                    os.stat(p)
-                )
+                (os.path.realpath(p),)
+                + (lambda s: (s.st_ino, s.st_mtime_ns, s.st_size))(os.stat(p))
                 for p in self.file_list
             )
             memo_key = (

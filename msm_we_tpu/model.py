@@ -1491,10 +1491,15 @@ class modelWE:
             return
 
         if n_lag == 0:
-            if len(iters_to_use) == len(feats["offsets"]) - 1:
+            n_iters_all = len(feats["offsets"]) - 1
+            if len(iters_to_use) == n_iters_all and np.array_equal(
+                np.unique(iters_to_use), np.arange(1, n_iters_all + 1)
+            ):
                 # Every discretizable iteration selected (the common case,
                 # and every cleaning pass): skip the O(N) isin scan and let
-                # basic slicing replace the row gathers
+                # basic slicing replace the row gathers. The unique check
+                # (O(#iters), tiny) guards against duplicate/out-of-range
+                # selections that happen to match in length.
                 sel = slice(None)
             else:
                 # Integer rows, not a boolean mask: 2-D boolean indexing
@@ -1632,8 +1637,6 @@ class modelWE:
         # sharded discretization) are reused as-is -- one upload per build
         sel = np.isin(feats["iteration"], list(iters_to_use))
         w = np.where(sel, feats["weights"], 0.0).astype(np.float64)
-        p0 = feats["pcoord0"]
-        p1 = feats["pcoord1"]
 
         masks = self._pc_masks()
         basis_p = masks["basis_p"]
@@ -1643,7 +1646,7 @@ class modelWE:
         if strat is not None:
             target_p = masks["target_p"]
         else:
-            target_p = np.zeros(len(p0), bool)
+            target_p = np.zeros(len(w), bool)
         basis_c = masks["basis_c"]
         target_c = masks["target_c"]
 

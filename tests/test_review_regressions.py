@@ -585,3 +585,100 @@ def test_committor_jax_matches_host():
     )
     assert q_dev[0] == 0.0
     np.testing.assert_allclose(q_dev, q_host, atol=1e-4)
+
+
+def test_multifile_mixed_dtype_aux_promotes(tmp_path):
+    """``_iter_frame_block`` must promote the output dtype over ALL files'
+    auxdata dtypes -- fixing it from the first (f32) block would silently
+    truncate a later file's f64 coordinates."""
+    import h5py
+
+    from msm_we_tpu.data import WEDataset
+
+    p1 = str(tmp_path / "a.h5")
+    p2 = str(tmp_path / "b.h5")
+    generate_west_h5(p1, n_iterations=5, n_segments=6, seed=71)
+    generate_west_h5(p2, n_iterations=5, n_segments=6, seed=72)
+    needle = 1.0 + 2.0**-40  # survives f64, rounds to 1.0 in f32
+    with h5py.File(p1, "a") as h5:
+        for k in list(h5["iterations"]):
+            grp = h5[f"iterations/{k}"]
+            if "auxdata/coord" not in grp:
+                continue
+            d = grp["auxdata/coord"][:].astype(np.float32)
+            del grp["auxdata/coord"]
+            grp["auxdata"].create_dataset("coord", data=d)
+    with h5py.File(p2, "a") as h5:
+        grp = h5["iterations/iter_00000002"]
+        d = grp["auxdata/coord"][:].astype(np.float64)
+        d[0, -1] = needle
+        del grp["auxdata/coord"]
+        grp["auxdata"].create_dataset("coord", data=d)
+    ds = WEDataset([p1, p2])
+    try:
+        block = ds._iter_frame_block(2, -1)
+        assert block.dtype == np.float64
+        row = np.flatnonzero(ds.iter_data(2)["west_idx"] == 1)[0]
+        assert np.all(block[row] == needle)
+    finally:
+        ds.close()
+
+
+def test_single_file_truncated_auxdata_raises(tmp_path):
+    """A truncated auxdata write (fewer segments than seg_index) must fail
+    loudly on the single-file fast path, not return a short block."""
+    import h5py
+
+    from msm_we_tpu.data import WEDataset
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=5, n_segments=8, seed=73)
+    with h5py.File(path, "a") as h5:
+        grp = h5["iterations/iter_00000003"]
+        d = grp["auxdata/coord"][:-2]
+        del grp["auxdata/coord"]
+        grp["auxdata"].create_dataset("coord", data=d)
+    ds = WEDataset([path])
+    try:
+        with pytest.raises(ValueError, match="truncated"):
+            ds._iter_frame_block(3, -1)
+    finally:
+        ds.close()
+
+
+def test_flux_duplicate_iters_skip_slice_fastpath(tmp_path):
+    """``iters_to_use`` containing duplicates whose *length* equals the
+    number of discretizable iterations must not take the select-everything
+    slice fast path (which would wrongly include unselected iterations)."""
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=10, n_segments=12, seed=74)
+    model = modelWE()
+    model.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "dup",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="pca",
+        tau=1.0,
+    )
+    model.get_iterations()
+    model.get_coordSet(model.maxIter)
+    model.dimReduce()
+    model.cluster_coordinates(n_clusters=2, stratified=False)
+
+    subset = list(range(1, model.maxIter - 1))  # drops the last usable iter
+    model.get_fluxMatrix(0, iters_to_use=subset)
+    expected = model.fluxMatrixRaw * len(subset)  # undo per-iter normalizer
+
+    dup = [1] + subset  # same length as ALL usable iters, but not all of them
+    assert len(dup) == model.maxIter - 1
+    model.get_fluxMatrix(0, iters_to_use=dup)
+    got = model.fluxMatrixRaw * len(dup)
+    # rtol covers the 1-ulp wobble from undoing the /len normalizer; a
+    # slice-fast-path bug would include a whole extra iteration (O(0.1))
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+    model.get_fluxMatrix(0)  # all usable iterations: a genuinely different sum
+    full = model.fluxMatrixRaw * (model.maxIter - 1)
+    assert not np.allclose(full, expected)
