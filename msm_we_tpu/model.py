@@ -1368,7 +1368,7 @@ class modelWE:
             mesh, n_states, with_target_p=True,
             n_bins=strat.n_bins,
         )
-        pidx, cidx = assign(
+        both = assign(
             fp_dev, fc_dev,
             pad_rows(pbins, -1), pad_rows(cbins, -1),
             pad_rows(basis_p, False), pad_rows(basis_c, False),
@@ -1376,7 +1376,11 @@ class modelWE:
             centersC, center_binC, validC,
             pad_rows(target_p, False),
         )
-        return np.asarray(pidx)[:N], np.asarray(cidx)[:N]
+        # ONE device-to-host sync for both id columns (the program stacks
+        # them, int16 when ids fit): at ~10 MB/s tunnel bandwidth the two
+        # separate int32 downloads were ~180 ms of a 100k discretization
+        both = np.asarray(both)[:N].astype(np.int32)
+        return np.ascontiguousarray(both[:, 0]), np.ascontiguousarray(both[:, 1])
 
     def _invalidate_pcoord_caches(self):
         """Drop the caches derived from the feature pcoord arrays (WE bin

@@ -68,7 +68,33 @@ def _np_assign(X, centers):
 
 
 def _np_masked_assign(X, seg_bins, centers, center_bin, valid):
-    """Host masked assignment: nearest valid same-bin center per row."""
+    """Host masked assignment: nearest valid same-bin center per row.
+
+    When the bank is contiguous per bin (``center_bin == repeat(arange, k)``,
+    the :class:`StratifiedKmeans` layout), each row only ever competes within
+    its own bin's k-slice, so scores are computed per bin block -- an
+    ``n_bins``-fold flop/traffic cut over scoring the whole bank (profiled at
+    ~0.13 s of a 100k-segment clustering stage).  The per-row ``|x|^2``
+    constant is dropped (argmin-invariant), matching the device formula
+    (:func:`ops.kmeans.masked_scores`).  Ties still break to the lowest
+    global index: the block is contiguous and ascending in the bank.
+    """
+    K = len(centers)
+    n_bins = int(center_bin[-1]) + 1 if K else 0
+    k = K // n_bins if n_bins else 0
+    if k and K == n_bins * k and np.array_equal(
+        center_bin,
+        np.repeat(np.arange(n_bins, dtype=np.asarray(center_bin).dtype), k),
+    ):
+        out = np.zeros(len(X), np.int64)
+        c2 = (centers**2).sum(1)
+        for b in np.unique(seg_bins):
+            rows = np.flatnonzero(seg_bins == b)
+            blk = slice(b * k, (b + 1) * k)
+            scores = c2[blk][None, :] - 2.0 * (X[rows] @ centers[blk].T)
+            scores[:, ~valid[blk]] = np.inf
+            out[rows] = b * k + scores.argmin(axis=1)
+        return out
     d2 = (
         (X**2).sum(1)[:, None] - 2 * X @ centers.T + (centers**2).sum(1)[None, :]
     )
@@ -156,10 +182,10 @@ class StratifiedKmeans:
         """Recompute consecutive global ids after any validity change."""
         counts_per_bin = self.valid.reshape(self.n_bins, self.k).sum(axis=1)
         offsets = np.concatenate([[0], np.cumsum(counts_per_bin)])[:-1]
-        gid = np.full(self.n_bins * self.k, -1, np.int64)
-        for b in range(self.n_bins):
-            rows = np.flatnonzero(self.valid[b * self.k : (b + 1) * self.k]) + b * self.k
-            gid[rows] = offsets[b] + np.arange(len(rows))
+        # Global ids are consecutive over valid centers in bank order, and
+        # the bank is ordered by bin -- the per-bin offsets+arange assignment
+        # is exactly the valid-rank in the flat bank
+        gid = np.where(self.valid, np.cumsum(self.valid) - 1, -1).astype(np.int64)
         self.global_id = gid
         self.offsets = offsets
         self.n_centers_per_bin = counts_per_bin
@@ -204,6 +230,7 @@ class StratifiedKmeans:
         # seed batch's weights and take an extra half-step on the centers
         # (sklearn's partial_fit counts a first batch once)
         initialized_before = self.initialized.copy()
+        seeded = False
 
         # Initialize any new bins that now have enough members
         for b in unique_bins:
@@ -235,6 +262,7 @@ class StratifiedKmeans:
                 self.counts[rows] = np.array(wsum)
             self.valid[rows] = True
             self.initialized[b] = True
+            seeded = True
 
         # Minibatch update for all previously-initialized bins' members in
         # one scatter (bins seeded above already consumed this batch)
@@ -278,7 +306,10 @@ class StratifiedKmeans:
                 # batch; _sync_host() materializes once when next read
                 self._dev_state = (new_centers, new_counts)
 
-        self._refresh_ids()
+        # Minibatch updates never change validity, so the id tables are
+        # already current unless this batch seeded a bin
+        if seeded:
+            self._refresh_ids()
         return set(int(b) for b in unique_bins if self.initialized[b])
 
     # ------------------------------------------------------------ prediction

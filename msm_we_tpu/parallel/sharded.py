@@ -204,12 +204,18 @@ def build_sharded_pair_assign(mesh, n_states, with_target_p=False, n_bins=None):
     """Jitted (data, model)-sharded parent+child assignment over ``mesh``.
 
     Same inputs and sharding as :func:`build_sharded_step` minus the
-    weights; returns the override-applied (pidx, cidx) id vectors instead
-    of the flux matrix. Sharing the input layout with the flux step lets
-    the facade keep ONE device-resident copy of the (padded) feature
-    arrays for both discretization and flux (at 2M segments the repeated
-    feature upload through a remote tunnel was ~3.5 s of the flux stage).
+    weights; returns ONE ``(N, 2)`` array of the override-applied
+    (parent, child) id columns -- stacked on device and narrowed to int16
+    when every state id fits, so the caller pays a single
+    device-to-host sync of half the bytes (the ~10 MB/s remote tunnel
+    makes the two int32 downloads ~180 ms of a 100k discretization).
+    Sharing the input layout with the flux step lets the facade keep ONE
+    device-resident copy of the (padded) feature arrays for both
+    discretization and flux (at 2M segments the repeated feature upload
+    through a remote tunnel was ~3.5 s of the flux stage).
     """
+
+    model_size = mesh.shape["model"]
 
     def body(fp, fc, pbins, cbins, basis_p, basis_c, target_c,
              centers, center_bin, valid, *rest):
@@ -224,9 +230,17 @@ def build_sharded_pair_assign(mesh, n_states, with_target_p=False, n_bins=None):
             n_bins=n_bins,
             predict_order=True,
         )
+        both = jnp.stack([pidx, cidx], axis=1)
+        if n_states <= 30000 and centers.shape[0] * model_size <= 30000:
+            # Static per-program choice (n_states and the global K_pad are
+            # trace-time constants); values are exact small nonnegative
+            # ints, so the narrowing is lossless. Margin under int16 max
+            # guards padded junk rows whose argmin index can reach
+            # K_pad - 1.
+            both = both.astype(jnp.int16)
         # Identity on already-identical values; lets the compiler prove
         # replication over 'model' for the out_specs
-        return jax.lax.pmax(pidx, "model"), jax.lax.pmax(cidx, "model")
+        return jax.lax.pmax(both, "model")
 
     data_spec = P("data")
     model_spec = P("model")
@@ -239,7 +253,7 @@ def build_sharded_pair_assign(mesh, n_states, with_target_p=False, n_bins=None):
         in_specs = in_specs + (data_spec,)
     sharded = shard_map(
         body, mesh=mesh, in_specs=in_specs,
-        out_specs=(P("data"), P("data")),
+        out_specs=P("data"),
     )
     return jax.jit(sharded)
 
