@@ -1484,6 +1484,7 @@ class modelWE:
             and self._mesh is not None
             and self.clusters is not None
             and not getattr(self, "_flux_prefer_host", False)
+            and self._device_f64_weights_ok(feats["weights"])
         ):
             # Production device path: one fused shard_map program
             # (discretize -> f64 scatter -> psum) over the mesh. Works for
@@ -1614,6 +1615,33 @@ class modelWE:
         ).reshape(n_states, n_states)
         self.fluxMatrixRaw = fm / len(iters_to_use)
 
+    def _device_f64_weights_ok(self, weights):
+        """True when the mesh's backend can accumulate these WE weights in
+        genuine f64. CPU always can. TPU has no native f64: XLA's x64
+        rewrite emulates it as a double-double f32 pair, keeping ~49
+        mantissa bits but only f32's EXPONENT range, so weights below
+        ~1.2e-38 flush to zero in the device scatter (measured on v5e:
+        1e250 -> inf, 2.25e-300 -> 0). WE weights legitimately span
+        hundreds of orders of magnitude, so such runs take the host f64
+        bincount path instead, with a warning."""
+        plats = {d.platform for d in self._mesh.devices.flat}
+        if plats == {"cpu"}:
+            return True
+        w = weights[weights != 0]
+        if w.size == 0:
+            return True
+        lo, hi = float(w.min()), float(w.max())
+        f32 = np.finfo(np.float32)
+        if lo >= float(f32.tiny) and hi <= float(f32.max):
+            return True
+        log.warning(
+            f"WE weights span [{lo:.3g}, {hi:.3g}], outside the f32 exponent "
+            f"range that {sorted(plats)} f64 emulation preserves; using the "
+            "host f64 flux path for this build (device discretization is "
+            "unaffected)."
+        )
+        return False
+
     def _device_flux_lag0(self, iters_to_use):
         """Fused mesh-sharded flux matrix: discretize + f64 scatter + psum.
 
@@ -1711,7 +1739,30 @@ class modelWE:
 
         # build_sharded_step is memoized on (mesh, n_states, ...), so a
         # model-level cache would only risk staleness when enable_mesh()
-        # swaps meshes mid-life
+        # swaps meshes mid-life. Matrices big enough for the download to
+        # matter go through the packed-sparse variant (the dense f64
+        # download is ~80 ms of a warm 100k build on a ~10 MB/s tunnel);
+        # an overflowing nonzero count falls back to the dense program.
+        if n_states >= 96:
+            from .parallel.sharded import (
+                build_sharded_step_packed, flux_pack_capacity,
+                unpack_packed_flux,
+            )
+
+            step = build_sharded_step_packed(
+                mesh, n_states, with_target_p=True, n_bins=n_bins
+            )
+            with _scoped_x64():
+                buf = step(*args)
+            fm = unpack_packed_flux(
+                np.asarray(buf), n_states, flux_pack_capacity(n_states)
+            )
+            if fm is not None:
+                return fm
+            log.debug(
+                "Packed flux overflowed its nonzero capacity; re-running "
+                "the dense device step."
+            )
         step = build_sharded_step(mesh, n_states, with_target_p=True, n_bins=n_bins)
         with _scoped_x64():
             fm = step(*args)

@@ -154,6 +154,90 @@ def _discretize_and_flux(
     return fm.reshape(n_states, n_states), pidx, cidx
 
 
+_FLUX_PACK_ALIGN = 512
+
+
+def flux_pack_capacity(n_states):
+    """Static nonzero capacity of the packed flux output: 1/8 of the dense
+    matrix (raw WE flux matrices are far sparser -- a few transitions per
+    state), rounded up to a fixed alignment so nearby state counts share
+    compiled shapes."""
+    cap = max(_FLUX_PACK_ALIGN, (n_states * n_states) // 8)
+    return -(-cap // _FLUX_PACK_ALIGN) * _FLUX_PACK_ALIGN
+
+
+def _pack_flux(fm, cap):
+    """Compact the (S, S) f64 flux into ONE f64 buffer of static shape
+    ``(2*cap + 1,)``: nonzero values, then their flat indices stored as f64
+    (exact below 2**53 -- S*S is nowhere near that), then the true nonzero
+    count.
+
+    The download is the e2e bottleneck on a remote-tunnel device (~10 MB/s:
+    the dense 302-state f64 matrix is ~730 KB = ~80 ms of a 100k-segment
+    build); packing moves 16 bytes per capacity slot (= dense/4 at the
+    default capacity) in one sync, exactly reconstructible. The host falls
+    back to the dense program when the count exceeds ``cap`` (checked from
+    the same buffer). Deliberately f64-only -- no bitcast: TPU's x64
+    rewrite cannot compile ``bitcast_convert_type`` on f64, and XLA CPU
+    flushes f64 subnormals on compare inputs (DAZ), so entries below
+    ~2.2e-308 pack as absent; the dense fallback path shares that flush in
+    its own compares, making subnormal flux a non-goal for the device tier.
+    """
+    flat = fm.ravel()
+    nz = flat != 0.0
+    nnz = nz.sum().astype(fm.dtype)
+    idx = jnp.nonzero(nz, size=cap, fill_value=0)[0]
+    vals = flat[idx]  # junk past nnz (fill rows); the host slices them off
+    return jnp.concatenate([vals, idx.astype(fm.dtype), nnz[None]])
+
+
+def unpack_packed_flux(buf, n_states, cap):
+    """Host-side inverse of :func:`_pack_flux`. Returns the dense (S, S)
+    f64 matrix, or None when the nonzero count overflowed ``cap`` (caller
+    re-dispatches the dense program)."""
+    nnz = int(buf[-1])
+    if nnz > cap:
+        return None
+    vals = buf[:cap]
+    idx = buf[cap : cap + nnz].astype(np.int64)
+    fm = np.zeros(n_states * n_states, np.float64)
+    fm[idx] = vals[:nnz]
+    return fm.reshape(n_states, n_states)
+
+
+@lru_cache(maxsize=64)
+def build_sharded_step_packed(mesh, n_states, with_target_p=False, n_bins=None):
+    """:func:`build_sharded_step` with the flux returned in the packed
+    sparse form of :func:`_pack_flux` (one small f64 download instead of
+    the dense f64 matrix). Same inputs; unpack with
+    :func:`unpack_packed_flux`."""
+    cap = flux_pack_capacity(n_states)
+
+    def body(fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
+             centers, center_bin, valid, *rest):
+        fm, _pidx, _cidx = _discretize_and_flux(
+            fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
+            centers, center_bin, valid, n_states,
+            model_axis="model",
+            target_p=rest[0] if rest else None,
+            n_bins=n_bins,
+        )
+        fm = jax.lax.pmean(jax.lax.psum(fm, "data"), "model")
+        return _pack_flux(fm, cap)
+
+    data_spec = P("data")
+    model_spec = P("model")
+    in_specs = (
+        data_spec, data_spec, data_spec, data_spec,
+        data_spec, data_spec, data_spec, data_spec,
+        model_spec, model_spec, model_spec,
+    )
+    if with_target_p:
+        in_specs = in_specs + (data_spec,)
+    sharded = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P())
+    return jax.jit(sharded)
+
+
 @lru_cache(maxsize=64)
 def build_sharded_step(mesh, n_states, with_target_p=False, n_bins=None):
     """Jitted (data, model)-sharded discretize+flux step over ``mesh``.

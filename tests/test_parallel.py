@@ -169,3 +169,100 @@ def test_steady_state_slow_mixing_converges():
     err_converged = np.abs(np.asarray(pss) - p_ref).max()
     err_fixed = np.abs(np.asarray(_p0) - p_ref).max()
     assert err_converged < err_fixed / 3
+
+
+def test_packed_flux_roundtrip_golden():
+    """Pack/unpack must be a bitwise round trip for normal-range f64 --
+    pinned with values exercising sign and exponent extremes down to the
+    smallest normal. (f64 *sub*normals flush to zero in XLA device
+    compares -- DAZ -- so they are documented as out of scope for the
+    packed tier; see _pack_flux.)"""
+    from msm_we_tpu.parallel.sharded import (
+        _pack_flux, flux_pack_capacity, unpack_packed_flux,
+    )
+    from msm_we_tpu.utils import _scoped_x64
+
+    S = 100
+    fm = np.zeros((S, S), np.float64)
+    fm[0, 1] = 1.5
+    fm[3, 97] = -2.25e-300
+    fm[42, 42] = 1e250
+    fm[99, 0] = np.finfo(np.float64).tiny  # smallest NORMAL f64
+    fm[7, 7] = np.pi
+    cap = flux_pack_capacity(S)
+    with _scoped_x64():
+        buf = np.asarray(jax.jit(lambda m: _pack_flux(m, cap))(jnp.asarray(fm)))
+    out = unpack_packed_flux(buf, S, cap)
+    np.testing.assert_array_equal(out, fm)
+
+
+def test_packed_flux_overflow_returns_none():
+    from msm_we_tpu.parallel.sharded import _pack_flux, unpack_packed_flux
+    from msm_we_tpu.utils import _scoped_x64
+
+    S = 64
+    fm = np.arange(1, S * S + 1, dtype=np.float64).reshape(S, S)  # all nonzero
+    cap = 512  # < S*S nonzeros
+    with _scoped_x64():
+        buf = np.asarray(jax.jit(lambda m: _pack_flux(m, cap))(jnp.asarray(fm)))
+    assert unpack_packed_flux(buf, S, cap) is None
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_sharded_step_packed_matches_dense(problem, model_parallel):
+    """The packed-sparse program must reproduce the dense program's flux
+    matrix BITWISE (same scatter, lossless packing)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from msm_we_tpu.parallel.sharded import (
+        build_sharded_step_packed, flux_pack_capacity, unpack_packed_flux,
+    )
+    from msm_we_tpu.utils import _scoped_x64
+
+    p = problem
+    n_bins = int(p["center_bin"].max()) + 1
+    mesh = make_mesh(jax.devices()[:8], model_parallel=model_parallel)
+    K = len(p["centers"])
+    pad = (-K) % model_parallel
+    centers = np.concatenate(
+        [p["centers"], np.zeros((pad, p["centers"].shape[1]), np.float32)]
+    )
+    center_bin = np.concatenate([p["center_bin"], np.full(pad, -2, np.int32)])
+    valid = np.concatenate([p["valid"], np.zeros(pad, bool)])
+    w64 = p["w"].astype(np.float64)
+
+    dense = build_sharded_step(mesh, p["n_states"], n_bins=n_bins)
+    packed = build_sharded_step_packed(mesh, p["n_states"], n_bins=n_bins)
+    args = (
+        p["fp"], p["fc"], p["pbins"], p["cbins"],
+        p["basis_p"], p["basis_c"], p["target_c"], w64,
+        centers, center_bin, valid,
+    )
+    with _scoped_x64():
+        fm_dense = np.asarray(dense(*args), dtype=np.float64)
+        buf = np.asarray(packed(*args))
+    fm_packed = unpack_packed_flux(
+        buf, p["n_states"], flux_pack_capacity(p["n_states"])
+    )
+    np.testing.assert_array_equal(fm_packed, fm_dense)
+
+
+def test_device_f64_weight_guard():
+    """The device flux tier must refuse weights outside the f32 exponent
+    range on backends that emulate f64 as double-double f32 (TPU), and
+    accept anything on CPU (native f64)."""
+    from types import SimpleNamespace
+
+    from msm_we_tpu.model import modelWE
+
+    def guard(platform, weights):
+        m = object.__new__(modelWE)
+        dev = SimpleNamespace(platform=platform)
+        m._mesh = SimpleNamespace(devices=SimpleNamespace(flat=[dev]))
+        return modelWE._device_f64_weights_ok(m, np.asarray(weights))
+
+    tiny = np.array([1e-250, 0.5])
+    assert guard("cpu", tiny)  # native f64: anything goes
+    assert not guard("tpu", tiny)  # below f32 tiny -> host fallback
+    assert guard("tpu", np.array([1e-30, 0.5]))  # inside f32 range
+    assert guard("tpu", np.array([0.0]))  # all-zero: nothing to flush
