@@ -193,6 +193,8 @@ class modelWE:
         self.clustering_method = None
         self.dtrajs = None
         self.pair_dtrajs = None
+        self._parent_idx = None
+        self._child_idx = None
 
         self.fluxMatrixRaw = None
         self.fluxMatrix = None
@@ -1134,6 +1136,7 @@ class modelWE:
         iters_to_use=None,
         user_bin_mapper=None,
         progress_bar=None,
+        defer_discretization=False,
         **_cluster_args,
     ):
         """Per-WE-bin stratified clustering (reference ``cluster_stratified``
@@ -1143,6 +1146,14 @@ class modelWE:
         segments (excluding basis/target segments), fits each bin's model,
         remaps never-filled bins to the nearest filled bin, then discretizes
         everything in one batched call.
+
+        ``defer_discretization=True`` (mesh builds only) skips that final
+        discretization: ``dtrajs`` stay ``None`` until the next
+        ``get_fluxMatrix`` call materializes them -- at lag 0 on the device
+        path as a free byproduct of the combined flux+ids program (one
+        dispatch+sync instead of two), otherwise via
+        ``launch_discretization``. Don't touch ``dtrajs``-derived state
+        (``update_cluster_structures`` etc.) in the deferred window.
         """
         if user_bin_mapper is not None:
             bin_mapper = user_bin_mapper
@@ -1267,6 +1278,13 @@ class modelWE:
         # never-visited clusters are cleaned away in organize_fluxMatrix
         self.n_clusters = n_clusters * bin_mapper.nbins
 
+        if defer_discretization and self._mesh is not None:
+            # build_analyze_model's device fast path: the next
+            # get_fluxMatrix(0) runs ONE combined device program that emits
+            # the flux matrix and these ids together (one dispatch+sync
+            # instead of two); any other consumer of dtrajs first calls
+            # launch_discretization itself (get_fluxMatrix guards this)
+            return
         self.launch_discretization()
 
     def _load_bin_mapper_from_h5(self, bin_iteration):
@@ -1494,6 +1512,13 @@ class modelWE:
                 iters_to_use
             )
             return
+
+        # Deferred discretization (the device fast path above normally
+        # materializes ids as a flux byproduct): any host-path build --
+        # lag>0, device fallback, or a user bypassing the mesh -- needs the
+        # stored ids, so materialize them now
+        if self._parent_idx is None and self.clusters is not None:
+            self.launch_discretization()
 
         if n_lag == 0:
             n_iters_all = len(feats["offsets"]) - 1
@@ -1739,11 +1764,43 @@ class modelWE:
 
         # build_sharded_step is memoized on (mesh, n_states, ...), so a
         # model-level cache would only risk staleness when enable_mesh()
-        # swaps meshes mid-life. Matrices big enough for the download to
-        # matter go through the packed-sparse variant (the dense f64
-        # download is ~80 ms of a warm 100k build on a ~10 MB/s tunnel);
-        # an overflowing nonzero count falls back to the dense program.
-        if n_states >= 96:
+        # swaps meshes mid-life.
+        #
+        # Deferred discretization (cluster_stratified(defer_discretization=
+        # True)): dtrajs don't exist yet, so run the combined program that
+        # emits the packed flux AND the predict-order ids in ONE
+        # dispatch+sync -- the two score GEMMs run once for both outputs.
+        if self._parent_idx is None and strat is not None:
+            from .parallel.sharded import (
+                build_sharded_step_packed_with_ids, flux_pack_capacity,
+                unpack_packed_flux,
+            )
+
+            step = build_sharded_step_packed_with_ids(
+                mesh, n_states, strat.n_total_clusters + 2,
+                with_target_p=True, n_bins=n_bins,
+            )
+            with _scoped_x64():
+                buf, both = step(*args)
+            both = np.asarray(both)[:N].astype(np.int32)
+            self._store_dtrajs(
+                np.ascontiguousarray(both[:, 0]),
+                np.ascontiguousarray(both[:, 1]),
+            )
+            fm = unpack_packed_flux(
+                np.asarray(buf), n_states, flux_pack_capacity(n_states)
+            )
+            if fm is not None:
+                return fm
+            log.debug(
+                "Packed flux overflowed its nonzero capacity; re-running "
+                "the dense device step."
+            )
+        # Matrices big enough for the download to matter go through the
+        # packed-sparse variant (the dense f64 download is ~80 ms of a warm
+        # 100k build on a ~10 MB/s tunnel); an overflowing nonzero count
+        # falls back to the dense program.
+        elif n_states >= 96:
             from .parallel.sharded import (
                 build_sharded_step_packed, flux_pack_capacity,
                 unpack_packed_flux,
@@ -2603,12 +2660,20 @@ class modelWE:
                 model.dimReduce(**step_kwargs.get("dimReduce", {}))
                 timer.set_note(f"method={model.dimReduceMethod}, ndim={model.ndim}")
             with timer.stage("Clustering"):
+                cluster_kwargs = dict(step_kwargs.get("clustering", {}))
+                if device_pipeline and stratified and cross_validation_groups == 0:
+                    # The flux stage's combined device program materializes
+                    # dtrajs as a byproduct -- skip the standalone
+                    # discretization dispatch+sync here. (With validation
+                    # on, post_cluster_model must snapshot materialized
+                    # dtrajs, so keep the eager path.)
+                    cluster_kwargs.setdefault("defer_discretization", True)
                 model.cluster_coordinates(
                     n_clusters=n_clusters,
                     streaming=streaming,
                     stratified=stratified,
                     store_validation_model=cross_validation_groups > 0,
-                    **step_kwargs.get("clustering", {}),
+                    **cluster_kwargs,
                 )
             _fm_iters = list(fluxmatrix_iters)
             if _fm_iters[1] == -1:

@@ -94,6 +94,20 @@ def _assign_overridden(
     basis-membership after target (``_fluxmatrix.py:134-137`` -- basis
     wins, used for the flux matrix).
     """
+    pidx, cidx = _raw_pair_assign(
+        fp, fc, pbins, cbins, centers, center_bin, valid,
+        model_axis=model_axis, n_bins=n_bins, precision=precision,
+    )
+    return _apply_overrides(
+        pidx, cidx, basis_p, basis_c, target_c, n_states,
+        target_p=target_p, predict_order=predict_order,
+    )
+
+
+def _raw_pair_assign(fp, fc, pbins, cbins, centers, center_bin, valid,
+                     model_axis=None, n_bins=None, precision=None):
+    """Global nearest-center ids for parent+child rows, no overrides --
+    the two score GEMMs both override orders share."""
     pmin, pk = _local_masked_min(
         fp, pbins, centers, center_bin, valid, n_bins=n_bins, precision=precision
     )
@@ -106,7 +120,13 @@ def _assign_overridden(
         cidx = _combine_argmin(cmin, ck + offset, model_axis)
     else:
         pidx, cidx = pk, ck
+    return pidx, cidx
 
+
+def _apply_overrides(pidx, cidx, basis_p, basis_c, target_c, n_states,
+                     target_p=None, predict_order=False):
+    """Basis/target override application (see :func:`_assign_overridden`
+    for the two orderings and their reference citations)."""
     basis_cluster = n_states - 2
     target_cluster = n_states - 1
     if predict_order:
@@ -235,6 +255,72 @@ def build_sharded_step_packed(mesh, n_states, with_target_p=False, n_bins=None):
     if with_target_p:
         in_specs = in_specs + (data_spec,)
     sharded = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P())
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=64)
+def build_sharded_step_packed_with_ids(mesh, n_states, ids_n_states,
+                                       with_target_p=False, n_bins=None):
+    """One dispatch for the whole lag-0 build step: packed flux AND the
+    predict-order (parent, child) id columns.
+
+    The facade's deferred-discretization path uses this to collapse what
+    were two programs -- :func:`build_sharded_pair_assign` (dtrajs) then
+    :func:`build_sharded_step` (flux) -- into ONE: the two score GEMMs run
+    once and feed both the basis-wins flux ids (scatter) and the
+    target-wins predict ids (dtrajs; see :func:`_assign_overridden` for
+    the ordering split). On a remote-tunnel device that removes a whole
+    dispatch+sync round trip (~100 ms of a warm 100k build).
+
+    Returns ``(packed_flux, ids)``: the :func:`_pack_flux` buffer
+    (replicated) and the (N, 2) int16/int32 id array (data-sharded).
+
+    ``n_states`` numbers the flux overrides/scatter (the facade's NOMINAL
+    ``n_clusters + 2``); ``ids_n_states`` numbers the predict ids (the LIVE
+    ``strat.n_total_clusters + 2`` -- ``strat.predict`` numbering). They
+    differ pre-cleaning, when never-visited nominal clusters still count.
+    """
+    cap = flux_pack_capacity(n_states)
+    model_size = mesh.shape["model"]
+
+    def body(fp, fc, pbins, cbins, basis_p, basis_c, target_c, w,
+             centers, center_bin, valid, *rest):
+        target_p = rest[0] if rest else None
+        praw, craw = _raw_pair_assign(
+            fp, fc, pbins, cbins, centers, center_bin, valid,
+            model_axis="model", n_bins=n_bins,
+        )
+        pflux, cflux = _apply_overrides(
+            praw, craw, basis_p, basis_c, target_c, n_states,
+            target_p=target_p, predict_order=False,
+        )
+        flat = pflux.astype(jnp.int32) * n_states + cflux.astype(jnp.int32)
+        fm = jax.ops.segment_sum(w, flat, num_segments=n_states * n_states)
+        fm = fm.reshape(n_states, n_states)
+        fm = jax.lax.pmean(jax.lax.psum(fm, "data"), "model")
+
+        ppred, cpred = _apply_overrides(
+            praw, craw, basis_p, basis_c, target_c, ids_n_states,
+            target_p=target_p, predict_order=True,
+        )
+        both = jnp.stack([ppred, cpred], axis=1)
+        if ids_n_states <= 30000 and centers.shape[0] * model_size <= 30000:
+            # Lossless narrowing; margin guards padded junk rows (see
+            # build_sharded_pair_assign)
+            both = both.astype(jnp.int16)
+        return _pack_flux(fm, cap), jax.lax.pmax(both, "model")
+
+    data_spec = P("data")
+    model_spec = P("model")
+    in_specs = (
+        data_spec, data_spec, data_spec, data_spec,
+        data_spec, data_spec, data_spec, data_spec,
+        model_spec, model_spec, model_spec,
+    )
+    if with_target_p:
+        in_specs = in_specs + (data_spec,)
+    sharded = shard_map(body, mesh=mesh, in_specs=in_specs,
+                        out_specs=(P(), P("data")))
     return jax.jit(sharded)
 
 

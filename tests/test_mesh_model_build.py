@@ -62,3 +62,63 @@ def test_mesh_build_matches_single(tmp_path, monkeypatch):
     meshed.save(ckpt)
     restored = modelWE.load(ckpt)
     assert np.allclose(restored.pSS, meshed.pSS)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_deferred_discretization_matches_eager(tmp_path):
+    """cluster_stratified(defer_discretization=True) + get_fluxMatrix(0) on
+    a mesh must produce identical dtrajs AND flux to the eager two-program
+    path (the combined device program computes both in one dispatch)."""
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=25, n_segments=20, seed=43)
+
+    def build(defer, prefer_host_flux=False):
+        model = modelWE()
+        model.initialize(
+            [path],
+            {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            "defer",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dim_reduce_method="pca",
+            tau=1.0,
+        )
+        model.get_iterations()
+        model.get_coordSet(model.maxIter)
+        model.dimReduce()
+        model.enable_mesh()
+        model.cluster_coordinates(
+            n_clusters=2,
+            stratified=True,
+            user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
+            defer_discretization=defer,
+        )
+        if defer:
+            assert model.dtrajs is None  # not materialized yet
+        if prefer_host_flux:
+            model._flux_prefer_host = True
+        model.get_fluxMatrix(0)
+        model.organize_fluxMatrix()
+        model.get_Tmatrix()
+        model.get_steady_state()
+        model.get_steady_state_target_flux()
+        return model
+
+    eager = build(defer=False)
+    deferred = build(defer=True)
+    np.testing.assert_array_equal(
+        np.concatenate(eager.dtrajs), np.concatenate(deferred.dtrajs)
+    )
+    np.testing.assert_array_equal(eager._parent_idx, deferred._parent_idx)
+    np.testing.assert_array_equal(eager.fluxMatrixRaw, deferred.fluxMatrixRaw)
+    assert eager.JtargetSS == deferred.JtargetSS
+
+    # Deferred + host-path flux (the device-fallback leg): get_fluxMatrix
+    # must materialize ids via launch_discretization before using them
+    host_fallback = build(defer=True, prefer_host_flux=True)
+    np.testing.assert_array_equal(
+        eager._parent_idx, host_fallback._parent_idx
+    )
+    np.testing.assert_allclose(
+        eager.fluxMatrixRaw, host_fallback.fluxMatrixRaw, rtol=1e-12
+    )

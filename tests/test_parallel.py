@@ -266,3 +266,62 @@ def test_device_f64_weight_guard():
     assert not guard("tpu", tiny)  # below f32 tiny -> host fallback
     assert guard("tpu", np.array([1e-30, 0.5]))  # inside f32 range
     assert guard("tpu", np.array([0.0]))  # all-zero: nothing to flush
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_combined_step_matches_separate_programs(problem, model_parallel):
+    """The combined flux+ids program must reproduce BOTH the dense flux
+    program's matrix (bitwise) and the pair-assign program's predict-order
+    ids (including a distinct ids_n_states numbering)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from msm_we_tpu.parallel.sharded import (
+        build_sharded_pair_assign, build_sharded_step_packed_with_ids,
+        flux_pack_capacity, unpack_packed_flux,
+    )
+    from msm_we_tpu.utils import _scoped_x64
+
+    p = problem
+    n_bins = int(p["center_bin"].max()) + 1
+    mesh = make_mesh(jax.devices()[:8], model_parallel=model_parallel)
+    K = len(p["centers"])
+    pad = (-K) % model_parallel
+    centers = np.concatenate(
+        [p["centers"], np.zeros((pad, p["centers"].shape[1]), np.float32)]
+    )
+    center_bin = np.concatenate([p["center_bin"], np.full(pad, -2, np.int32)])
+    valid = np.concatenate([p["valid"], np.zeros(pad, bool)])
+    w64 = p["w"].astype(np.float64)
+    target_p = np.zeros(len(w64), bool)
+    ids_n_states = p["n_states"] - 1  # exercise a numbering that differs
+
+    dense = build_sharded_step(
+        mesh, p["n_states"], with_target_p=True, n_bins=n_bins
+    )
+    assign = build_sharded_pair_assign(
+        mesh, ids_n_states, with_target_p=True, n_bins=n_bins
+    )
+    combined = build_sharded_step_packed_with_ids(
+        mesh, p["n_states"], ids_n_states, with_target_p=True, n_bins=n_bins
+    )
+    flux_args = (
+        p["fp"], p["fc"], p["pbins"], p["cbins"],
+        p["basis_p"], p["basis_c"], p["target_c"], w64,
+        centers, center_bin, valid, target_p,
+    )
+    assign_args = (
+        p["fp"], p["fc"], p["pbins"], p["cbins"],
+        p["basis_p"], p["basis_c"], p["target_c"],
+        centers, center_bin, valid, target_p,
+    )
+    with _scoped_x64():
+        fm_dense = np.asarray(dense(*flux_args), dtype=np.float64)
+        ids_ref = np.asarray(assign(*assign_args))
+        buf, ids = combined(*flux_args)
+        buf = np.asarray(buf)
+        ids = np.asarray(ids)
+    fm_combined = unpack_packed_flux(
+        buf, p["n_states"], flux_pack_capacity(p["n_states"])
+    )
+    np.testing.assert_array_equal(fm_combined, fm_dense)
+    np.testing.assert_array_equal(ids, ids_ref)
