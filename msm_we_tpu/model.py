@@ -154,6 +154,28 @@ def _pad_rows_to(a, n_pad, fill):
     return out
 
 
+def _check_live_centers(strat, pbins, cbins):
+    """Predict-path guard shared by every device program that assigns rows
+    to the stratified bank: a present (remapped) WE bin with no live
+    centers and no remap would silently produce junk ids on device."""
+    present = np.unique(np.concatenate([pbins, cbins]))
+    bad = present[
+        ~strat.initialized[present] | (strat.n_centers_per_bin[present] == 0)
+    ]
+    if len(bad):
+        raise RuntimeError(
+            f"Bins {bad} have no live cluster centers and no remap. "
+            "Cluster more data or remap these bins."
+        )
+
+
+def _id_columns_to_host(both, n_rows):
+    """Download a device (N_pad, 2) stacked-id array and split it into
+    contiguous int32 (parent_idx, child_idx) columns, dropping pad rows."""
+    both = np.asarray(both)[:n_rows].astype(np.int32)
+    return np.ascontiguousarray(both[:, 0]), np.ascontiguousarray(both[:, 1])
+
+
 class modelWE:
     """History-augmented Markov state model estimation from WE data."""
 
@@ -1282,8 +1304,14 @@ class modelWE:
             # build_analyze_model's device fast path: the next
             # get_fluxMatrix(0) runs ONE combined device program that emits
             # the flux matrix and these ids together (one dispatch+sync
-            # instead of two); any other consumer of dtrajs first calls
-            # launch_discretization itself (get_fluxMatrix guards this)
+            # instead of two). Clear any previous clustering's ids -- the
+            # lazy-materialization guards key on `_parent_idx is None`, so
+            # stale old-numbering ids would otherwise be read as current.
+            # Other dtrajs consumers materialize via _ensure_discretized().
+            self.dtrajs = None
+            self.pair_dtrajs = None
+            self._parent_idx = None
+            self._child_idx = None
             return
         self.launch_discretization()
 
@@ -1353,17 +1381,7 @@ class modelWE:
 
         pbins = strat.we_remap[parent_bins].astype(np.int32)
         cbins = strat.we_remap[child_bins].astype(np.int32)
-        # The predict-path guard: a present bin with no live centers and no
-        # remap would silently produce junk ids on device
-        present = np.unique(np.concatenate([pbins, cbins]))
-        bad = present[
-            ~strat.initialized[present] | (strat.n_centers_per_bin[present] == 0)
-        ]
-        if len(bad):
-            raise RuntimeError(
-                f"Bins {bad} have no live cluster centers and no remap. "
-                "Cluster more data or remap these bins."
-            )
+        _check_live_centers(strat, pbins, cbins)
 
         masks = self._pc_masks()
         basis_p = masks["basis_p"]
@@ -1397,8 +1415,7 @@ class modelWE:
         # ONE device-to-host sync for both id columns (the program stacks
         # them, int16 when ids fit): at ~10 MB/s tunnel bandwidth the two
         # separate int32 downloads were ~180 ms of a 100k discretization
-        both = np.asarray(both)[:N].astype(np.int32)
-        return np.ascontiguousarray(both[:, 0]), np.ascontiguousarray(both[:, 1])
+        return _id_columns_to_host(both, N)
 
     def _invalidate_pcoord_caches(self):
         """Drop the caches derived from the feature pcoord arrays (WE bin
@@ -1418,6 +1435,14 @@ class modelWE:
                 self._bin_mapper.assign(np.nan_to_num(feats["pcoord1"])),
             )
         return self._raw_bins_cache
+
+    def _ensure_discretized(self):
+        """Materialize dtrajs if a ``defer_discretization=True`` clustering
+        left them pending (every dtrajs consumer calls this; the deferred
+        window normally ends inside ``get_fluxMatrix(0)``'s combined
+        device program instead)."""
+        if self._parent_idx is None and self.clusters is not None:
+            self.launch_discretization()
 
     def _store_dtrajs(self, parent_idx, child_idx):
         feats = self._features
@@ -1517,8 +1542,7 @@ class modelWE:
         # materializes ids as a flux byproduct): any host-path build --
         # lag>0, device fallback, or a user bypassing the mesh -- needs the
         # stored ids, so materialize them now
-        if self._parent_idx is None and self.clusters is not None:
-            self.launch_discretization()
+        self._ensure_discretized()
 
         if n_lag == 0:
             n_iters_all = len(feats["offsets"]) - 1
@@ -1776,17 +1800,16 @@ class modelWE:
                 unpack_packed_flux,
             )
 
+            # Same junk-id guard as _sharded_pair_discretize: this program
+            # is about to mint the build's dtrajs
+            _check_live_centers(strat, pbins, cbins)
             step = build_sharded_step_packed_with_ids(
                 mesh, n_states, strat.n_total_clusters + 2,
                 with_target_p=True, n_bins=n_bins,
             )
             with _scoped_x64():
                 buf, both = step(*args)
-            both = np.asarray(both)[:N].astype(np.int32)
-            self._store_dtrajs(
-                np.ascontiguousarray(both[:, 0]),
-                np.ascontiguousarray(both[:, 1]),
-            )
+            self._store_dtrajs(*_id_columns_to_host(both, N))
             fm = unpack_packed_flux(
                 np.asarray(buf), n_states, flux_pack_capacity(n_states)
             )
@@ -2158,6 +2181,7 @@ class modelWE:
         crange = np.full((n + 2, self.pcoord_ndim, 2), np.nan)
 
         feats = self._featurize_all()
+        self._ensure_discretized()
         child_idx = self._child_idx
         p1 = feats["pcoord1"]
 
@@ -2220,6 +2244,7 @@ class modelWE:
         segments (the restart driver calls this every restart).
         """
         assert self.clusters is not None, "Clusters have not been computed!"
+        self._ensure_discretized()
 
         coords_parts, weights_parts, dtraj_parts = [], [], []
         iter_parts, segidx_parts, westidx_parts, pcoord_parts = [], [], [], []
@@ -2912,6 +2937,7 @@ class modelWE:
         """Single-iteration flux matrix (reference ``_fluxmatrix.py:21-72``)."""
         d = self._dataset.iter_data(n_iter)
         _p, _c, weights = self._dataset.iter_coord_pairs(n_iter)
+        self._ensure_discretized()
         pairs = np.asarray(self.pair_dtrajs[n_iter - 1])
         start_idx, end_idx = pairs[:, 0].copy(), pairs[:, 1].copy()
         n_states = self.n_clusters + 2

@@ -169,9 +169,30 @@ def _discretize_and_flux(
         centers, center_bin, valid, n_states, model_axis=model_axis,
         target_p=target_p, n_bins=n_bins, precision=precision,
     )
+    return _scatter_flux(pidx, cidx, w, n_states), pidx, cidx
+
+
+def _scatter_flux(pidx, cidx, w, n_states):
+    """Accumulate the (S, S) flux from override-applied id columns (in the
+    dtype of ``w``; see :func:`_discretize_and_flux` on why f64)."""
     flat = pidx.astype(jnp.int32) * n_states + cidx.astype(jnp.int32)
     fm = jax.ops.segment_sum(w, flat, num_segments=n_states * n_states)
-    return fm.reshape(n_states, n_states), pidx, cidx
+    return fm.reshape(n_states, n_states)
+
+
+def _stack_ids_replicated(pidx, cidx, n_states, k_pad_global):
+    """Stack (parent, child) id columns for ONE device-to-host sync,
+    narrowing to int16 when every id fits (static per-program choice:
+    ``n_states`` and the global padded bank size are trace-time constants;
+    values are exact small nonnegative ints, so the narrowing is lossless.
+    The margin under int16 max guards padded junk rows whose argmin index
+    can reach ``k_pad_global - 1``). The pmax is an identity on
+    already-identical values that lets the compiler prove replication over
+    'model' for the out_specs."""
+    both = jnp.stack([pidx, cidx], axis=1)
+    if n_states <= 30000 and k_pad_global <= 30000:
+        both = both.astype(jnp.int16)
+    return jax.lax.pmax(both, "model")
 
 
 _FLUX_PACK_ALIGN = 512
@@ -294,21 +315,17 @@ def build_sharded_step_packed_with_ids(mesh, n_states, ids_n_states,
             praw, craw, basis_p, basis_c, target_c, n_states,
             target_p=target_p, predict_order=False,
         )
-        flat = pflux.astype(jnp.int32) * n_states + cflux.astype(jnp.int32)
-        fm = jax.ops.segment_sum(w, flat, num_segments=n_states * n_states)
-        fm = fm.reshape(n_states, n_states)
+        fm = _scatter_flux(pflux, cflux, w, n_states)
         fm = jax.lax.pmean(jax.lax.psum(fm, "data"), "model")
 
         ppred, cpred = _apply_overrides(
             praw, craw, basis_p, basis_c, target_c, ids_n_states,
             target_p=target_p, predict_order=True,
         )
-        both = jnp.stack([ppred, cpred], axis=1)
-        if ids_n_states <= 30000 and centers.shape[0] * model_size <= 30000:
-            # Lossless narrowing; margin guards padded junk rows (see
-            # build_sharded_pair_assign)
-            both = both.astype(jnp.int16)
-        return _pack_flux(fm, cap), jax.lax.pmax(both, "model")
+        both = _stack_ids_replicated(
+            ppred, cpred, ids_n_states, centers.shape[0] * model_size
+        )
+        return _pack_flux(fm, cap), both
 
     data_spec = P("data")
     model_spec = P("model")
@@ -400,17 +417,9 @@ def build_sharded_pair_assign(mesh, n_states, with_target_p=False, n_bins=None):
             n_bins=n_bins,
             predict_order=True,
         )
-        both = jnp.stack([pidx, cidx], axis=1)
-        if n_states <= 30000 and centers.shape[0] * model_size <= 30000:
-            # Static per-program choice (n_states and the global K_pad are
-            # trace-time constants); values are exact small nonnegative
-            # ints, so the narrowing is lossless. Margin under int16 max
-            # guards padded junk rows whose argmin index can reach
-            # K_pad - 1.
-            both = both.astype(jnp.int16)
-        # Identity on already-identical values; lets the compiler prove
-        # replication over 'model' for the out_specs
-        return jax.lax.pmax(both, "model")
+        return _stack_ids_replicated(
+            pidx, cidx, n_states, centers.shape[0] * model_size
+        )
 
     data_spec = P("data")
     model_spec = P("model")

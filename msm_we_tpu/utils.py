@@ -125,6 +125,13 @@ def inverse_iteration(guess, matrix, mu=1):
             )
         else:
             result = sparse.linalg.spsolve(shifted.tocsc(), guess)
+            if not np.all(np.isfinite(result)):
+                # spsolve reports an exactly singular factor with a
+                # MatrixRankWarning + NaN result rather than raising;
+                # convert so the mu=0.999 retry still fires
+                raise np.linalg.LinAlgError(
+                    "spsolve returned non-finite result (singular factor)"
+                )
     except (RuntimeError, np.linalg.LinAlgError):
         if mu == 1:
             log.error(

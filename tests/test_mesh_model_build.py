@@ -72,7 +72,8 @@ def test_deferred_discretization_matches_eager(tmp_path):
     path = str(tmp_path / "west.h5")
     generate_west_h5(path, n_iterations=25, n_segments=20, seed=43)
 
-    def build(defer, prefer_host_flux=False):
+    def build(defer, prefer_host_flux=False, n_clusters=2,
+              stop_before_flux=False):
         model = modelWE()
         model.initialize(
             [path],
@@ -88,13 +89,15 @@ def test_deferred_discretization_matches_eager(tmp_path):
         model.dimReduce()
         model.enable_mesh()
         model.cluster_coordinates(
-            n_clusters=2,
+            n_clusters=n_clusters,
             stratified=True,
             user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
             defer_discretization=defer,
         )
         if defer:
             assert model.dtrajs is None  # not materialized yet
+        if stop_before_flux:
+            return model
         if prefer_host_flux:
             model._flux_prefer_host = True
         model.get_fluxMatrix(0)
@@ -122,3 +125,36 @@ def test_deferred_discretization_matches_eager(tmp_path):
     np.testing.assert_allclose(
         eager.fluxMatrixRaw, host_fallback.fluxMatrixRaw, rtol=1e-12
     )
+
+    # RE-clustering with deferral must not leak the previous clustering's
+    # ids: the deferred early-return clears dtrajs state, so the combined
+    # program re-materializes fresh ids under the new numbering
+    reclustered = deferred
+    reclustered.cluster_coordinates(
+        n_clusters=3,
+        stratified=True,
+        user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
+        defer_discretization=True,
+    )
+    assert reclustered.dtrajs is None
+    assert reclustered._parent_idx is None
+    reclustered.get_fluxMatrix(0)
+    reclustered.organize_fluxMatrix()
+    reclustered.get_Tmatrix()
+    reclustered.get_steady_state()
+    reclustered.get_steady_state_target_flux()
+
+    fresh = build(defer=False, n_clusters=3)
+    np.testing.assert_array_equal(
+        np.concatenate(fresh.dtrajs), np.concatenate(reclustered.dtrajs)
+    )
+    np.testing.assert_array_equal(fresh.fluxMatrixRaw, reclustered.fluxMatrixRaw)
+    assert fresh.JtargetSS == reclustered.JtargetSS
+
+    # In the deferred window, dtrajs consumers self-materialize instead of
+    # failing with a NoneType error
+    lazy = build(defer=True, stop_before_flux=True)
+    assert lazy.dtrajs is None
+    lazy.update_cluster_structures()
+    assert lazy.dtrajs is not None
+    assert lazy.cluster_structures

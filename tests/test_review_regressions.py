@@ -682,3 +682,24 @@ def test_flux_duplicate_iters_skip_slice_fastpath(tmp_path):
     model.get_fluxMatrix(0)  # all usable iterations: a genuinely different sum
     full = model.fluxMatrixRaw * (model.maxIter - 1)
     assert not np.allclose(full, expected)
+
+
+def test_inverse_iteration_singular_retry_large_n():
+    """n > 4096 takes the spsolve branch, which reports an exactly singular
+    factor with NaN + a warning instead of raising; the mu=0.999 retry must
+    still fire (it did on the raising dense/inv paths)."""
+    import warnings
+
+    from scipy import sparse
+
+    from msm_we_tpu.utils import inverse_iteration
+
+    n = 4200
+    matrix = sparse.identity(n, format="csr")  # M^T - 1*I is exactly 0
+    guess = np.full(n, 1.0 / n)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # MatrixRankWarning from the probe
+        result = inverse_iteration(guess, matrix)
+    # Retry solves (M^T - 0.999 I) x = guess -> x ∝ guess; normalized
+    np.testing.assert_allclose(result, guess, rtol=1e-10)
+    assert np.all(np.isfinite(result))
