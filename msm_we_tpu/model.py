@@ -176,6 +176,128 @@ def _id_columns_to_host(both, n_rows):
     return np.ascontiguousarray(both[:, 0]), np.ascontiguousarray(both[:, 1])
 
 
+class FeatureSet(dict):
+    """Concatenated per-segment feature arrays (see ``modelWE._featurize_all``).
+
+    Under the continuity dedup the parent feature array is redundant with
+    the child array: parent row ``i`` is a bit-copy of child row ``src[i]``
+    (WE continuity), except for a few directly-featurized *fallback* rows
+    (iteration 1 and recycled segments). This class stores that recipe
+    instead of the materialized array: host consumers that index
+    ``feats["parent"]`` trigger a one-time materialization, subset
+    consumers use :meth:`parent_rows` (no full gather), and the device
+    pipeline (``modelWE._device_row_feats``) performs the gather on-device
+    from the child upload — large builds never pay the host gather or the
+    redundant parent transfer (~240 MB at 2M segments, 30 components).
+    """
+
+    def __init__(self, *args, parent_src=None, parent_fb_rows=None,
+                 parent_fb_feats=None, **kw):
+        super().__init__(*args, **kw)
+        # Recipe: parent[i] = child[parent_src[i]] where parent_src[i] >= 0;
+        # rows with parent_src[i] < 0 appear in parent_fb_rows (sorted
+        # ascending) with their directly-featurized values in parent_fb_feats
+        self._parent_src = parent_src
+        self._parent_fb_rows = parent_fb_rows
+        self._parent_fb_feats = parent_fb_feats
+
+    @property
+    def parent_is_lazy(self):
+        return dict.__getitem__(self, "parent") is None
+
+    def __getitem__(self, key):
+        val = dict.__getitem__(self, key)
+        if val is None and key == "parent":
+            val = self.parent_rows()
+            # Keep the recipe: the device path still prefers the on-device
+            # gather even after a host consumer forced materialization
+            dict.__setitem__(self, "parent", val)
+        return val
+
+    def parent_rows(self, rows=None):
+        """Parent feature rows without materializing the full array.
+
+        ``rows`` must be non-negative indices (or None for all rows)."""
+        parent = dict.__getitem__(self, "parent")
+        if parent is not None:
+            return parent if rows is None else parent[rows]
+        child = dict.__getitem__(self, "child")
+        src = self._parent_src
+        fbr = self._parent_fb_rows
+        fbv = self._parent_fb_feats
+        if rows is None:
+            out = child[np.maximum(src, 0)]
+            if len(fbr):
+                out[fbr] = fbv
+            return out
+        rows = np.asarray(rows, np.int64)
+        out = child[np.maximum(src[rows], 0)]
+        if len(fbr):
+            pos = np.minimum(np.searchsorted(fbr, rows), len(fbr) - 1)
+            hit = fbr[pos] == rows
+            if hit.any():
+                out[hit] = fbv[pos[hit]]
+        return out
+
+
+def _feat_parent_rows(feats, rows):
+    """Subset of parent feature rows; avoids full materialization for
+    :class:`FeatureSet`, falls back to plain indexing for legacy dicts."""
+    if isinstance(feats, FeatureSet):
+        return feats.parent_rows(rows)
+    return feats["parent"][rows]
+
+
+def _parent_gather_fn(sharding, with_fallback):
+    """Jitted on-device parent-from-child row gather (memoized per sharding
+    like the other mesh builders; retracing per build would dominate)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (sharding, with_fallback)
+    cached = _parent_gather_fn._cache.get(key)
+    if cached is not None:
+        return cached
+
+    if with_fallback:
+        def f(child, src, fb_rows, fb_vals):
+            return jnp.take(child, src, axis=0).at[fb_rows].set(fb_vals)
+    else:
+        def f(child, src):
+            return jnp.take(child, src, axis=0)
+
+    fn = jax.jit(f, out_shardings=sharding)
+    _parent_gather_fn._cache[key] = fn
+    return fn
+
+
+_parent_gather_fn._cache = {}
+
+
+def _device_parent_from_child(child_dev, feats, N_pad, row_sharding):
+    """Build the padded parent feature array ON DEVICE from the child upload
+    and the :class:`FeatureSet` recipe — the "features born on device" path:
+    no host gather, no redundant parent upload. Bitwise-identical rows to
+    the host materialization (gather and scatter copy f32 bits exactly);
+    pad rows (weight 0, bin -1) read child row 0, which no consumer looks at.
+    """
+    import jax
+
+    src = feats._parent_src
+    idx_dtype = np.int64 if N_pad > np.iinfo(np.int32).max else np.int32
+    src_pad = np.zeros(N_pad, idx_dtype)
+    src_pad[: len(src)] = np.maximum(src, 0)
+    src_dev = jax.device_put(src_pad, row_sharding)
+    fbr = feats._parent_fb_rows
+    if len(fbr):
+        fn = _parent_gather_fn(row_sharding, True)
+        return fn(
+            child_dev, src_dev,
+            np.asarray(fbr, idx_dtype), np.asarray(feats._parent_fb_feats),
+        )
+    return _parent_gather_fn(row_sharding, False)(child_dev, src_dev)
+
+
 class modelWE:
     """History-augmented Markov state model estimation from WE data."""
 
@@ -927,7 +1049,7 @@ class modelWE:
             iter_of.append(np.full(len(weights), iteration))
             offsets.append(offsets[-1] + len(weights))
 
-        self._features = dict(
+        self._features = FeatureSet(
             parent=red_parent.finish().astype(np.float32),
             child=red_child.finish().astype(np.float32),
             pcoord0=np.concatenate(p0s),
@@ -1005,16 +1127,18 @@ class modelWE:
             if len(fb_local):
                 fallback.append((iteration, fb_local))
 
-        # Integer rows, not boolean masks: 2-D boolean fancy indexing takes
-        # a slow numpy path on this host (~2x the int gather at 2M rows)
+        # Parent features stay a RECIPE (src gather + fallback rows) inside
+        # the returned FeatureSet: the full host gather only happens if a
+        # host consumer indexes feats["parent"]; the device pipeline gathers
+        # on-device from the child upload instead. Only the cheap 1-D NaN
+        # propagation is done eagerly here.
         gathered = np.flatnonzero(src_all >= 0)
-        parent_feats = np.empty_like(child_feats)
         parent_nan = np.zeros(len(child_nan), bool)
         if len(gathered):
-            src = src_all[gathered]
-            parent_feats[gathered] = child_feats[src]
-            parent_nan[gathered] = child_nan[src]
+            parent_nan[gathered] = child_nan[src_all[gathered]]
 
+        fb_rows_all = np.zeros(0, np.int64)
+        fb_feats = np.zeros((0, child_feats.shape[1]), np.float32)
         if fallback:
             red_fb = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
             fb_nan, fb_rows = [], []
@@ -1023,9 +1147,11 @@ class modelWE:
                 fb_nan.append(np.isnan(raw).any(axis=tuple(range(1, raw.ndim))))
                 red_fb.add(np.nan_to_num(raw))
                 fb_rows.append(offsets[iteration - 1] + fb_local)
-            rows = np.concatenate(fb_rows)
-            parent_feats[rows] = red_fb.finish().astype(np.float32)
-            parent_nan[rows] = np.concatenate(fb_nan)
+            # Iterations ascend and fb_local is sorted within each, so the
+            # concatenation is globally sorted (parent_rows searchsorts it)
+            fb_rows_all = np.concatenate(fb_rows).astype(np.int64)
+            fb_feats = red_fb.finish().astype(np.float32)
+            parent_nan[fb_rows_all] = np.concatenate(fb_nan)
 
         if verify and len(gathered):
             rng = np.random.default_rng(0)
@@ -1038,7 +1164,7 @@ class modelWE:
                 raw = ds.iter_frame_subset(int(it), rows_g - offsets[it - 1], 0)
                 red_v.add(np.nan_to_num(raw))
             direct = red_v.finish().astype(np.float32)
-            if not np.array_equal(direct, parent_feats[sample]):
+            if not np.array_equal(direct, child_feats[src_all[sample]]):
                 return None
 
         # The NaN -> weight-0 convention (reference _data.py:303-313), with
@@ -1055,14 +1181,19 @@ class modelWE:
                 )
             weights[bad] = 0.0
 
-        return dict(
-            parent=parent_feats,
-            child=child_feats,
-            pcoord0=np.concatenate(p0s),
-            pcoord1=np.concatenate(p1s),
-            weights=weights,
-            iteration=np.concatenate(iter_of),
-            offsets=offsets,
+        return FeatureSet(
+            dict(
+                parent=None,  # lazy: materialized from the recipe on demand
+                child=child_feats,
+                pcoord0=np.concatenate(p0s),
+                pcoord1=np.concatenate(p1s),
+                weights=weights,
+                iteration=np.concatenate(iter_of),
+                offsets=offsets,
+            ),
+            parent_src=src_all,
+            parent_fb_rows=fb_rows_all,
+            parent_fb_feats=fb_feats,
         )
 
     # ------------------------------------------------------------ clustering
@@ -2056,7 +2187,7 @@ class modelWE:
         table[old_total] = strat.basis_cluster_index
         table[old_total + 1] = strat.target_cluster_index
 
-        def update(idx_old, X, raw_bins, is_b, is_t):
+        def update(idx_old, rows_of, raw_bins, is_b, is_t):
             new_idx = table[idx_old]
             affected = new_idx < 0
             if any_remap_changed:
@@ -2064,17 +2195,20 @@ class modelWE:
             if affected.any():
                 sub = np.flatnonzero(affected)
                 new_idx[sub] = self._assign_rows_subset(
-                    strat, X[sub], strat.we_remap[raw_bins[sub]]
+                    strat, rows_of(sub), strat.we_remap[raw_bins[sub]]
                 )
             assert (new_idx >= 0).all()
             return new_idx
 
+        # Row-getters instead of full arrays: the parent side reads the few
+        # affected rows through the FeatureSet recipe without materializing
+        # the (possibly lazy) full parent array
         parent_idx = update(
-            self._parent_idx, feats["parent"], pbins_raw,
-            masks["basis_p"], masks["target_p"],
+            self._parent_idx, lambda r: _feat_parent_rows(feats, r),
+            pbins_raw, masks["basis_p"], masks["target_p"],
         )
         child_idx = update(
-            self._child_idx, feats["child"], cbins_raw,
+            self._child_idx, lambda r: feats["child"][r], cbins_raw,
             masks["basis_c"], masks["target_c"],
         )
         self._store_dtrajs(parent_idx, child_idx)
@@ -2145,16 +2279,16 @@ class modelWE:
             if incremental and self._parent_idx is not None and len(keep) < old_n:
                 feats = self._featurize_all()
 
-                def upd(idx, X):
+                def upd(idx, rows_of):
                     new_idx = relabel[idx]
                     aff = np.flatnonzero(new_idx < 0)
                     if len(aff):
-                        new_idx[aff] = self.clusters.predict(X[aff])
+                        new_idx[aff] = self.clusters.predict(rows_of(aff))
                     return new_idx
 
                 self._store_dtrajs(
-                    upd(self._parent_idx, feats["parent"]),
-                    upd(self._child_idx, feats["child"]),
+                    upd(self._parent_idx, lambda r: _feat_parent_rows(feats, r)),
+                    upd(self._child_idx, lambda r: feats["child"][r]),
                 )
             elif incremental and self._parent_idx is not None:
                 pass  # nothing removed: ids unchanged
@@ -2802,7 +2936,17 @@ class modelWE:
             out[:N] = a
             return jax.device_put(out, sharding)
 
-        pair = (pad_put(feats["parent"]), pad_put(feats["child"]))
+        child_dev = pad_put(feats["child"])
+        if isinstance(feats, FeatureSet) and feats.parent_is_lazy:
+            # Features born on device: parent rows are a device gather of
+            # the child upload (bit-copies by WE continuity) — skips the
+            # host gather and the redundant parent upload entirely
+            parent_dev = _device_parent_from_child(
+                child_dev, feats, N_pad, sharding
+            )
+        else:
+            parent_dev = pad_put(feats["parent"])
+        pair = (parent_dev, child_dev)
         self._dev_feats_cache = (feats, N_pad, pair)
         return pair
 
