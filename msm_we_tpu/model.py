@@ -1345,11 +1345,13 @@ class modelWE:
         kept_bins_all = self._raw_we_bins()[0][kept_rows_all]
         offsets = feats["offsets"]
 
+        # Pass 1: build the batch plan (accumulate iterations until all seen
+        # bins are filled -- bin counts update incrementally with each
+        # appended iteration, O(N) total).
+        batches = []  # (rows, bins) per batch; bins after any ran-out remap
+        delegated = []  # batches that must run through per-batch partial_fit
         idx = 0
         while idx < len(iters_to_use):
-            # Accumulate a batch of iterations until all seen bins are filled.
-            # Bin counts update incrementally with each appended iteration --
-            # only the new iteration's rows are counted (O(N) total).
             kept_rows = []
             kept_bins = []
             batch_counts = np.zeros(bin_mapper.nbins, dtype=np.int64)
@@ -1389,16 +1391,11 @@ class modelWE:
             )
             if len(rows):
                 bins = np.concatenate(kept_bins)
-                X = feats["child"][rows]
-                w = (
-                    feats["weights"][rows]
-                    if self.use_weights_in_clustering
-                    else None
-                )
                 unique_bins, counts = np.unique(bins, return_counts=True)
                 unfilled = unique_bins[counts < n_clusters]
                 filled = np.setdiff1d(unique_bins, unfilled)
 
+                remapped = False
                 if ran_out and len(unfilled) and len(filled):
                     # Out of data: push unfilled bins' members to nearest filled
                     log.warning(
@@ -1408,11 +1405,15 @@ class modelWE:
                     for ub in unfilled:
                         nearest = find_nearest_bin(bin_mapper, int(ub), list(filled))
                         bins[bins == ub] = nearest
+                    remapped = True
 
-                updated = strat.partial_fit(X, bins, weights=w)
-                all_filled.update(updated)
+                batches.append((rows, bins))
+                delegated.append(remapped)
 
             idx = j + 1
+
+        self._run_streaming_batches(strat, feats, batches, delegated,
+                                    bin_mapper, all_filled, iters_to_use)
 
         # Never-filled bins delegate to the nearest filled bin
         true_unfilled = np.setdiff1d(
@@ -1445,6 +1446,137 @@ class modelWE:
             self._child_idx = None
             return
         self.launch_discretization()
+
+    def _run_streaming_batches(self, strat, feats, batches, delegated,
+                               bin_mapper, all_filled, iters_to_use):
+        """Execute the streaming-clustering batch plan, fusing runs of
+        no-seeding device-path batches into single ``lax.scan`` dispatches.
+
+        Per-batch ``partial_fit`` costs one device round trip each; at a
+        hundred iterations through a remote tunnel those enqueues dominate
+        the clustering stage. Batches are classified on the host (a bin
+        seeds when it is uninitialized and has >= k members in the batch --
+        the exact ``partial_fit`` criterion), and maximal runs of >= 2
+        consecutive batches that (a) seed nothing, (b) clear
+        ``HOST_BATCH_THRESHOLD`` (the device-family cutoff -- host-family
+        batches keep their numerics), and (c) weren't ran-out-remapped go
+        through :meth:`StratifiedKmeans.minibatch_scan_run`, which is
+        bitwise-identical to the per-batch sequence. Everything else
+        delegates to ``partial_fit`` unchanged.
+        """
+        from .ops.stratified import HOST_BATCH_THRESHOLD
+
+        use_weights = self.use_weights_in_clustering
+        offsets = feats["offsets"]
+
+        # Scan windows address contiguous row ranges; with a non-ascending
+        # iteration list a batch's rows are not contiguous, so keep the
+        # per-batch path (user-supplied custom orderings are tiny anyway)
+        ascending = len(iters_to_use) <= 1 or bool(
+            np.all(np.diff(np.asarray(iters_to_use)) > 0)
+        )
+
+        # Classify: simulate the initialized state forward (only delegated
+        # batches can seed, so the simulation is exact)
+        sim_init = strat.initialized.copy()
+        plan = []
+        for (rows, bins), remapped in zip(batches, delegated):
+            ub, cnt = np.unique(bins, return_counts=True)
+            seeds = (~sim_init[ub]) & (cnt >= strat.k)
+            live = int(cnt[sim_init[ub]].sum())
+            if (
+                not ascending
+                or remapped
+                or seeds.any()
+                or live < HOST_BATCH_THRESHOLD
+            ):
+                plan.append(False)
+                sim_init[ub[seeds]] = True
+            else:
+                plan.append(True)
+
+        scan_ctx = None
+
+        def scan_context():
+            # Device-resident arrays for the scan path, built once: the
+            # shared feature upload (mesh builds reuse _device_row_feats --
+            # the same array the discretization/flux programs read), an
+            # int16 effective-bin array (-1 = excluded from training), and
+            # optionally the f32 weights
+            nonlocal scan_ctx
+            if scan_ctx is not None:
+                return scan_ctx
+            import jax
+            import jax.numpy as jnp
+
+            N = int(offsets[-1])
+            eff_dt = np.int16 if bin_mapper.nbins < 2**15 else np.int32
+            eff = np.full(N, -1, eff_dt)
+            for rows, bins in batches:
+                eff[rows] = bins
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                X_dev = self._device_row_feats()[1]
+                n_pad = X_dev.shape[0]
+                sh = NamedSharding(self._mesh, P("data"))
+
+                def pad1(a, fill, dtype):
+                    out = np.full(n_pad, fill, dtype)
+                    out[:N] = a
+                    return jax.device_put(out, sh)
+
+                eff_dev = pad1(eff, -1, eff_dt)
+                w_dev = (
+                    pad1(feats["weights"], 0.0, np.float32)
+                    if use_weights
+                    else None
+                )
+            else:
+                X_dev = jnp.asarray(feats["child"])
+                eff_dev = jnp.asarray(eff)
+                w_dev = (
+                    jnp.asarray(feats["weights"].astype(np.float32))
+                    if use_weights
+                    else None
+                )
+            scan_ctx = (X_dev, eff_dev, w_dev)
+            return scan_ctx
+
+        i = 0
+        while i < len(batches):
+            if plan[i]:
+                j = i
+                while j + 1 < len(batches) and plan[j + 1]:
+                    j += 1
+                if j > i:  # a run of >= 2 fusable batches
+                    X_dev, eff_dev, w_dev = scan_context()
+                    starts = np.array(
+                        [batches[b][0][0] for b in range(i, j + 1)], np.int64
+                    )
+                    lengths = np.array(
+                        [
+                            batches[b][0][-1] + 1 - batches[b][0][0]
+                            for b in range(i, j + 1)
+                        ],
+                        np.int64,
+                    )
+                    strat.minibatch_scan_run(
+                        X_dev, eff_dev, w_dev, starts, lengths
+                    )
+                    for b in range(i, j + 1):
+                        ub = np.unique(batches[b][1])
+                        all_filled.update(
+                            int(x) for x in ub[strat.initialized[ub]]
+                        )
+                    i = j + 1
+                    continue
+            rows, bins = batches[i]
+            X = feats["child"][rows]
+            w = feats["weights"][rows] if use_weights else None
+            updated = strat.partial_fit(X, bins, weights=w)
+            all_filled.update(updated)
+            i += 1
 
     def _load_bin_mapper_from_h5(self, bin_iteration):
         """Load a WESTPA bin mapper from the h5 (requires westpa); otherwise

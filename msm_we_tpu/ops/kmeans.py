@@ -223,6 +223,57 @@ def masked_minibatch_step(centers, counts, X, w, seg_bin, center_bin, valid,
     return minibatch_update(centers, counts, X, w, idx)
 
 
+@partial(jax.jit, static_argnames=("n_bins", "window"))
+def masked_minibatch_scan(centers, counts, X_all, eff_bin, w_all, init_mask,
+                          starts, lengths, center_bin, valid,
+                          n_bins=None, window=None):
+    """A whole run of streaming minibatch updates in ONE device dispatch.
+
+    Streaming stratified clustering dispatches one
+    :func:`masked_minibatch_step` per accumulated batch; through a
+    remote-tunnel device each dispatch costs a synchronous enqueue round
+    trip, so a 100-iteration build pays ~100 round trips for work whose
+    math is a pure sequential fold. This scans that fold on-device.
+
+    Batch ``b`` is the row window ``[starts[b], starts[b] + lengths[b])``
+    of the device-resident feature array ``X_all`` (shared with the
+    discretization/flux paths -- no per-batch feature uploads). Rows are
+    inert (weight 0, bin -1) when excluded from training (``eff_bin`` -1),
+    in a not-yet-initialized bin (``init_mask``), or beyond the window
+    length. Inert contributions are exact zeros (finite features times
+    0.0f), so the fold is bitwise-identical to the per-batch
+    ``masked_minibatch_step`` sequence over host-compacted live rows.
+
+    ``w_all`` is None for unweighted training (live rows weigh 1.0).
+    Each batch's assignment uses the previous batch's centers -- the
+    MiniBatchKMeans streaming semantics of the reference
+    (``stratified_clustering.py:205-212``).
+    """
+    def step(carry, xs):
+        c, n = carry
+        start, length = xs
+        ridx = start + jnp.arange(window, dtype=starts.dtype)
+        Xb = jnp.take(X_all, ridx, axis=0, mode="clip")
+        bb = jnp.take(eff_bin, ridx, axis=0, mode="clip").astype(jnp.int32)
+        ok = (
+            (jnp.arange(window) < length)
+            & (bb >= 0)
+            & jnp.take(init_mask, jnp.maximum(bb, 0), axis=0, mode="clip")
+        )
+        bb = jnp.where(ok, bb, -1)
+        if w_all is None:
+            wb = ok.astype(jnp.float32)
+        else:
+            wb = jnp.where(
+                ok, jnp.take(w_all, ridx, axis=0, mode="clip"), 0.0
+            )
+        idx = masked_assign(Xb, bb, c, center_bin, valid, n_bins=n_bins)
+        return minibatch_update(c, n, Xb, wb, idx), None
+
+    (c, n), _ = jax.lax.scan(step, (centers, counts), (starts, lengths))
+    return c, n
+
+
 def kmeans_fit(X, w, k, seed=0, n_iter=50, minibatch=False, batch_size=4096):
     """Host-orchestrated full fit: k-means++ seeding then Lloyd (or minibatch).
 

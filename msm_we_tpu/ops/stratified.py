@@ -312,6 +312,40 @@ class StratifiedKmeans:
             self._refresh_ids()
         return set(int(b) for b in unique_bins if self.initialized[b])
 
+    def minibatch_scan_run(self, X_dev, eff_bin_dev, w_dev, starts, lengths):
+        """One fused dispatch for a run of no-seeding streaming batches.
+
+        Equivalent to calling :meth:`partial_fit` once per batch (the
+        device family: every batch must clear ``HOST_BATCH_THRESHOLD``),
+        but the whole run is a single ``lax.scan`` program
+        (:func:`ops.kmeans.masked_minibatch_scan`) reading row windows
+        from the shared device-resident feature array -- no per-batch
+        dispatch round trips and no per-batch feature uploads. The caller
+        guarantees no batch in the run seeds a bin, so ``initialized``/
+        ``valid``/ids are unchanged and only the device center/count state
+        advances.
+        """
+        from .kmeans import masked_minibatch_scan
+
+        max_len = int(np.max(lengths))
+        window = max(1 << (max_len - 1).bit_length(), 64)
+        centers_d, counts_d = self._device_state()
+        c, n = masked_minibatch_scan(
+            centers_d,
+            counts_d,
+            X_dev,
+            eff_bin_dev,
+            w_dev,
+            jnp.asarray(self.initialized),
+            jnp.asarray(np.asarray(starts, np.int32)),
+            jnp.asarray(np.asarray(lengths, np.int32)),
+            jnp.asarray(self.center_bin),
+            jnp.asarray(self.valid),
+            n_bins=self.n_bins,
+            window=window,
+        )
+        self._dev_state = (c, n)
+
     # ------------------------------------------------------------ prediction
     def predict(self, X, seg_bins, is_basis=None, is_target=None):
         """Global cluster indices for features X in WE bins ``seg_bins``.

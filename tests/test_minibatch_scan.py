@@ -1,0 +1,177 @@
+"""Fused streaming-clustering scan: a run of no-seeding minibatch updates
+executed as ONE lax.scan dispatch must be bitwise-identical to the
+per-batch masked_minibatch_step sequence it replaces."""
+import numpy as np
+import pytest
+
+from msm_we_tpu.ops.stratified import HOST_BATCH_THRESHOLD, StratifiedKmeans
+
+
+def _make_problem(n_bins=3, k=4, d=5, n_batches=6, rows_per_batch=None, seed=0):
+    rng = np.random.default_rng(seed)
+    rows_per_batch = rows_per_batch or (HOST_BATCH_THRESHOLD + 512)
+    X, bins, w = [], [], []
+    for b in range(n_batches):
+        n = rows_per_batch + rng.integers(0, 300)
+        X.append(rng.normal(size=(n, d)).astype(np.float32))
+        bins.append(rng.integers(0, n_bins, n))
+        w.append(rng.uniform(0.1, 1.0, n).astype(np.float64))
+    return X, bins, w
+
+
+def _seeded_strat(X0, bins0, n_bins, k, d, weights=None):
+    strat = StratifiedKmeans(n_bins=n_bins, k_per_bin=k, n_features=d, seed=7)
+    strat.partial_fit(X0, bins0, weights=weights)
+    assert strat.initialized.all()
+    return strat
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_scan_run_matches_per_batch_sequence(weighted):
+    import jax.numpy as jnp
+
+    n_bins, k, d = 3, 4, 5
+    Xs, binss, ws = _make_problem(n_bins, k, d)
+
+    w0 = ws[0] if weighted else None
+    strat_a = _seeded_strat(Xs[0], binss[0], n_bins, k, d, weights=w0)
+    strat_b = _seeded_strat(Xs[0], binss[0], n_bins, k, d, weights=w0)
+
+    # (a) the per-batch device path
+    for X, b, w in zip(Xs[1:], binss[1:], ws[1:]):
+        strat_a.partial_fit(X, b, weights=(w if weighted else None))
+    strat_a._sync_host()
+
+    # (b) ONE scan over the same batches, expressed as windows of a
+    # concatenated feature array with inert interleaved rows (eff bin -1)
+    X_all = np.concatenate(Xs[1:])
+    eff = np.concatenate(binss[1:]).astype(np.int16)
+    w_all = np.concatenate(ws[1:]).astype(np.float32)
+    # Mark a scattering of rows excluded: re-run (a) accordingly? No --
+    # instead splice inert rows BETWEEN batches to prove masking works.
+    lens = [len(x) for x in Xs[1:]]
+    pad = np.full(37, -1, np.int16)
+    eff_sp, X_sp, w_sp, starts, lengths = [], [], [], [], []
+    pos = 0
+    rng = np.random.default_rng(99)
+    for X, e, w in zip(Xs[1:], np.split(eff, np.cumsum(lens)[:-1]),
+                       np.split(w_all, np.cumsum(lens)[:-1])):
+        starts.append(pos)
+        lengths.append(len(X))
+        X_sp.append(X)
+        eff_sp.append(e)
+        w_sp.append(w)
+        pos += len(X)
+        # inert filler rows between windows (real-looking garbage data)
+        X_sp.append(rng.normal(size=(37, d)).astype(np.float32))
+        eff_sp.append(pad)
+        w_sp.append(np.full(37, 0.5, np.float32))
+        pos += 37
+    strat_b.minibatch_scan_run(
+        jnp.asarray(np.concatenate(X_sp)),
+        jnp.asarray(np.concatenate(eff_sp)),
+        jnp.asarray(np.concatenate(w_sp)) if weighted else None,
+        np.array(starts),
+        np.array(lengths),
+    )
+    strat_b._sync_host()
+
+    assert np.array_equal(strat_a.centers, strat_b.centers)
+    assert np.array_equal(strat_a.counts, strat_b.counts)
+
+
+def test_scan_respects_uninitialized_bins():
+    """Rows in a bin that is not yet initialized must be inert in the scan
+    (partial_fit drops them when the bin has < k members and seeds later)."""
+    import jax.numpy as jnp
+
+    n_bins, k, d = 3, 4, 5
+    rng = np.random.default_rng(1)
+    # Large enough that the COMPACTED live subset (~2n/3) still clears
+    # HOST_BATCH_THRESHOLD -- otherwise partial_fit switches to the host
+    # numpy family and ulp differences are expected
+    n = 2 * HOST_BATCH_THRESHOLD
+    X0 = rng.normal(size=(n, d)).astype(np.float32)
+    bins0 = rng.integers(0, 2, n)  # bin 2 never seen -> uninitialized
+
+    strat_a = StratifiedKmeans(n_bins=n_bins, k_per_bin=k, n_features=d, seed=3)
+    strat_a.partial_fit(X0, bins0)
+    strat_b = StratifiedKmeans(n_bins=n_bins, k_per_bin=k, n_features=d, seed=3)
+    strat_b.partial_fit(X0, bins0)
+    assert not strat_a.initialized[2]
+
+    # Batch with rows in bins 0..2; bin-2 rows must be ignored by both paths
+    X1 = rng.normal(size=(n, d)).astype(np.float32)
+    bins1 = rng.integers(0, 3, n)
+    live = bins1 < 2
+    # per-batch path: partial_fit handles this (bin 2 has >= k members so it
+    # would SEED -- which the scan never does; mimic the no-seeding case by
+    # only feeding initialized bins' rows to partial_fit)
+    strat_a.partial_fit(X1[live], bins1[live])
+    strat_a._sync_host()
+
+    strat_b.minibatch_scan_run(
+        jnp.asarray(X1),
+        jnp.asarray(bins1.astype(np.int16)),
+        None,
+        np.array([0]),
+        np.array([n]),
+    )
+    strat_b._sync_host()
+    assert np.array_equal(strat_a.centers, strat_b.centers)
+    assert np.array_equal(strat_a.counts, strat_b.counts)
+    assert not strat_b.initialized[2]
+
+
+@pytest.mark.parametrize("with_mesh", [False, True])
+def test_cluster_stratified_scan_fusion_matches_per_batch(tmp_path, with_mesh):
+    """End-to-end: a build whose fill batches clear HOST_BATCH_THRESHOLD
+    produces bitwise-identical centers whether the scan fusion is active
+    or every batch goes through partial_fit. The mesh variant exercises the
+    sharded-gather scan path (windows cross shard boundaries)."""
+    from msm_we_tpu.binning import RectilinearBinMapper
+    from msm_we_tpu.data import generate_west_h5
+    from msm_we_tpu.model import modelWE
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=8, n_segments=4608, seed=11)
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 5)])
+
+    def build(monkey_delegate):
+        m = modelWE()
+        m.initialize(
+            [path],
+            {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            "t",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dim_reduce_method="pca",
+            tau=1.0,
+        )
+        m.get_iterations()
+        m.dimReduce()
+        if with_mesh:
+            import jax
+            from jax.sharding import Mesh
+
+            devs = np.array(jax.devices("cpu")[:4]).reshape(4, 1)
+            m.enable_mesh(Mesh(devs, ("data", "model")))
+        if monkey_delegate:
+            # Force every batch through the per-batch path
+            orig = modelWE._run_streaming_batches
+
+            def all_delegate(self, strat, feats, batches, delegated, *a):
+                return orig(self, strat, feats, batches,
+                            [True] * len(delegated), *a)
+
+            m._run_streaming_batches = all_delegate.__get__(m)
+        m.cluster_stratified(n_clusters=3, user_bin_mapper=mapper)
+        return m
+
+    m_scan = build(False)
+    m_seq = build(True)
+    assert np.array_equal(m_scan._strat.centers, m_seq._strat.centers)
+    assert np.array_equal(m_scan._strat.counts, m_seq._strat.counts)
+    assert np.array_equal(
+        np.concatenate(m_scan.dtrajs), np.concatenate(m_seq.dtrajs)
+    )
