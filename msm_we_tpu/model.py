@@ -214,10 +214,52 @@ class FeatureSet(dict):
             dict.__setitem__(self, "parent", val)
         return val
 
+    # Accessors that would otherwise leak the raw None placeholder
+    # materialize first. (Plain ``dict(fs)`` bypasses all overrides via
+    # CPython's fast path and is not interceptable -- use ``fs.copy()``.)
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __reduce__(self):
+        # Custom pickling: dict-subclass pickling walks obj.items(), which
+        # (overridden below) would materialize the lazy parent and bloat
+        # the pickle with a redundant array; ship the recipe instead
+        return (
+            _featureset_unpickle,
+            (
+                dict.copy(self),
+                self._parent_src,
+                self._parent_fb_rows,
+                self._parent_fb_feats,
+            ),
+        )
+
+    def _materialized(self):
+        if self.parent_is_lazy:
+            self["parent"]
+        return self
+
+    def items(self):
+        return dict.items(self._materialized())
+
+    def values(self):
+        return dict.values(self._materialized())
+
+    def copy(self):
+        return FeatureSet(
+            dict.copy(self._materialized()),
+            parent_src=self._parent_src,
+            parent_fb_rows=self._parent_fb_rows,
+            parent_fb_feats=self._parent_fb_feats,
+        )
+
     def parent_rows(self, rows=None):
         """Parent feature rows without materializing the full array.
 
-        ``rows`` must be non-negative indices (or None for all rows)."""
+        ``rows``: integer indices, a boolean mask, or None for all rows."""
         parent = dict.__getitem__(self, "parent")
         if parent is not None:
             return parent if rows is None else parent[rows]
@@ -230,7 +272,10 @@ class FeatureSet(dict):
             if len(fbr):
                 out[fbr] = fbv
             return out
-        rows = np.asarray(rows, np.int64)
+        rows = np.asarray(rows)
+        if rows.dtype == bool:
+            rows = np.flatnonzero(rows)
+        rows = rows.astype(np.int64, copy=False)
         out = child[np.maximum(src[rows], 0)]
         if len(fbr):
             pos = np.minimum(np.searchsorted(fbr, rows), len(fbr) - 1)
@@ -238,6 +283,10 @@ class FeatureSet(dict):
             if hit.any():
                 out[hit] = fbv[pos[hit]]
         return out
+
+
+def _featureset_unpickle(d, src, fbr, fbv):
+    return FeatureSet(d, parent_src=src, parent_fb_rows=fbr, parent_fb_feats=fbv)
 
 
 def _feat_parent_rows(feats, rows):
@@ -1406,8 +1455,9 @@ class modelWE:
                         nearest = find_nearest_bin(bin_mapper, int(ub), list(filled))
                         bins[bins == ub] = nearest
                     remapped = True
+                    unique_bins, counts = np.unique(bins, return_counts=True)
 
-                batches.append((rows, bins))
+                batches.append((rows, bins, unique_bins, counts))
                 delegated.append(remapped)
 
             idx = j + 1
@@ -1480,8 +1530,7 @@ class modelWE:
         # batches can seed, so the simulation is exact)
         sim_init = strat.initialized.copy()
         plan = []
-        for (rows, bins), remapped in zip(batches, delegated):
-            ub, cnt = np.unique(bins, return_counts=True)
+        for (rows, bins, ub, cnt), remapped in zip(batches, delegated):
             seeds = (~sim_init[ub]) & (cnt >= strat.k)
             live = int(cnt[sim_init[ub]].sum())
             if (
@@ -1512,7 +1561,7 @@ class modelWE:
             N = int(offsets[-1])
             eff_dt = np.int16 if bin_mapper.nbins < 2**15 else np.int32
             eff = np.full(N, -1, eff_dt)
-            for rows, bins in batches:
+            for rows, bins, _ub, _cnt in batches:
                 eff[rows] = bins
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1565,13 +1614,13 @@ class modelWE:
                         X_dev, eff_dev, w_dev, starts, lengths
                     )
                     for b in range(i, j + 1):
-                        ub = np.unique(batches[b][1])
+                        ub = batches[b][2]
                         all_filled.update(
                             int(x) for x in ub[strat.initialized[ub]]
                         )
                     i = j + 1
                     continue
-            rows, bins = batches[i]
+            rows, bins = batches[i][:2]
             X = feats["child"][rows]
             w = feats["weights"][rows] if use_weights else None
             updated = strat.partial_fit(X, bins, weights=w)

@@ -329,6 +329,13 @@ class StratifiedKmeans:
 
         max_len = int(np.max(lengths))
         window = max(1 << (max_len - 1).bit_length(), 64)
+        # Row indices are start + iota(window): int32 unless the feature
+        # array itself has > int32-max rows (matches _device_parent_from_child)
+        idx_dt = (
+            np.int64
+            if X_dev.shape[0] > np.iinfo(np.int32).max
+            else np.int32
+        )
         centers_d, counts_d = self._device_state()
         c, n = masked_minibatch_scan(
             centers_d,
@@ -337,8 +344,8 @@ class StratifiedKmeans:
             eff_bin_dev,
             w_dev,
             jnp.asarray(self.initialized),
-            jnp.asarray(np.asarray(starts, np.int32)),
-            jnp.asarray(np.asarray(lengths, np.int32)),
+            jnp.asarray(np.asarray(starts, idx_dt)),
+            jnp.asarray(np.asarray(lengths, idx_dt)),
             jnp.asarray(self.center_bin),
             jnp.asarray(self.valid),
             n_bins=self.n_bins,

@@ -6,7 +6,6 @@ import pickle
 import numpy as np
 import pytest
 
-from msm_we_tpu.binning import RectilinearBinMapper
 from msm_we_tpu.data import generate_west_h5
 from msm_we_tpu.model import FeatureSet, modelWE
 
@@ -114,6 +113,39 @@ def test_featureset_pickle_roundtrip(h5path):
     assert back.parent_is_lazy
     assert np.array_equal(back["parent"], feats["parent"])
     assert np.array_equal(back["child"], feats["child"])
+
+
+def test_featureset_dict_protocols_do_not_leak_placeholder(h5path):
+    m = _model(h5path, dedup_coordinates=True)
+    feats = m._featurize_all()
+    assert feats.parent_is_lazy
+    expected = _eager_parent(feats)
+
+    # .get must materialize like __getitem__ would; on a fresh lazy set
+    m2 = _model(h5path, dedup_coordinates=True)
+    f2 = m2._featurize_all()
+    got = f2.get("parent")
+    assert got is not None and np.array_equal(got, expected)
+    assert f2.get("missing", 7) == 7
+
+    # items()/values()/copy() materialize rather than exposing None
+    m3 = _model(h5path, dedup_coordinates=True)
+    f3 = m3._featurize_all()
+    assert not any(v is None for _, v in f3.items())
+    m4 = _model(h5path, dedup_coordinates=True)
+    f4 = m4._featurize_all()
+    cp = f4.copy()
+    assert isinstance(cp, FeatureSet)
+    assert np.array_equal(cp["parent"], expected)
+
+    # Boolean-mask subset access matches integer indexing
+    m5 = _model(h5path, dedup_coordinates=True)
+    f5 = m5._featurize_all()
+    mask = np.zeros(len(expected), bool)
+    mask[[1, 4, int(f5._parent_fb_rows[0])]] = True
+    assert f5.parent_is_lazy
+    assert np.array_equal(f5.parent_rows(mask), expected[mask])
+    assert f5.parent_is_lazy
 
 
 def test_legacy_plain_dict_features_still_work(h5path):
