@@ -359,7 +359,15 @@ def run_end_to_end():
             cross_validation_groups=0,
             show_live_display=False,
             device_pipeline=True,
-            step_kwargs={"clustering": {"user_bin_mapper": mapper}},
+            # scan_small_batches: the whole fill loop (one sub-threshold
+            # batch per iteration at these shapes) runs as ONE device scan
+            # dispatch -- the documented device-family clustering mode
+            step_kwargs={
+                "clustering": {
+                    "user_bin_mapper": mapper,
+                    "scan_small_batches": True,
+                }
+            },
         )
         return time.perf_counter() - t0, model
 

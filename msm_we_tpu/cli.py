@@ -48,6 +48,10 @@ def main(argv=None):
     build.add_argument("--device-pipeline", action="store_true",
                        help="Run discretization+flux as one fused mesh-sharded "
                             "device program over all visible chips")
+    build.add_argument("--scan-small-batches", action="store_true",
+                       help="Fuse the whole streaming-clustering fill loop "
+                            "into one device scan dispatch (device numerics "
+                            "family; see docs/usage.md)")
     build.add_argument("--save-model", default=None,
                        help="Pickle the built model here")
 
@@ -144,6 +148,8 @@ def main(argv=None):
             cluster_kwargs["user_bin_mapper"] = RectilinearBinMapper(
                 [np.linspace(lo, hi, int(nbins) + 1)]
             )
+        if args.scan_small_batches and args.stratified:
+            cluster_kwargs["scan_small_batches"] = True
         model.cluster_coordinates(
             n_clusters=args.n_clusters, stratified=args.stratified, **cluster_kwargs
         )

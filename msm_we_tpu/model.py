@@ -1339,6 +1339,7 @@ class modelWE:
         user_bin_mapper=None,
         progress_bar=None,
         defer_discretization=False,
+        scan_small_batches=False,
         **_cluster_args,
     ):
         """Per-WE-bin stratified clustering (reference ``cluster_stratified``
@@ -1356,6 +1357,15 @@ class modelWE:
         dispatch+sync instead of two), otherwise via
         ``launch_discretization``. Don't touch ``dtrajs``-derived state
         (``update_cluster_structures`` etc.) in the deferred window.
+
+        ``scan_small_batches=True`` routes sub-``HOST_BATCH_THRESHOLD``
+        no-seeding fill batches through the fused device scan as well
+        (one dispatch for the whole fill loop instead of ~one host update
+        per iteration). Opt-in because it switches those batches from the
+        host-numpy to the device numerics family: centers differ in
+        near-tie assignments and f32 rounding, so builds no longer match a
+        default (host-family) build bitwise -- both are equally valid
+        clusterings. Seeding batches keep the host family either way.
         """
         if user_bin_mapper is not None:
             bin_mapper = user_bin_mapper
@@ -1463,7 +1473,8 @@ class modelWE:
             idx = j + 1
 
         self._run_streaming_batches(strat, feats, batches, delegated,
-                                    bin_mapper, all_filled, iters_to_use)
+                                    bin_mapper, all_filled, iters_to_use,
+                                    scan_small_batches=scan_small_batches)
 
         # Never-filled bins delegate to the nearest filled bin
         true_unfilled = np.setdiff1d(
@@ -1498,7 +1509,8 @@ class modelWE:
         self.launch_discretization()
 
     def _run_streaming_batches(self, strat, feats, batches, delegated,
-                               bin_mapper, all_filled, iters_to_use):
+                               bin_mapper, all_filled, iters_to_use,
+                               scan_small_batches=False):
         """Execute the streaming-clustering batch plan, fusing runs of
         no-seeding device-path batches into single ``lax.scan`` dispatches.
 
@@ -1533,11 +1545,12 @@ class modelWE:
         for (rows, bins, ub, cnt), remapped in zip(batches, delegated):
             seeds = (~sim_init[ub]) & (cnt >= strat.k)
             live = int(cnt[sim_init[ub]].sum())
+            live_floor = 1 if scan_small_batches else HOST_BATCH_THRESHOLD
             if (
                 not ascending
                 or remapped
                 or seeds.any()
-                or live < HOST_BATCH_THRESHOLD
+                or live < live_floor
             ):
                 plan.append(False)
                 sim_init[ub[seeds]] = True

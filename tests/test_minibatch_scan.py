@@ -123,6 +123,84 @@ def test_scan_respects_uninitialized_bins():
     assert not strat_b.initialized[2]
 
 
+def test_scan_small_batches_mode(tmp_path):
+    """scan_small_batches=True fuses sub-threshold fill batches into one
+    scan dispatch (device family): the build is deterministic, only
+    seeding batches go through partial_fit, and results stay a valid
+    clustering (bin-consistent assignments)."""
+    from msm_we_tpu.binning import RectilinearBinMapper
+    from msm_we_tpu.data import generate_west_h5
+    from msm_we_tpu.model import modelWE
+    from msm_we_tpu.ops.stratified import StratifiedKmeans
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=20, n_segments=64, seed=5)
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 5)])
+
+    calls = {"partial_fit": 0, "scan": 0}
+    orig_pf = StratifiedKmeans.partial_fit
+    orig_scan = StratifiedKmeans.minibatch_scan_run
+
+    def build():
+        m = modelWE()
+        m.initialize(
+            [path],
+            {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            "t",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dim_reduce_method="pca",
+            tau=1.0,
+        )
+        m.get_iterations()
+        m.dimReduce()
+        m.cluster_stratified(
+            n_clusters=3, user_bin_mapper=mapper, scan_small_batches=True
+        )
+        return m
+
+    def pf(self, *a, **kw):
+        calls["partial_fit"] += 1
+        return orig_pf(self, *a, **kw)
+
+    def scan(self, *a, **kw):
+        calls["scan"] += 1
+        return orig_scan(self, *a, **kw)
+
+    StratifiedKmeans.partial_fit = pf
+    StratifiedKmeans.minibatch_scan_run = scan
+    try:
+        m1 = build()
+        first = dict(calls)
+        m2 = build()
+    finally:
+        StratifiedKmeans.partial_fit = orig_pf
+        StratifiedKmeans.minibatch_scan_run = orig_scan
+
+    # One seeding batch through partial_fit, the rest in one scan dispatch
+    assert first["scan"] >= 1
+    assert first["partial_fit"] <= 2
+    # Deterministic across repeat builds
+    assert np.array_equal(m1._strat.centers, m2._strat.centers)
+    assert np.array_equal(
+        np.concatenate(m1.dtrajs), np.concatenate(m2.dtrajs)
+    )
+    # Valid clustering: each segment's cluster belongs to its (remapped) bin
+    strat = m1._strat
+    child_idx = np.concatenate(m1.dtrajs)
+    regular = child_idx < strat.n_total_clusters
+    inv = np.full(strat.n_total_clusters, -1)
+    vrows = np.flatnonzero(strat.valid)
+    inv[strat.global_id[vrows]] = vrows
+    rows = inv[child_idx[regular]]
+    assert (rows >= 0).all()
+    _, cbins_raw = m1._raw_we_bins()
+    assert np.array_equal(
+        strat.center_bin[rows],
+        strat.we_remap[cbins_raw[regular]],
+    )
+
+
 @pytest.mark.parametrize("with_mesh", [False, True])
 def test_cluster_stratified_scan_fusion_matches_per_batch(tmp_path, with_mesh):
     """End-to-end: a build whose fill batches clear HOST_BATCH_THRESHOLD
@@ -160,9 +238,9 @@ def test_cluster_stratified_scan_fusion_matches_per_batch(tmp_path, with_mesh):
             # Force every batch through the per-batch path
             orig = modelWE._run_streaming_batches
 
-            def all_delegate(self, strat, feats, batches, delegated, *a):
+            def all_delegate(self, strat, feats, batches, delegated, *a, **kw):
                 return orig(self, strat, feats, batches,
-                            [True] * len(delegated), *a)
+                            [True] * len(delegated), *a, **kw)
 
             m._run_streaming_batches = all_delegate.__get__(m)
         m.cluster_stratified(n_clusters=3, user_bin_mapper=mapper)
