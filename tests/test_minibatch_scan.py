@@ -123,6 +123,59 @@ def test_scan_respects_uninitialized_bins():
     assert not strat_b.initialized[2]
 
 
+def test_mid_stream_seeding_splits_runs(tmp_path):
+    """A bin first filled mid-stream forces its batch through partial_fit
+    (seeding), with scan runs on both sides; the final state must equal
+    the all-per-batch sequence."""
+    import jax.numpy as jnp
+
+    from msm_we_tpu.model import modelWE
+
+    n_bins, k, d = 3, 4, 5
+    rng = np.random.default_rng(42)
+    P = HOST_BATCH_THRESHOLD + 256
+    # 6 batches; bin 2 appears only from batch 3 on (seeds at batch 3)
+    Xs, binss = [], []
+    for b in range(6):
+        X = rng.normal(size=(P, d)).astype(np.float32)
+        bins = rng.integers(0, 2 if b < 3 else 3, P)
+        Xs.append(X)
+        binss.append(bins)
+
+    # Reference: plain per-batch partial_fit
+    strat_a = StratifiedKmeans(n_bins=n_bins, k_per_bin=k, n_features=d, seed=9)
+    for X, b in zip(Xs, binss):
+        strat_a.partial_fit(X, b)
+    strat_a._sync_host()
+
+    # Through the model orchestration (scan fusion around the seeders)
+    strat_b = StratifiedKmeans(n_bins=n_bins, k_per_bin=k, n_features=d, seed=9)
+    m = modelWE()
+    m._mesh = None
+    m.use_weights_in_clustering = False
+
+    class _Mapper:
+        nbins = n_bins
+
+    feats = {
+        "child": np.concatenate(Xs),
+        "weights": np.ones(6 * P),
+        "offsets": np.arange(7) * P,
+    }
+    batches = []
+    for b in range(6):
+        rows = np.arange(b * P, (b + 1) * P)
+        ub, cnt = np.unique(binss[b], return_counts=True)
+        batches.append((rows, binss[b], ub, cnt))
+    m._run_streaming_batches(
+        strat_b, feats, batches, [False] * 6, _Mapper(), set(),
+        list(range(1, 7)),
+    )
+    strat_b._sync_host()
+    assert np.array_equal(strat_a.centers, strat_b.centers)
+    assert np.array_equal(strat_a.counts, strat_b.counts)
+
+
 def test_scan_small_batches_mode(tmp_path):
     """scan_small_batches=True fuses sub-threshold fill batches into one
     scan dispatch (device family): the build is deterministic, only
