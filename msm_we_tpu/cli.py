@@ -148,7 +148,9 @@ def main(argv=None):
             cluster_kwargs["user_bin_mapper"] = RectilinearBinMapper(
                 [np.linspace(lo, hi, int(nbins) + 1)]
             )
-        if args.scan_small_batches and args.stratified:
+        if args.scan_small_batches:
+            if not args.stratified:
+                parser.error("--scan-small-batches requires --stratified")
             cluster_kwargs["scan_small_batches"] = True
         model.cluster_coordinates(
             n_clusters=args.n_clusters, stratified=args.stratified, **cluster_kwargs

@@ -1611,7 +1611,11 @@ class modelWE:
                 j = i
                 while j + 1 < len(batches) and plan[j + 1]:
                     j += 1
-                if j > i:  # a run of >= 2 fusable batches
+                # Default mode only fuses runs of >= 2 (a lone device-family
+                # batch costs one dispatch either way); scan_small_batches
+                # scans even singletons so every non-seeding batch gets the
+                # same (device) numerics family
+                if j > i or scan_small_batches:
                     X_dev, eff_dev, w_dev = scan_context()
                     starts = np.array(
                         [batches[b][0][0] for b in range(i, j + 1)], np.int64

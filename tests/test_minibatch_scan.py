@@ -123,12 +123,10 @@ def test_scan_respects_uninitialized_bins():
     assert not strat_b.initialized[2]
 
 
-def test_mid_stream_seeding_splits_runs(tmp_path):
+def test_mid_stream_seeding_splits_runs():
     """A bin first filled mid-stream forces its batch through partial_fit
     (seeding), with scan runs on both sides; the final state must equal
     the all-per-batch sequence."""
-    import jax.numpy as jnp
-
     from msm_we_tpu.model import modelWE
 
     n_bins, k, d = 3, 4, 5
@@ -184,7 +182,6 @@ def test_scan_small_batches_mode(tmp_path):
     from msm_we_tpu.binning import RectilinearBinMapper
     from msm_we_tpu.data import generate_west_h5
     from msm_we_tpu.model import modelWE
-    from msm_we_tpu.ops.stratified import StratifiedKmeans
 
     path = str(tmp_path / "west.h5")
     generate_west_h5(path, n_iterations=20, n_segments=64, seed=5)
