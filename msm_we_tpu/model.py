@@ -27,6 +27,7 @@ for API compatibility and ignored where the redesign makes them moot.
 from __future__ import annotations
 
 from copy import deepcopy
+from functools import lru_cache
 
 import numpy as np
 
@@ -297,16 +298,12 @@ def _feat_parent_rows(feats, rows):
     return feats["parent"][rows]
 
 
+@lru_cache(maxsize=None)
 def _parent_gather_fn(sharding, with_fallback):
     """Jitted on-device parent-from-child row gather (memoized per sharding
     like the other mesh builders; retracing per build would dominate)."""
     import jax
     import jax.numpy as jnp
-
-    key = (sharding, with_fallback)
-    cached = _parent_gather_fn._cache.get(key)
-    if cached is not None:
-        return cached
 
     if with_fallback:
         def f(child, src, fb_rows, fb_vals):
@@ -315,12 +312,7 @@ def _parent_gather_fn(sharding, with_fallback):
         def f(child, src):
             return jnp.take(child, src, axis=0)
 
-    fn = jax.jit(f, out_shardings=sharding)
-    _parent_gather_fn._cache[key] = fn
-    return fn
-
-
-_parent_gather_fn._cache = {}
+    return jax.jit(f, out_shardings=sharding)
 
 
 def _device_parent_from_child(child_dev, feats, N_pad, row_sharding):
@@ -1583,14 +1575,12 @@ class modelWE:
                 n_pad = X_dev.shape[0]
                 sh = NamedSharding(self._mesh, P("data"))
 
-                def pad1(a, fill, dtype):
-                    out = np.full(n_pad, fill, dtype)
-                    out[:N] = a
-                    return jax.device_put(out, sh)
+                def pad_put(a, fill):
+                    return jax.device_put(_pad_rows_to(a, n_pad, fill), sh)
 
-                eff_dev = pad1(eff, -1, eff_dt)
+                eff_dev = pad_put(eff, -1)
                 w_dev = (
-                    pad1(feats["weights"], 0.0, np.float32)
+                    pad_put(feats["weights"].astype(np.float32), 0.0)
                     if use_weights
                     else None
                 )
