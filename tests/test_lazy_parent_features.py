@@ -148,6 +148,26 @@ def test_featureset_dict_protocols_do_not_leak_placeholder(h5path):
     assert f5.parent_is_lazy
 
 
+def test_model_save_load_keeps_recipe_lazy(h5path, tmp_path):
+    """model.save() must pickle the recipe, not a materialized parent array,
+    and the loaded model must materialize identically on demand."""
+    m = _model(h5path, dedup_coordinates=True)
+    feats = m._featurize_all()
+    assert feats.parent_is_lazy
+    expected = _eager_parent(feats)
+
+    path = str(tmp_path / "m.obj")
+    m.save(path)
+    assert feats.parent_is_lazy  # saving must not materialize
+
+    # Same files: cached features survive the pickle as the lazy recipe
+    # (re-anchoring via h5_paths= intentionally drops them instead)
+    back = modelWE.load(path)
+    bf = back._features
+    assert isinstance(bf, FeatureSet) and bf.parent_is_lazy
+    assert np.array_equal(bf["parent"], expected)
+
+
 def test_legacy_plain_dict_features_still_work(h5path):
     from msm_we_tpu.model import _feat_parent_rows
 
