@@ -223,6 +223,24 @@ def masked_minibatch_step(centers, counts, X, w, seg_bin, center_bin, valid,
     return minibatch_update(centers, counts, X, w, idx)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def seed_bin(key, X, w, k):
+    """Fused device seeding for one WE bin: weighted k-means++ -> 5 Lloyd
+    sweeps -> final assignment -> per-center weight sums, in ONE dispatch
+    with ONE downloadable (k, d+1) result (centers | wsum column).
+
+    The separate calls cost ~4 dispatches plus two blocking downloads per
+    bin; through a remote tunnel that is most of a large build's seeding
+    batch. Identical ops to the separate kmeans_plusplus/lloyd/assign_flat/
+    segment_sum calls (nested jitted calls inline).
+    """
+    init = kmeans_plusplus(key, X, w, k)
+    cb = lloyd(X, w, init, n_iter=5)
+    idx, _ = assign_flat(X, cb, jnp.ones(k, bool))
+    wsum = jax.ops.segment_sum(w, idx, num_segments=k)
+    return jnp.concatenate([cb, wsum[:, None]], axis=1)
+
+
 @partial(jax.jit, static_argnames=("n_bins", "window"))
 def masked_minibatch_scan(centers, counts, X_all, eff_bin, w_all, init_mask,
                           starts, lengths, center_bin, valid,

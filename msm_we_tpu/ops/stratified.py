@@ -27,11 +27,9 @@ import numpy as np
 
 from .._logging import log
 from .kmeans import (
-    assign_flat,
-    kmeans_plusplus,
-    lloyd,
     masked_assign,
     masked_minibatch_step,
+    seed_bin,
 )
 
 __all__ = ["StratifiedKmeans"]
@@ -251,15 +249,14 @@ class StratifiedKmeans:
                 self.counts[rows] = wsum
             else:
                 Xb_np, wb_np, _ = _pad_pow2(X[members], w[members])
-                Xb = jnp.asarray(Xb_np)
-                wb = jnp.asarray(wb_np)
                 key = jax.random.PRNGKey(self.seed + int(b))
-                init = kmeans_plusplus(key, Xb, wb, self.k)
-                cb = lloyd(Xb, wb, init, n_iter=5)
-                idx, _ = assign_flat(Xb, cb, jnp.ones(self.k, bool))
-                wsum = jax.ops.segment_sum(wb, idx, num_segments=self.k)
-                self.centers[rows] = np.array(cb)
-                self.counts[rows] = np.array(wsum)
+                # One dispatch + one download per seeded bin (seed_bin
+                # stacks centers and weight sums into a single result)
+                packed = np.asarray(
+                    seed_bin(key, jnp.asarray(Xb_np), jnp.asarray(wb_np), self.k)
+                )
+                self.centers[rows] = packed[:, :-1]
+                self.counts[rows] = packed[:, -1]
             self.valid[rows] = True
             self.initialized[b] = True
             seeded = True

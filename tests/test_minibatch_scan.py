@@ -123,6 +123,35 @@ def test_scan_respects_uninitialized_bins():
     assert not strat_b.initialized[2]
 
 
+def test_seed_bin_fusion_matches_separate_calls():
+    """seed_bin (one dispatch) must reproduce the separate kmeans_plusplus/
+    lloyd/assign_flat/segment_sum sequence bitwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from msm_we_tpu.ops.kmeans import (
+        assign_flat,
+        kmeans_plusplus,
+        lloyd,
+        seed_bin,
+    )
+
+    rng = np.random.default_rng(8)
+    k, d = 4, 6
+    X = jnp.asarray(rng.normal(size=(512, d)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.1, 1.0, 512).astype(np.float32))
+    key = jax.random.PRNGKey(123)
+
+    packed = np.asarray(seed_bin(key, X, w, k))
+
+    init = kmeans_plusplus(key, X, w, k)
+    cb = lloyd(X, w, init, n_iter=5)
+    idx, _ = assign_flat(X, cb, jnp.ones(k, bool))
+    wsum = jax.ops.segment_sum(w, idx, num_segments=k)
+    assert np.array_equal(packed[:, :-1], np.asarray(cb))
+    assert np.array_equal(packed[:, -1], np.asarray(wsum))
+
+
 def test_mid_stream_seeding_splits_runs():
     """A bin first filled mid-stream forces its batch through partial_fit
     (seeding), with scan runs on both sides; the final state must equal
