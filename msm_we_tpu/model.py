@@ -1082,8 +1082,8 @@ class modelWE:
         for iteration in range(1, self.maxIter):
             parent, child, weights = self._dataset.iter_coord_pairs(iteration)
             d = self._dataset.iter_data(iteration)
-            red_parent.add(np.nan_to_num(parent))
-            red_child.add(np.nan_to_num(child))
+            red_parent.add(np.nan_to_num(parent, copy=False))
+            red_child.add(np.nan_to_num(child, copy=False))
             p0s.append(d["pcoord0"])
             p1s.append(d["pcoord1"])
             ws.append(weights)
@@ -1137,7 +1137,10 @@ class modelWE:
                     return None
             d = ds.iter_data(iteration)
             nan_blocks.append(np.isnan(child).any(axis=tuple(range(1, child.ndim))))
-            red_child.add(np.nan_to_num(child))
+            # In-place NaN fill is safe: the block is a fresh h5 read, and
+            # the NaN scan above already ran. Saves a full copy pass over
+            # every raw coordinate per build (GBs for real MD data)
+            red_child.add(np.nan_to_num(child, copy=False))
             p0s.append(d["pcoord0"])
             p1s.append(d["pcoord1"])
             ws.append(d["weights"].copy())
@@ -1186,7 +1189,7 @@ class modelWE:
             for iteration, fb_local in fallback:
                 raw = ds.iter_frame_subset(iteration, fb_local, 0)
                 fb_nan.append(np.isnan(raw).any(axis=tuple(range(1, raw.ndim))))
-                red_fb.add(np.nan_to_num(raw))
+                red_fb.add(np.nan_to_num(raw, copy=False))
                 fb_rows.append(offsets[iteration - 1] + fb_local)
             # Iterations ascend and fb_local is sorted within each, so the
             # concatenation is globally sorted (parent_rows searchsorts it)
@@ -1203,7 +1206,7 @@ class modelWE:
             for it in np.unique(sample_iter):
                 rows_g = sample[sample_iter == it]
                 raw = ds.iter_frame_subset(int(it), rows_g - offsets[it - 1], 0)
-                red_v.add(np.nan_to_num(raw))
+                red_v.add(np.nan_to_num(raw, copy=False))
             direct = red_v.finish().astype(np.float32)
             if not np.array_equal(direct, child_feats[src_all[sample]]):
                 return None
