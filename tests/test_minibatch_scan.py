@@ -123,6 +123,63 @@ def test_scan_respects_uninitialized_bins():
     assert not strat_b.initialized[2]
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_scan_plan_fuzz_matches_delegated(seed):
+    """Random batch plans (sizes straddling HOST_BATCH_THRESHOLD, bins
+    appearing late, weighted and not): the fused orchestration must equal
+    running every batch through partial_fit."""
+    from msm_we_tpu.model import modelWE
+
+    rng = np.random.default_rng(seed)
+    n_bins, k, d = 4, 3, 4
+    weighted = bool(seed % 2)
+    sizes = rng.choice(
+        [512, HOST_BATCH_THRESHOLD + 64, 2 * HOST_BATCH_THRESHOLD], 7
+    )
+    Xs, binss, ws = [], [], []
+    for i, n in enumerate(sizes):
+        Xs.append(rng.normal(size=(int(n), d)).astype(np.float32))
+        # bin 3 only appears from batch 4 on
+        hi = 3 if i < 4 else 4
+        binss.append(rng.integers(0, hi, int(n)))
+        ws.append(rng.uniform(0.2, 1.0, int(n)))
+
+    def run(delegate_all):
+        strat = StratifiedKmeans(
+            n_bins=n_bins, k_per_bin=k, n_features=d, seed=seed
+        )
+        m = modelWE()
+        m._mesh = None
+        m.use_weights_in_clustering = weighted
+
+        class _Mapper:
+            nbins = n_bins
+
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        feats = {
+            "child": np.concatenate(Xs),
+            "weights": np.concatenate(ws),
+            "offsets": offsets,
+        }
+        batches = []
+        for i in range(len(sizes)):
+            rows = np.arange(offsets[i], offsets[i + 1])
+            ub, cnt = np.unique(binss[i], return_counts=True)
+            batches.append((rows, binss[i], ub, cnt))
+        m._run_streaming_batches(
+            strat, feats, batches, [delegate_all] * len(sizes), _Mapper(),
+            set(), list(range(1, len(sizes) + 1)),
+        )
+        strat._sync_host()
+        return strat
+
+    a = run(True)   # everything through partial_fit
+    b = run(False)  # fused plan
+    assert np.array_equal(a.centers, b.centers)
+    assert np.array_equal(a.counts, b.counts)
+    assert np.array_equal(a.initialized, b.initialized)
+
+
 def test_seed_bin_fusion_matches_separate_calls():
     """seed_bin (one dispatch) must reproduce the separate kmeans_plusplus/
     lloyd/assign_flat/segment_sum sequence bitwise."""
