@@ -18,6 +18,12 @@ Supports the reference's capability surface:
 * center deletion during flux-matrix cleaning (``_clustering.py:1041-1045``)
   via validity masking -- shapes never change, so jitted kernels never
   recompile.
+
+Streaming training runs either per batch (:meth:`StratifiedKmeans.partial_fit`,
+one fused assign+update dispatch) or as a whole run of batches in ONE
+``lax.scan`` dispatch (:meth:`StratifiedKmeans.minibatch_scan_run`,
+orchestrated by ``modelWE._run_streaming_batches``) -- bitwise-identical
+sequential folds of the same update.
 """
 from __future__ import annotations
 
