@@ -171,6 +171,13 @@ class ExtendedModelWE(modelWE):
 
         Sets ``alloc`` (per-bin walker allocation weights), ``walkers_per_bin``,
         ``binObjective`` (total mutation+selection variance), ``khbins_*``.
+
+        Ordering quirk kept for reference parity: ``walkers_per_bin``,
+        ``bin_kh_var``, ``bin_mutV``, ``bin_selV``, ``nOccupancySS`` and
+        ``rhomutation`` are reindexed into sorted-``khbins_binCenters`` order,
+        but ``alloc`` and ``value`` stay in raw cluster order
+        (``_untested.py:382,470`` never applies ``ind`` to them) -- pair them
+        with the unsorted centers, not with ``khbins_binCenters``.
         """
         nB = int(self.nB)
         centers = self._kh_bin_centers(nB)

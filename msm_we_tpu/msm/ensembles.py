@@ -16,7 +16,7 @@ import networkx as nx
 import numpy as np
 
 from ..utils import Interval, get_shape, reverse_sort_lists, weighted_choice
-from .fpt import DirectFPT, NonMarkovFPT, _membership
+from .fpt import DirectFPT, NonMarkovFPT, _forward_fill, _membership
 
 __all__ = ["Ensemble", "PathEnsemble", "DiscreteEnsemble", "DiscretePathEnsemble"]
 
@@ -267,9 +267,7 @@ class PathEnsemble(Ensemble):
                 in_B = _membership(snapshots, intervalB, False)
 
             lab = np.where(in_A, 0, np.where(in_B, 1, -1))
-            n = len(lab)
-            last = np.maximum.accumulate(np.where(lab >= 0, np.arange(n), -1))
-            color = np.where(last >= 0, lab[np.maximum(last, 0)], -1)
+            color = _forward_fill(lab)
 
             events = (
                 np.flatnonzero(

@@ -62,6 +62,26 @@ def _membership(points, state, discrete):
     return np.fromiter((p in interval for p in points), dtype=bool, count=len(points))
 
 
+def _labels(states, stateA, stateB):
+    """Per-frame labels: 0 if in A, 1 if in B, -1 otherwise."""
+    in_A = np.isin(states, stateA)
+    in_B = np.isin(states, stateB)
+    return np.where(in_A, 0, np.where(in_B, 1, -1))
+
+
+def _forward_fill(lab):
+    """Forward-fill labels along axis 0; -1 where nothing labeled yet.
+
+    The single home of the color-inheritance convention shared by the msm
+    package (colored counting in nmm.py, path extraction in ensembles.py,
+    event tracing here).
+    """
+    lab = np.asarray(lab)
+    n = len(lab)
+    last = np.maximum.accumulate(np.where(lab >= 0, np.arange(n), -1))
+    return np.where(last >= 0, lab[np.maximum(last, 0)], -1)
+
+
 def _trace_events(observed_states):
     """Given per-frame labels (0=A, 1=B, -1=unknown), find color-flip events.
 
@@ -81,8 +101,7 @@ def _trace_events(observed_states):
         )
 
     # Forward-fill: color[i] = state at the most recent labeled frame <= i
-    last_labeled = np.maximum.accumulate(np.where(labeled, np.arange(n), -1))
-    color = np.where(last_labeled >= 0, state[np.maximum(last_labeled, 0)], -1)
+    color = _forward_fill(state)
 
     flips = (color[1:] != color[:-1]) & (color[:-1] >= 0) & (color[1:] >= 0)
     events = np.flatnonzero(flips) + 1
@@ -336,9 +355,11 @@ class MatrixFPT:
 
         target = f_state[0]
         if clean_recycling:
-            # Strip recycling so the result is a distribution, not a CDF
+            # Strip recycling so the result is a distribution, not a CDF.
+            # The whole target row is zeroed -- including the diagonal, i.e.
+            # the target is NOT made absorbing here (contrast
+            # adaptive_fpt_distribution, which sets the diagonal to 1).
             tmatrix[target, :] = 0.0
-            tmatrix[target, target] = 0.0
 
         if logscale:
             lag_list = np.logspace(min_power, max_power, max_n_lags, dtype=int)

@@ -20,23 +20,11 @@ from ..utils import (
     weighted_choice,
 )
 from .ensembles import DiscreteEnsemble, DiscretePathEnsemble
-from .fpt import DirectFPT, MarkovFPT, NonMarkovFPT
+from .fpt import DirectFPT, MarkovFPT, NonMarkovFPT, _forward_fill, _labels
+
+from .._logging import log
 
 __all__ = ["NonMarkovModel", "MarkovPlusColorModel"]
-
-
-def _labels(states, stateA, stateB):
-    """Per-frame labels: 0 if in A, 1 if in B, -1 otherwise."""
-    in_A = np.isin(states, stateA)
-    in_B = np.isin(states, stateB)
-    return np.where(in_A, 0, np.where(in_B, 1, -1))
-
-
-def _forward_fill(lab):
-    """Forward-fill labels along axis 0; -1 where nothing labeled yet."""
-    n = len(lab)
-    last = np.maximum.accumulate(np.where(lab >= 0, np.arange(n), -1))
-    return np.where(last >= 0, lab[np.maximum(last, 0)], -1)
 
 
 class NonMarkovModel(DiscreteEnsemble):
@@ -119,6 +107,19 @@ class NonMarkovModel(DiscreteEnsemble):
         sliding window, every frame pair ``(i - lag, i)`` is counted once, with
         colors propagated along its lag-strided chain; without, only the single
         chain starting at ``lag`` is counted.
+
+        Two conventions inherited from the reference are worth calling out:
+
+        - The first pair of every chain is counted in ``markov_cmatrix`` but
+          never in ``nm_cmatrix``: the chain anchor ``traj[start - lag]`` gets
+          no color (the reference starts each chain with ``prev_color = None``,
+          ``nmm.py:134-147``), so a trajectory whose only A/B visits lie in its
+          first ``lag`` frames contributes zero colored counts.
+          :class:`MarkovPlusColorModel` uses a different convention (the
+          anchor's own label seeds the history window).
+        - ``markov_tmatrix`` honors ``self.reversible``. The reference stores
+          the flag but hardcodes ``reversible=True`` at ``nmm.py:161``; with
+          the default ``reversible=True`` the results are identical.
         """
         n = self.n_states
         lag = self._lag_time
@@ -162,7 +163,9 @@ class NonMarkovModel(DiscreteEnsemble):
         self.nm_cmatrix = nm_cmatrix
         self.markov_cmatrix = markov_cmatrix
         self.nm_tmatrix = normalize_markov_matrix(nm_cmatrix)
-        self.markov_tmatrix = normalize_markov_matrix(markov_cmatrix, reversible=True)
+        self.markov_tmatrix = normalize_markov_matrix(
+            markov_cmatrix, reversible=self.reversible
+        )
 
     @classmethod
     def from_nm_tmatrix(
@@ -242,24 +245,20 @@ class NonMarkovModel(DiscreteEnsemble):
         """
         n = self.n_states
         idx = 2 * np.arange(n) + label_parity
-        block = self.nm_tmatrix[np.ix_(idx, idx)].copy()
+        block = self.nm_tmatrix[np.ix_(idx, idx)]
         # Transitions into the absorbing macrostate come from the
         # opposite-label column (the label switch on entry)
         other = idx + (1 if label_parity == 0 else -1)
+        cross = self.nm_tmatrix[np.ix_(idx, other)]
         in_state = np.isin(np.arange(n), keep_state)
 
-        out = np.empty((n, n))
-        for i in range(n):
-            for j in range(n):
-                if in_state[i] and not in_state[j]:
-                    out[i, j] = 0.0
-                elif in_state[i] and in_state[j]:
-                    out[i, j] = 1.0 if i == j else 0.0
-                elif not in_state[i] and in_state[j]:
-                    out[i, j] = self.nm_tmatrix[idx[i], other[j]]
-                else:
-                    out[i, j] = block[i, j]
-        return out
+        row_in = in_state[:, None]
+        col_in = in_state[None, :]
+        # Non-absorbing rows keep the same-label block, except columns into
+        # the absorbing set, which take the opposite-label (entry) column;
+        # absorbing rows are identity
+        out = np.where(col_in, cross, block)
+        return np.where(row_in, np.where(col_in, np.eye(n), 0.0), out)
 
     def tmatrixAB(self):
         if self.markovian:
@@ -329,12 +328,13 @@ class NonMarkovModel(DiscreteEnsemble):
         pAA, pAB, pBA, pBB = [], [], [], []
         t_matrix = self.markov_tmatrix if self.markovian else self.nm_tmatrix
         tot = self.n_states if self.markovian else 2 * self.n_states
+        # Loop-invariant: one eigendecomposition, not one per time point
+        pops_eq = self.populations()
 
         for dt in times:
             if dt % self.lag_time != 0:
                 raise ValueError("The times given should be multiple of the lag time")
             n = int(dt / self.lag_time)
-            pops_eq = self.populations()
             t_n = np.linalg.matrix_power(t_matrix.T, n)
 
             popsA = np.zeros(tot)
@@ -508,6 +508,19 @@ class MarkovPlusColorModel(NonMarkovModel):
             nm_tmatrix[1::2, 1::2] += np.where(C_UU > 0, C_UU * f_oo / s, 0.0)
             nm_tmatrix[0::2, 0::2] += np.where(C_UU > 0, C_UU * f_ee / s, 0.0)
             nm_tmatrix[1::2, 0::2] += np.where(C_UU > 0, C_UU * f_oe / s, 0.0)
+
+        if np.isnan(nm_tmatrix).any():
+            # 0/0 in a flux split: a U-colored pair was observed between
+            # states whose pseudo-Markov stationary flux is zero (e.g. a
+            # disconnected component). The reference produces the same NaNs
+            # (``nmm.py:526-571`` divides by the bare ``temp_sum``); we keep
+            # the numerics but don't let it pass silently.
+            log.warning(
+                "Flux-splitting produced NaN rows: U-colored transitions were "
+                "observed between states with zero pseudo-Markov stationary "
+                "flux (disconnected components?). Downstream MFPTs from "
+                "these rows will be NaN."
+            )
 
         self.nm_cmatrix = nm_tmatrix.copy()  # un-normalized, like a count matrix
         self.nm_tmatrix = normalize_markov_matrix(nm_tmatrix)

@@ -84,6 +84,28 @@ def equilibrium_tmatrix_from_flux(flux_matrix, ind_targets, ind_basis):
     return _row_stochastic(fm[np.ix_(keep, keep)])
 
 
+def _power_correct(tmatrix, pSS, max_iters):
+    """Matrix-power fallback for an eigenvector with negative entries.
+
+    Repeated-squaring power iteration (reference ``_analysis.py:236-261``);
+    returns ``(corrected_pSS_or_input, corrected_flag)``. Unlike the
+    reference, which keys success on ``N == max_iters - 1`` and thereby
+    discards a correction that lands exactly on the final iteration, success
+    is tracked explicitly.
+    """
+    pSS_last = pSS
+    _tmatrix = tmatrix.copy()
+    for N in range(max_iters):
+        pSS_new = _tmatrix.T @ pSS_last
+        if (pSS_new < 0).sum() == 0:
+            log.info(f"Corrected to semidefinite pSS in {N} iterations")
+            return pSS_new, True
+        pSS_last = pSS_new
+        _tmatrix = tmatrix @ _tmatrix
+    log.warning("Power method did NOT obtain semidefinite pSS.")
+    return pSS, False
+
+
 def steady_state_algebraic(tmatrix, max_iters=1000, check_negative=True):
     """Dense eigensolve for the stationary distribution, with the reference's
     matrix-power fallback when the eigenvector has negative entries
@@ -100,20 +122,7 @@ def steady_state_algebraic(tmatrix, max_iters=1000, check_negative=True):
             "Negative elements in pSS after normalization, attempting to correct "
             "with matrix power method."
         )
-        pSS_last = pSS
-        _tmatrix = tmatrix.copy()
-        pSS_new = pSS_last
-        for N in range(max_iters):
-            pSS_new = _tmatrix.T @ pSS_last
-            if (pSS_new < 0).sum() == 0:
-                log.info(f"Corrected to semidefinite pSS in {N} iterations")
-                break
-            pSS_last = pSS_new
-            _tmatrix = tmatrix @ _tmatrix
-        if N == max_iters - 1:
-            log.warning("Power method did NOT obtain semidefinite pSS.")
-        else:
-            pSS = pSS_new
+        pSS, _corrected = _power_correct(tmatrix, pSS, max_iters)
 
     if not np.all(pSS >= 0) and check_negative:
         assert np.all(pSS >= 0), f"Negative elements in steady-state: {pSS}"
@@ -145,18 +154,25 @@ def steady_state_refined(
 ):
     """Algebraic estimate refined by sparse inverse iteration, converged on the
     change in target flux. Reference ``get_steady_state``
-    (``_analysis.py:97-191``). Returns (pSS, JtargetSS_estimate)."""
+    (``_analysis.py:97-191``). Returns (pSS, JtargetSS_estimate).
+
+    Raises ``ValueError`` if the basis cannot reach the target: the flux
+    convergence criterion is meaningless then. (The reference burns all
+    iterations on the -1 sentinel flux and dies on a bare
+    ``assert last_flux >= 0``, ``_analysis.py:184-188``.)"""
     sparse_mat = sparse.csr_matrix(tmatrix)
 
-    def _flux_ok():
-        return is_connected(sparse_mat, np.asarray(ind_basis), np.asarray(ind_targets))
+    if not is_connected(sparse_mat, np.asarray(ind_basis), np.asarray(ind_targets)):
+        raise ValueError(
+            "There is no path from the basis to the target in this transition "
+            "matrix, so a flux-converged steady state cannot be computed. "
+            "Check bin connectivity (e.g. too-aggressive cleaning or an "
+            "unreachable target definition)."
+        )
 
     algebraic_pss = steady_state_algebraic(tmatrix, max_iters=10, check_negative=False)
-    connected = _flux_ok()
 
     def _flux(p):
-        if not connected:
-            return -1.0
         return target_flux(np.asarray(tmatrix), p, ind_targets, n_bins, lagtime)
 
     last_flux = _flux(algebraic_pss)

@@ -703,3 +703,162 @@ def test_inverse_iteration_singular_retry_large_n():
     # Retry solves (M^T - 0.999 I) x = guess -> x ∝ guess; normalized
     np.testing.assert_allclose(result, guess, rtol=1e-10)
     assert np.all(np.isfinite(result))
+
+
+def test_power_correct_keeps_success_on_last_iteration():
+    """A power-method correction that succeeds exactly on the final iteration
+    must be kept. (The reference keys success on ``N == max_iters - 1``,
+    ``_analysis.py:254-261``, which throws that case away.)"""
+    from msm_we_tpu.ops.linalg import _power_correct
+
+    T = np.full((2, 2), 0.5)  # uniform: one multiply fixes any signed vector
+    pSS = np.array([1.2, -0.2])
+    out, corrected = _power_correct(T, pSS, max_iters=1)
+    assert corrected
+    np.testing.assert_allclose(out, [0.5, 0.5])
+
+    # Genuine failure still reports uncorrected and returns the input
+    Tb = np.eye(2)  # powers never mix the entries
+    out, corrected = _power_correct(Tb, pSS, max_iters=3)
+    assert not corrected
+    np.testing.assert_array_equal(out, pSS)
+
+
+def test_steady_state_refined_raises_clearly_on_disconnected():
+    """Basis that cannot reach the target: a clear ValueError, not the
+    reference's opaque ``assert last_flux >= 0`` crash (_analysis.py:184-188)."""
+    from msm_we_tpu.ops import linalg
+
+    # 3 states; state 2 (target) unreachable from state 0 (basis)
+    T = np.array(
+        [
+            [0.9, 0.1, 0.0],
+            [0.2, 0.8, 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    with pytest.raises(ValueError, match="no path from the basis"):
+        linalg.steady_state_refined(T, [2], [0], 3, 1.0)
+
+
+def test_nonmarkov_fit_reversible_flag_honored():
+    """reversible=False must skip the (T + T^T) symmetrization. The reference
+    stores the flag but hardcodes reversible=True (nmm.py:161)."""
+    trajs = [np.array([0, 2, 2, 1, 0, 2, 1])]
+    rev = NonMarkovModel(
+        trajs, stateA=[0], stateB=[1], reversible=True, clean_traj=True
+    )
+    nonrev = NonMarkovModel(
+        trajs, stateA=[0], stateB=[1], reversible=False, clean_traj=True
+    )
+
+    # Same counts either way
+    np.testing.assert_array_equal(rev.markov_cmatrix, nonrev.markov_cmatrix)
+    # 1 -> 2 is never observed: non-reversible T must keep it zero, while the
+    # symmetrized T leaks probability from the observed 2 -> 1 transitions
+    assert nonrev.markov_tmatrix[1, 2] == 0.0
+    assert rev.markov_tmatrix[1, 2] > 0.0
+    # Rows still stochastic
+    np.testing.assert_allclose(nonrev.markov_tmatrix.sum(axis=1), 1.0)
+
+
+def _oracle_colored_counts(trajs, stateA, stateB, lag, sliding_window):
+    """Straight per-frame transcription of the documented chain convention:
+    each lag-strided chain starts uncolored (its anchor frame contributes a
+    Markov count but no color), labels forward-fill along the chain."""
+    n = int(max(int(np.max(t)) for t in trajs)) + 1
+    nm = np.zeros((2 * n, 2 * n))
+    mk = np.zeros((n, n))
+    step = 1 if sliding_window else lag
+    for traj in trajs:
+        for start in range(lag, min(2 * lag, len(traj)), step):
+            prev = None
+            for i in range(start, len(traj), lag):
+                s = int(traj[i])
+                cur = 0 if s in stateA else (1 if s in stateB else None)
+                if cur is None:
+                    cur = prev
+                p = int(traj[i - lag])
+                mk[p, s] += 1.0
+                if prev is not None and cur is not None:
+                    nm[2 * p + (prev == 1), 2 * s + (cur == 1)] += 1.0
+                prev = cur
+    return nm, mk
+
+
+@pytest.mark.parametrize("lag,sliding", [(1, True), (2, True), (3, False)])
+def test_nonmarkov_fit_matches_per_frame_oracle(lag, sliding):
+    """Vectorized colored counting == the per-frame chain oracle, including
+    the anchor-colorless first pair of every chain."""
+    rng = np.random.default_rng(11)
+    trajs = [rng.integers(0, 5, size=L) for L in (3, 7, 20, 41)]
+    m = NonMarkovModel(
+        [t.copy() for t in trajs],
+        stateA=[0],
+        stateB=[1],
+        lag_time=lag,
+        sliding_window=sliding,
+        clean_traj=True,
+    )
+    nm, mk = _oracle_colored_counts(trajs, {0}, {1}, lag, sliding)
+    np.testing.assert_array_equal(m.nm_cmatrix, nm)
+    np.testing.assert_array_equal(m.markov_cmatrix, mk)
+
+    # The documented edge: an A->B transition living entirely in the first
+    # chain contributes Markov counts but zero colored counts
+    m2 = NonMarkovModel([np.array([0, 2, 1])], stateA=[0], stateB=[1], lag_time=1)
+    assert m2.nm_cmatrix.sum() == 0.0
+    assert m2.markov_cmatrix.sum() == 2.0
+
+
+def test_markov_plus_color_nan_fluxsplit_warns():
+    """U-colored pairs between zero-stationary-flux states produce NaN rows
+    (reference parity) -- but now with a loud warning."""
+    import logging
+
+    from msm_we_tpu._logging import log as pkg_log
+    from msm_we_tpu.msm.nmm import MarkovPlusColorModel
+
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = _Catch(level=logging.WARNING)
+    pkg_log.addHandler(h)
+    try:
+        m = MarkovPlusColorModel(
+            [[0, 2, 1, 2, 0], [3, 4, 3, 4, 3]],
+            stateA=[0],
+            stateB=[1],
+            hist_length=2,
+        )
+    finally:
+        pkg_log.removeHandler(h)
+    assert np.isnan(m.nm_tmatrix).any()
+    assert any("Flux-splitting produced NaN" in r for r in records)
+
+
+def test_directional_tmatrix_matches_elementwise_construction():
+    """The vectorized A->B / B->A directional matrices equal the per-element
+    definition (absorbing rows identity, entry column from the opposite label)."""
+    rng = np.random.default_rng(5)
+    trajs = [rng.integers(0, 4, size=60) for _ in range(3)]
+    m = NonMarkovModel(trajs, stateA=[0], stateB=[2], clean_traj=True)
+
+    for keep_state, parity in ((m.stateB, 0), (m.stateA, 1)):
+        got = m._directional_tmatrix(keep_state, parity)
+        n = m.n_states
+        idx = 2 * np.arange(n) + parity
+        other = idx + (1 if parity == 0 else -1)
+        expected = np.empty((n, n))
+        for i in range(n):
+            for j in range(n):
+                if i in keep_state:
+                    expected[i, j] = 1.0 if i == j else 0.0
+                elif j in keep_state:
+                    expected[i, j] = m.nm_tmatrix[idx[i], other[j]]
+                else:
+                    expected[i, j] = m.nm_tmatrix[idx[i], idx[j]]
+        np.testing.assert_array_equal(got, expected)
