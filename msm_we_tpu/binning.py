@@ -68,7 +68,17 @@ class VoronoiBinMapper:
     """
 
     def __init__(self, centers, dfunc=None):
-        self.centers = np.atleast_2d(np.asarray(centers, dtype=float))
+        centers = np.asarray(centers, dtype=float)
+        if centers.ndim == 1:
+            # A flat list is ambiguous: np.atleast_2d would silently read
+            # it as ONE ndim-len(centers) center (nbins=1). N 1-D centers
+            # must be spelled with an explicit trailing axis.
+            raise ValueError(
+                f"centers must be 2-D (n_centers, ndim); got a flat array of "
+                f"length {centers.size}. For 1-D centers pass shape "
+                f"({centers.size}, 1), e.g. np.asarray(centers)[:, None]."
+            )
+        self.centers = np.atleast_2d(centers)
         self.nbins = self.centers.shape[0]
         self.ndim = self.centers.shape[1]
         self.dfunc = dfunc if dfunc is not None else self._euclidean

@@ -277,19 +277,36 @@ class WEDataset:
         """
         data = self.iter_data(n_iter)
         n = data["n_segs"]
-        parent = None
-        child = None
-        for file_idx, _n in self._iter_index[n_iter]:
-            dset = self._aux_dset(file_idx, n_iter)
-            block_parent = dset[:, 0]
-            block_child = dset[:, -1]
-            mask = data["west_idx"] == file_idx
-            if parent is None:
-                shape = (n,) + block_parent.shape[1:]
-                parent = np.full(shape, np.nan)
-                child = np.full(shape, np.nan)
-            parent[mask] = block_parent
-            child[mask] = block_child
+        per_file = self._iter_index[n_iter]
+        if len(per_file) == 1:
+            # Single-file iteration (the common case): the h5 reads ARE the
+            # concatenated blocks -- skip the NaN-filled f64 staging copy,
+            # which silently upcast f32 coords to f64 and doubled every
+            # downstream featurization pass (same fast path as
+            # _iter_frame_block)
+            dset = self._aux_dset(per_file[0][0], n_iter)
+            parent = dset[:, 0]
+            child = dset[:, -1]
+            if len(parent) != n:
+                raise ValueError(
+                    f"iteration {n_iter}: auxdata has {len(parent)} segments "
+                    f"but seg_index has {n} (truncated augmentation write?)"
+                )
+        else:
+            # Multi-file: stage into arrays whose dtype promotes over ALL
+            # blocks (mixed f32/f64 augmentation versions)
+            blocks = [
+                (file_idx, self._aux_dset(file_idx, n_iter))
+                for file_idx, _n in per_file
+            ]
+            dtype = np.result_type(np.float32, *(d.dtype for _, d in blocks))
+            shape = (n,) + blocks[0][1].shape[2:]
+            parent = np.full(shape, np.nan, dtype=dtype)
+            child = np.full(shape, np.nan, dtype=dtype)
+            for file_idx, dset in blocks:
+                mask = data["west_idx"] == file_idx
+                parent[mask] = dset[:, 0]
+                child[mask] = dset[:, -1]
 
         weights = data["weights"].copy()
         flat_axes = tuple(range(1, parent.ndim))
@@ -371,8 +388,22 @@ class WEDataset:
 
         d_now = self.iter_data(n_iter)
         d_lag = self.iter_data(n_iter - n_lag)
-        start_all, _child_lag, _w_lag = self.iter_coord_pairs(n_iter - n_lag)
-        _parent_now, end, weights = self.iter_coord_pairs(n_iter)
+        # Only the two frames the lagged pair actually uses are read (half
+        # the aux I/O of iter_coord_pairs), and only THEIR NaNs zero the
+        # weight: frame 0 of the current iteration is irrelevant to a
+        # lag>0 transition, so its NaNs must not zero a valid pair
+        start_all = self._iter_frame_block(n_iter - n_lag, 0)
+        end = self._iter_frame_block(n_iter, -1)
+        weights = d_now["weights"].copy()
+        end_axes = tuple(range(1, end.ndim))
+        bad_end = np.isnan(end).any(axis=end_axes)
+        if bad_end.any():
+            log.warning(
+                f"Bad end-frame coordinates for segments "
+                f"{np.flatnonzero(bad_end)} in iteration {n_iter}, setting "
+                "weights to 0"
+            )
+            weights[bad_end] = 0.0
 
         safe = np.where(warped, 0, anc)
         start = start_all[safe].copy()

@@ -68,13 +68,23 @@ def _windowed_committor_flux(m, nwin):
     """Window-average Jq and q along the committor ordering (reference
     ``_plotting.py:158-170``), vectorized with a cumulative-sum moving
     average: result[i] = mean(x[i : i + nwin]) for i <= n - 1 - nwin,
-    matching the reference's backwards loop exactly."""
+    matching the reference's backwards loop.
+
+    Divergence from the reference, deliberately: ``Jq`` is stored in
+    original state order (``get_flux_committor`` scatters via
+    ``J[indq[i]]``, ``_analysis.py:500``), so it must be reordered by
+    ``indq`` before windowing, exactly like ``q``. The reference windows
+    the unsorted ``Jq`` (``_plotting.py:68-70``), pairing each plotted
+    committor value with a *different state's* flux. Returns a third
+    array: ``indq``, so callers can reorder per-state companions
+    (e.g. pcoord colors) consistently."""
     n_bins = m.targetRMSD_centers.shape[0]
     Jq = np.asarray(m.Jq, dtype=float)
     q = np.asarray(m.q, dtype=float)
-    Jq_avg = Jq.copy()
-    q_avg = np.zeros_like(Jq_avg)
     indq = np.argsort(np.squeeze(1.0 - q))
+    Jq_sorted = Jq[indq]
+    Jq_avg = Jq_sorted.copy()
+    q_avg = np.zeros_like(Jq_avg)
 
     def moving_mean(x):
         c = np.concatenate([[0.0], np.cumsum(x)])
@@ -83,9 +93,9 @@ def _windowed_committor_flux(m, nwin):
     if n_bins - nwin > 0:
         # windows [i, i+nwin) for i in 0..n_bins-1-nwin (the reference loop
         # writes indices _i - nwin for _i in nwin..n_bins-1)
-        Jq_avg[: n_bins - nwin] = moving_mean(Jq)[: n_bins - nwin]
+        Jq_avg[: n_bins - nwin] = moving_mean(Jq_sorted)[: n_bins - nwin]
         q_avg[: n_bins - nwin] = moving_mean(q[indq])[: n_bins - nwin]
-    return q_avg, Jq_avg
+    return q_avg, Jq_avg, indq
 
 
 def draw_basis_target_boundaries(model, ax, pcoord_to_use=0):
@@ -205,7 +215,9 @@ def plot_flux(
     if save:
         plot_filename = custom_name or f"{model.modelName}_flux.pdf"
         log.info(f"Saving flux plot to {plot_filename}")
-        plt.savefig(plot_filename)
+        # ax.figure, not plt.savefig: the current pyplot figure may be a
+        # different one when the caller passed its own ax
+        ax.figure.savefig(plot_filename)
     return ax
 
 
@@ -245,7 +257,7 @@ def plot_flux_committor(
         if m is None:
             continue
         _ensure_committor_flux(m, label)
-        q_avg, Jq_avg = _windowed_committor_flux(m, nwin)
+        q_avg, Jq_avg, _indq = _windowed_committor_flux(m, nwin)
         indPlus = np.where(Jq_avg > 0.0)
         indMinus = np.where(Jq_avg < 0.0)
 
@@ -289,7 +301,7 @@ def plot_flux_committor(
     if save:
         plot_filename = f"{model.modelName}_flux_committor.pdf"
         log.info(f"Saving flux-committor plot to {plot_filename}")
-        plt.savefig(plot_filename)
+        ax.figure.savefig(plot_filename)
     return ax
 
 
@@ -312,13 +324,17 @@ def plot_flux_committor_pcoordcolor(
         ax = fig.add_subplot(111)
 
     _ensure_committor_flux(model, "main_model")
-    q_avg, Jq_avg = _windowed_committor_flux(model, nwin)
+    q_avg, Jq_avg, indq = _windowed_committor_flux(model, nwin)
     indPlus = np.where(Jq_avg > 0.0)
 
+    # Colors must follow the committor ordering of q_avg/Jq_avg; the
+    # reference reads centers by original state index (_plotting.py:79),
+    # coloring each point with another state's pcoord
+    centers_q = np.asarray(model.targetRMSD_centers)[indq, pcoord_to_use]
     lines = ax.scatter(
         q_avg[indPlus],
         np.squeeze(Jq_avg[indPlus]),
-        c=np.ravel(model.targetRMSD_centers[indPlus, pcoord_to_use]),
+        c=np.ravel(centers_q[indPlus]),
         label="main_model flux toward target",
         **plot_args,
     )
@@ -383,15 +399,18 @@ def plot_coarse_flux_profile(model, pcoord_to_use=0):
     is_forward = np.argwhere(new_net_fluxes >= 0)
 
     fig, ax = plt.subplots()
+    # Markers follow plot_flux's convention ('>' toward target, '<' toward
+    # basis); the reference's coarse profile inverts them
+    # (_plotting.py:533-549) relative to its own plot_flux
     ax.scatter(
         bin_boundaries[is_backwards],
         abs(new_net_fluxes[is_backwards] / model.tau),
-        color="b", marker=">", s=20, label="Flux toward source/basis",
+        color="b", marker="<", s=20, label="Flux toward source/basis",
     )
     ax.plot(
         bin_boundaries[is_forward],
         new_net_fluxes[is_forward] / model.tau,
-        "r<", alpha=1.0, linestyle="-", linewidth=1, label="Flux toward target",
+        "r>", alpha=1.0, linestyle="-", linewidth=1, label="Flux toward target",
     )
     _check_display_overcorrection_warning(model, ax)
     draw_basis_target_boundaries(model, ax, pcoord_to_use)

@@ -862,3 +862,140 @@ def test_directional_tmatrix_matches_elementwise_construction():
                 else:
                     expected[i, j] = m.nm_tmatrix[idx[i], idx[j]]
         np.testing.assert_array_equal(got, expected)
+
+
+def test_windowed_committor_flux_pairs_q_with_same_states_flux():
+    """Jq is stored in original state order (get_flux_committor scatters via
+    J[indq[i]]); the windowing must reorder it by indq exactly like q. The
+    reference windows the unsorted Jq (_plotting.py:68-70), pairing each
+    plotted committor with another state's flux."""
+    from msm_we_tpu.plotting import _windowed_committor_flux
+
+    class _M:
+        pass
+
+    m = _M()
+    rng = np.random.default_rng(3)
+    n = 12
+    m.q = rng.random(n)
+    m.Jq = rng.normal(size=n)
+    m.targetRMSD_centers = np.zeros((n, 2))
+
+    q_avg, jq_avg, indq = _windowed_committor_flux(m, nwin=1)
+    assert not np.array_equal(indq, np.arange(n))  # non-trivial ordering
+    # rtol: nwin=1 reconstructs x via cumsum differences (ULP wobble)
+    np.testing.assert_allclose(q_avg[:-1], np.asarray(m.q)[indq][:-1], rtol=1e-12)
+    # nwin=1: each plotted flux must be the SAME state's flux as its q
+    np.testing.assert_allclose(jq_avg, np.asarray(m.Jq)[indq], rtol=1e-12)
+
+
+def test_plot_flux_save_writes_the_axes_figure(tmp_path, monkeypatch, built_tiny_model=None):
+    """save=True must write ax.figure, not whatever figure is pyplot-current."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from msm_we_tpu import plotting
+
+    saved = []
+    monkeypatch.setattr(
+        matplotlib.figure.Figure,
+        "savefig",
+        lambda self, *a, **k: saved.append(self),
+    )
+
+    class _M:
+        tau = 1.0
+        modelName = "t"
+        fit_parameters = {"slope": 1.0, "intercept": 0.0, "r_value": 1.0}
+        validation_models = []
+        no_validation_models = True
+        J = np.array([1.0, -1.0, 2.0])
+        targetRMSD_centers = np.array([[0.5], [1.5], [2.5]])
+        indTargets = np.array([0])
+        indBasis = np.array([2])
+        target_bin_centers = np.array([0.5])
+        basis_bin_centers = np.array([2.5])
+        target_pcoord_bounds = np.array([[0.0, 1.0]])
+        basis_pcoord_bounds = np.array([[2.0, 3.0]])
+        all_centers = np.array([0.5, 1.5, 2.5])
+        sorted_centers = np.array([0, 1, 2])
+
+        def get_flux(self):
+            pass
+
+    fig1, ax1 = plt.subplots()
+    fig2 = plt.figure()  # becomes pyplot-current
+    try:
+        plotting.plot_flux(
+            _M(), ax=ax1, save=True, suppress_validation=True,
+            custom_name=str(tmp_path / "f.pdf"),
+        )
+        assert saved and saved[0] is fig1
+        assert fig2 not in saved
+    finally:
+        plt.close(fig1)
+        plt.close(fig2)
+
+
+def test_lagged_weights_ignore_current_iter_frame0_nan(tmp_path):
+    """A NaN in the CURRENT iteration's frame 0 must not zero a lag>0
+    transition weight: the lagged pair uses the ancestor's frame 0 and the
+    current final frame only. A NaN in the final frame still zeroes it."""
+    import h5py
+
+    from msm_we_tpu.data import generate_west_h5
+    from msm_we_tpu.data.westh5 import WEDataset
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=6, n_segments=8, seed=3)
+    with h5py.File(path, "r+") as h5:
+        coords = h5["iterations/iter_00000005/auxdata/coord"]
+        coords[0, 0] = np.nan  # frame 0 of current iteration: irrelevant at lag 1
+        coords[1, -1] = np.nan  # final frame: must zero the weight
+
+    ds = WEDataset([path])
+    basis = np.zeros((4, 3))
+    tp = ds.iter_transition_pairs(5, 1, basis_coords=basis)
+    d = ds.iter_data(5)
+    assert tp["weights"][0] == d["weights"][0]  # NOT zeroed
+    assert tp["weights"][1] == 0.0  # zeroed by the end-frame NaN
+    # lag-0 convention unchanged: frame-0 NaN zeroes the lag-0 pair
+    _p, _c, w0 = ds.iter_coord_pairs(5)
+    assert w0[0] == 0.0 and w0[1] == 0.0
+
+
+def test_iter_coord_pairs_preserves_f32_single_file(tmp_path):
+    """Single-file f32 auxdata must come back f32 (no NaN-staging f64 upcast
+    doubling downstream featurization memory)."""
+    import h5py
+
+    from msm_we_tpu.data import generate_west_h5
+    from msm_we_tpu.data.westh5 import WEDataset
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=4, n_segments=6, seed=9)
+    with h5py.File(path, "r+") as h5:
+        for it in list(h5["iterations"]):
+            grp = h5[f"iterations/{it}/auxdata"]
+            data = grp["coord"][:].astype(np.float32)
+            del grp["coord"]
+            grp.create_dataset("coord", data=data)
+
+    ds = WEDataset([path])
+    parent, child, w = ds.iter_coord_pairs(3)
+    assert parent.dtype == np.float32
+    assert child.dtype == np.float32
+    assert w.dtype == np.float64  # weights stay f64 (from seg_index)
+
+
+def test_voronoi_mapper_rejects_flat_centers():
+    """A flat centers list is ambiguous (one 3-D center vs three 1-D
+    centers); it must raise instead of silently building a 1-bin mapper."""
+    from msm_we_tpu.binning import VoronoiBinMapper
+
+    with pytest.raises(ValueError, match="must be 2-D"):
+        VoronoiBinMapper([0.0, 5.0, 10.0])
+    m = VoronoiBinMapper(np.array([0.0, 5.0, 10.0])[:, None])
+    assert m.nbins == 3 and m.ndim == 1
+    np.testing.assert_array_equal(m.assign([[0.4], [9.0], [4.0]]), [0, 2, 1])
