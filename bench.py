@@ -24,10 +24,15 @@ subsample and scaled linearly (it is strictly O(N) Python).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
+import logging
 import os
 import time
 
 import numpy as np
+
+# The package logger defaults to INFO (stage reports etc., via a RichHandler
+# that writes to stdout); the bench's contract is ONE JSON line on stdout
+logging.getLogger("msm_we_tpu").setLevel(logging.ERROR)
 
 # Persistent XLA compile cache: repeat bench runs skip the (remote) compile.
 # Min compile time 0: on remote-AOT backends the locally-measured compile

@@ -19,6 +19,10 @@ except Exception:  # pragma: no cover
 log = logging.getLogger("msm_we_tpu")
 if not log.handlers:
     log.addHandler(_handler)
+# INFO by default, like the reference (_logging.py:16): without this,
+# propagate=False + the root's WARNING default would silently drop every
+# stage-timing report and plugin lifecycle message in the package
+log.setLevel(logging.INFO)
 log.propagate = False
 
 
@@ -57,7 +61,6 @@ class ProgressBar:
     """
 
     def __init__(self, progress_bar=None):
-        self._owned = progress_bar is None
         self.progress_bar = progress_bar if progress_bar is not None else DefaultProgress()
 
     def __enter__(self):

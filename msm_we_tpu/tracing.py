@@ -135,18 +135,19 @@ def live_stage_display(timer, enabled=True):
         table.add_column("Step")
         table.add_column("Time", justify="right")
         table.add_column("Note")
+        stack = getattr(timer, "_stack", [])
         for idx, (name, seconds, note) in enumerate(timer.stages):
+            # Every stage on the stack is still executing, not just the
+            # innermost one -- an enclosing stage must not render finished
+            # while a nested stage runs
+            in_progress = idx == timer.running or idx in stack
             if idx in timer.failed:
                 mark = "[red]x[/]"
-            elif idx == timer.running:
+            elif in_progress:
                 mark = "[yellow]>[/]"
             else:
                 mark = "[green]OK[/]"
-            shown = (
-                f"{seconds:.2f}s"
-                if (seconds or idx != timer.running)
-                else "..."
-            )
+            shown = f"{seconds:.2f}s" if (seconds or not in_progress) else "..."
             table.add_row(mark, name, shown, str(note))
         return table
 

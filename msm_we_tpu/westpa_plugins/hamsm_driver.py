@@ -26,7 +26,7 @@ def _resolve_callable(spec):
     return getattr(module, attr)
 
 
-def build_hamsm_from_config(plugin_config, h5file_paths, first_iter_to_use=1):
+def build_hamsm_from_config(plugin_config, h5file_paths, first_iter_to_use=None):
     """Build and analyze an haMSM from a plugin-config dict.
 
     Config schema follows the reference (``hamsm_driver.py:8-33``):
@@ -35,7 +35,13 @@ def build_hamsm_from_config(plugin_config, h5file_paths, first_iter_to_use=1):
     ``featurization`` (dotted path or callable), ``first_analysis_iter``,
     ``cross_validation_groups``, plus optional ``user_bin_mapper``.
     Ray-related keys are accepted and ignored (parallelism is JAX sharding).
+
+    ``first_analysis_iter`` is honored from the config when the
+    ``first_iter_to_use`` parameter is not given (an explicit parameter wins,
+    matching the driver, which threads its own resolved value through).
     """
+    if first_iter_to_use is None:
+        first_iter_to_use = plugin_config.get("first_analysis_iter", 1)
     featurizer = _resolve_callable(plugin_config.get("featurization"))
 
     model = modelWE()

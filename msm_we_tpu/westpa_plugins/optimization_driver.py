@@ -180,6 +180,16 @@ class OptimizationDriver:
         import westpa
         from westpa.cli.core import w_run
 
+        # Validate config BEFORE any irreversible surgery: update_westpa_pcoord
+        # deletes and recreates this iteration's pcoord/istate datasets, so a
+        # missing max_iters must not be discovered afterwards
+        max_iters = self.plugin_config.get("max_iters")
+        if max_iters is None:
+            raise ValueError(
+                "The optimization driver config requires 'max_iters' (total WE "
+                "iteration budget across optimization rounds)."
+            )
+
         westpa.rc.pstatus("Updating bin mapper")
         self.we_driver.bin_mapper = _wrap_for_westpa(self.compute_optimized_bins())
 
@@ -190,9 +200,7 @@ class OptimizationDriver:
         new_pcoord_map = self.compute_new_pcoord_map()
         self.update_westpa_pcoord(new_pcoord_map)
 
-        remaining_iters = (
-            self.plugin_config.get("max_iters") - self.sim_manager.max_total_iterations
-        )
+        remaining_iters = max_iters - self.sim_manager.max_total_iterations
         if remaining_iters > 0:
             new_iters = min(
                 remaining_iters,
@@ -282,7 +290,8 @@ class OptimizationDriver:
             ) from e
 
         self.propagator.synd_model._backmappers["default"] = new_pcoord_map.get
-        new_pcoord_dim = new_pcoord_map.get(0).shape[0]
+        # Probe dimensionality from any entry: state ids need not start at 0
+        new_pcoord_dim = next(iter(new_pcoord_map.values())).shape[0]
         westpa.rc.pstatus(f"New pcoord dimensionality is {new_pcoord_dim}")
 
         system = westpa.rc.get_system_driver()

@@ -37,10 +37,14 @@ def check_target_reached(h5_filename):
     """True if any segment in the file was recycled (reached the target).
 
     Scans ``seg_index['endpoint_type']`` backwards from the second-to-last
-    iteration (the last is incomplete). Reference ``restart_driver.py:52-73``.
+    iteration (the last is incomplete). Reference ``restart_driver.py:52-73``,
+    except the scan includes the FIRST iteration: the reference's
+    ``[-2:0:-1]`` slice stops before index 0, so a run whose only recycling
+    events happen in iteration 1 is misreported as never reaching the target
+    (and a 2-iteration file is never scanned at all).
     """
     with h5py.File(h5_filename, "r") as h5_file:
-        for iteration_key in list(h5_file["iterations"].keys())[-2:0:-1]:
+        for iteration_key in list(h5_file["iterations"].keys())[-2::-1]:
             endpoint_types = h5_file[f"iterations/{iteration_key}/seg_index"][
                 "endpoint_type"
             ]
@@ -416,10 +420,13 @@ class RestartDriver(HAMSMDriver):
 
             propagator.get_pcoord = get_cached_pcoord
 
-        w_init.initialize(**initialization_state, shotgun=False)
-
-        if pcoord_cache is not None:
-            propagator.get_pcoord = original_get_pcoord
+        try:
+            w_init.initialize(**initialization_state, shotgun=False)
+        finally:
+            # Always restore: a failed w_init must not leave the cache patch
+            # installed for later (unrelated) get_pcoord calls
+            if pcoord_cache is not None:
+                propagator.get_pcoord = original_get_pcoord
 
     def prepare_extension_run(self, run_number, restart_state, first_extension=False):
         """Re-link a previous run's data and continue it for more iterations.
@@ -506,7 +513,8 @@ class RestartDriver(HAMSMDriver):
                     present = sorted(
                         int(k.split("_")[1]) for k in h5["iterations"]
                     )
-                    usable = [n for n in present if n + 1 in set(present)]
+                    pset = set(present)
+                    usable = [n for n in present if n + 1 in pset]
                     if not usable:
                         continue
                     last = usable[-1]
@@ -701,10 +709,13 @@ class RestartDriver(HAMSMDriver):
 
         log.info("Initializing new run")
         segs_per_state = 1
-        shutil.move(
-            self.initialization_file,
-            f"{restart_directory}/{self.initialization_file}",
-        )
+        if os.path.exists(self.initialization_file):
+            # Archive the previous restart's initialization record. It need
+            # not exist: single-run marathons (n_runs=1) never required one
+            shutil.move(
+                self.initialization_file,
+                f"{restart_directory}/{self.initialization_file}",
+            )
         initialization_state = {
             "tstate_file": tstates_filename,
             "bstate_file": bstates_filename,

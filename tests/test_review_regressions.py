@@ -999,3 +999,102 @@ def test_voronoi_mapper_rejects_flat_centers():
     m = VoronoiBinMapper(np.array([0.0, 5.0, 10.0])[:, None])
     assert m.nbins == 3 and m.ndim == 1
     np.testing.assert_array_equal(m.assign([[0.4], [9.0], [4.0]]), [0, 2, 1])
+
+
+def test_package_logger_emits_info_by_default():
+    """The package logger must be INFO like the reference (_logging.py:16);
+    propagate=False + the root WARNING default would otherwise drop every
+    stage-timing report and plugin lifecycle message."""
+    import logging
+
+    from msm_we_tpu._logging import log as pkg_log
+
+    assert pkg_log.getEffectiveLevel() <= logging.INFO
+    assert pkg_log.isEnabledFor(logging.INFO)
+
+
+def test_check_target_reached_scans_first_iteration(tmp_path):
+    """A recycle event in iteration 1 must be found (the reference's
+    [-2:0:-1] slice skips index 0 and scans nothing in a 2-iteration file)."""
+    import h5py
+
+    from msm_we_tpu.westpa_plugins.restart_driver import (
+        SEG_ENDPOINT_RECYCLED,
+        check_target_reached,
+    )
+
+    path = str(tmp_path / "west.h5")
+    dtype = np.dtype([("endpoint_type", int), ("weight", float)])
+    with h5py.File(path, "w") as h5:
+        seg1 = np.zeros(4, dtype)
+        seg1["endpoint_type"][2] = SEG_ENDPOINT_RECYCLED  # only recycle: iter 1
+        h5.create_dataset("iterations/iter_00000001/seg_index", data=seg1)
+        h5.create_dataset(
+            "iterations/iter_00000002/seg_index", data=np.zeros(4, dtype)
+        )
+    assert check_target_reached(path)
+
+    # ... and a clean file still reports False
+    clean = str(tmp_path / "clean.h5")
+    with h5py.File(clean, "w") as h5:
+        for i in (1, 2, 3):
+            h5.create_dataset(
+                f"iterations/iter_{i:08d}/seg_index", data=np.zeros(4, dtype)
+            )
+    assert not check_target_reached(clean)
+
+
+def test_build_hamsm_from_config_honors_first_analysis_iter(monkeypatch):
+    """The WESTPA-free entry point must read first_analysis_iter from the
+    config when the parameter isn't threaded in explicitly."""
+    from msm_we_tpu import model as model_mod
+    from msm_we_tpu.westpa_plugins.hamsm_driver import build_hamsm_from_config
+
+    captured = {}
+
+    def fake_build(self, **kwargs):
+        captured.update(kwargs)
+
+    monkeypatch.setattr(model_mod.modelWE, "build_analyze_model", fake_build)
+    cfg = {
+        "model_name": "m",
+        "n_clusters": 2,
+        "tau": 1.0,
+        "basis_pcoord_bounds": [[9, 10]],
+        "target_pcoord_bounds": [[0, 1]],
+        "first_analysis_iter": 7,
+    }
+    build_hamsm_from_config(cfg, ["x.h5"])
+    assert captured["fluxmatrix_iters"] == [7, -1]
+    assert captured["step_kwargs"]["dimReduce"]["first_iter"] == 7
+    assert captured["step_kwargs"]["clustering"]["first_cluster_iter"] == 7
+
+    # An explicit parameter wins over the config (driver path)
+    captured.clear()
+    build_hamsm_from_config(cfg, ["x.h5"], first_iter_to_use=3)
+    assert captured["fluxmatrix_iters"] == [3, -1]
+
+
+def test_live_display_marks_enclosing_stage_running():
+    """While a nested stage runs, its enclosing stage must render as running
+    ('...'), not as finished with 0.00s."""
+    pytest.importorskip("rich")
+    from rich.console import Console
+
+    from msm_we_tpu.tracing import StageTimer, live_stage_display
+
+    timer = StageTimer()
+    mid_render = []
+    with live_stage_display(timer, enabled=True) as live:
+        assert live is not None
+        with timer.stage("outer"):
+            with timer.stage("inner"):
+                assert timer.running == 1 and 0 in timer._stack
+                console = Console(record=True, width=100)
+                console.print(live.renderable)
+                mid_render.append(console.export_text())
+    text = mid_render[0]
+    outer_row = next(line for line in text.splitlines() if "outer" in line)
+    # In-progress marker and elapsed placeholder, not "OK ... 0.00s"
+    assert ">" in outer_row and "..." in outer_row
+    assert "OK" not in outer_row
