@@ -21,8 +21,11 @@ if not log.handlers:
     log.addHandler(_handler)
 # INFO by default, like the reference (_logging.py:16): without this,
 # propagate=False + the root's WARNING default would silently drop every
-# stage-timing report and plugin lifecycle message in the package
-log.setLevel(logging.INFO)
+# stage-timing report and plugin lifecycle message in the package. Only
+# applied when unset, so embedders (e.g. bench.py's one-JSON-line stdout
+# contract) can pin a level BEFORE importing the package
+if log.level == logging.NOTSET:
+    log.setLevel(logging.INFO)
 log.propagate = False
 
 

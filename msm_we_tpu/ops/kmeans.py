@@ -163,7 +163,9 @@ def kmeans_plusplus(key, X, w, k):
         # after WE splitting duplicates coordinates): fall back to the base
         # weight distribution, as the host seeder does, instead of letting
         # choice degenerate to index 0
-        p = jnp.where(tot > 0, scores / jnp.maximum(tot, 1e-30), probs0)
+        # Divide by the true total when positive (a 1e-30 clamp would skew
+        # the distribution whenever the f32 weight sum is below the clamp)
+        p = jnp.where(tot > 0, scores / jnp.where(tot > 0, tot, 1.0), probs0)
         nxt = jax.random.choice(sub, n, p=p)
         centers = centers.at[i].set(X[nxt])
         mind2 = jnp.minimum(mind2, jnp.sum((X - X[nxt]) ** 2, axis=1))
@@ -186,7 +188,13 @@ def lloyd(X, w, centers, n_iter=25):
         idx, _ = assign_flat(X, centers, jnp.ones(k, bool))
         wsum = jax.ops.segment_sum(w, idx, num_segments=k)
         xsum = jax.ops.segment_sum(X * w[:, None], idx, num_segments=k)
-        new = jnp.where(wsum[:, None] > 0, xsum / jnp.maximum(wsum, 1e-30)[:, None], centers)
+        # Exact divisor: clamping to 1e-30 collapsed centers toward the
+        # origin for clusters whose total f32 weight is in (0, 1e-30) --
+        # normal for WE weights spanning hundreds of orders of magnitude.
+        # The host path (stratified._np_lloyd) divides exactly; the two
+        # numerics families must agree on this
+        denom = jnp.where(wsum > 0, wsum, 1.0)
+        new = jnp.where(wsum[:, None] > 0, xsum / denom[:, None], centers)
         return new
 
     return jax.lax.fori_loop(0, n_iter, step, centers)
@@ -203,9 +211,12 @@ def minibatch_update(centers, counts, X, w, idx):
     wsum = jax.ops.segment_sum(w, idx, num_segments=k)
     xsum = jax.ops.segment_sum(X * w[:, None], idx, num_segments=k)
     new_counts = counts + wsum
+    # Exact divisor (see lloyd): a 1e-30 clamp collapses the running mean
+    # for sub-clamp f32 weight totals
+    denom = jnp.where(new_counts > 0, new_counts, 1.0)
     new_centers = jnp.where(
         new_counts[:, None] > 0,
-        (centers * counts[:, None] + xsum) / jnp.maximum(new_counts, 1e-30)[:, None],
+        (centers * counts[:, None] + xsum) / denom[:, None],
         centers,
     )
     return new_centers, new_counts
@@ -268,25 +279,33 @@ def masked_minibatch_scan(centers, counts, X_all, eff_bin, w_all, init_mask,
     (``stratified_clustering.py:205-212``).
     """
     def step(carry, xs):
-        c, n = carry
         start, length = xs
-        ridx = start + jnp.arange(window, dtype=starts.dtype)
-        Xb = jnp.take(X_all, ridx, axis=0, mode="clip")
-        bb = jnp.take(eff_bin, ridx, axis=0, mode="clip").astype(jnp.int32)
-        ok = (
-            (jnp.arange(window) < length)
-            & (bb >= 0)
-            & jnp.take(init_mask, jnp.maximum(bb, 0), axis=0, mode="clip")
-        )
-        bb = jnp.where(ok, bb, -1)
-        if w_all is None:
-            wb = ok.astype(jnp.float32)
-        else:
-            wb = jnp.where(
-                ok, jnp.take(w_all, ridx, axis=0, mode="clip"), 0.0
+
+        def real(cn):
+            c, n = cn
+            ridx = start + jnp.arange(window, dtype=starts.dtype)
+            Xb = jnp.take(X_all, ridx, axis=0, mode="clip")
+            bb = jnp.take(eff_bin, ridx, axis=0, mode="clip").astype(jnp.int32)
+            ok = (
+                (jnp.arange(window) < length)
+                & (bb >= 0)
+                & jnp.take(init_mask, jnp.maximum(bb, 0), axis=0, mode="clip")
             )
-        idx = masked_assign(Xb, bb, c, center_bin, valid, n_bins=n_bins)
-        return minibatch_update(c, n, Xb, wb, idx), None
+            bb = jnp.where(ok, bb, -1)
+            if w_all is None:
+                wb = ok.astype(jnp.float32)
+            else:
+                wb = jnp.where(
+                    ok, jnp.take(w_all, ridx, axis=0, mode="clip"), 0.0
+                )
+            idx = masked_assign(Xb, bb, c, center_bin, valid, n_bins=n_bins)
+            return minibatch_update(c, n, Xb, wb, idx)
+
+        # Zero-length batches (batch-count padding) are IDENTITY, not an
+        # all-inert update: minibatch_update's (c*n + 0)/n round trip is not
+        # bitwise-exact, and the per-batch sequence it must match skips
+        # empty batches entirely
+        return jax.lax.cond(length > 0, real, lambda cn: cn, carry), None
 
     (c, n), _ = jax.lax.scan(step, (centers, counts), (starts, lengths))
     return c, n

@@ -110,7 +110,8 @@ class MomentAccumulator:
     """
 
     def __init__(self, n_features, dtype=np.float64):
-        self.n = 0.0
+        self.n = 0.0  # total weight (== sample count when unweighted)
+        self.n_samples = 0
         self.dtype = np.dtype(dtype)
         self.mean = np.zeros(n_features, dtype=np.float64)
         self.M2 = np.zeros((n_features, n_features), dtype=np.float64)
@@ -151,12 +152,27 @@ class MomentAccumulator:
         self.M2 += M2_b + np.outer(delta, delta) * (self.n * ws / n_new)
         self.mean += delta * (ws / n_new)
         self.n = n_new
+        self.n_samples += len(X)
 
     def finalize(self, variance_cutoff=0.95, n_components=None):
-        """Eigendecompose the covariance and return a :class:`PCAModel`."""
-        assert self.n > 1, "Need more than one sample for PCA"
+        """Eigendecompose the covariance and return a :class:`PCAModel`.
+
+        Unweighted accumulation divides by ``n_samples - 1`` (sklearn's
+        ddof=1 convention); weighted accumulation divides by the total
+        weight (the biased weighted covariance, the same convention as
+        :class:`PairMomentAccumulator`) -- ``n - 1`` would be meaningless
+        for weights that sum to O(1) over thousands of samples.
+        """
+        n_samples = getattr(self, "n_samples", None)
+        weighted = n_samples is not None and self.n != n_samples
+        if weighted:
+            assert self.n > 0 and n_samples > 1, "Need more than one sample for PCA"
+            denom = self.n
+        else:
+            assert self.n > 1, "Need more than one sample for PCA"
+            denom = self.n - 1
         mean = self.mean
-        cov = self.M2 / (self.n - 1)
+        cov = self.M2 / denom
         evals, evecs = np.linalg.eigh(cov)
         order = np.argsort(evals)[::-1]
         evals, evecs = np.maximum(evals[order], 0.0), evecs[:, order]
@@ -317,7 +333,17 @@ class PairMomentAccumulator:
 
         def inv_sqrt(C):
             evals, evecs = np.linalg.eigh(C)
-            keep = evals > max(epsilon, epsilon * evals.max())
+            emax = float(evals.max()) if len(evals) else 0.0
+            if emax <= 0.0:
+                raise ValueError(
+                    "Covariance has no positive eigenvalues (constant "
+                    "features?); cannot whiten for TICA/VAMP."
+                )
+            # Relative rank threshold only (the deeptime convention): an
+            # absolute 1e-10 floor would silently discard EVERY component
+            # for small-variance-scale data (e.g. unit choices putting
+            # variances below 1e-10) and return an all-zero transform
+            keep = evals > epsilon * emax
             return evecs[:, keep] @ np.diag(evals[keep] ** -0.5) @ evecs[:, keep].T
 
         if method == "tica":

@@ -185,13 +185,11 @@ class StratifiedKmeans:
     def _refresh_ids(self):
         """Recompute consecutive global ids after any validity change."""
         counts_per_bin = self.valid.reshape(self.n_bins, self.k).sum(axis=1)
-        offsets = np.concatenate([[0], np.cumsum(counts_per_bin)])[:-1]
         # Global ids are consecutive over valid centers in bank order, and
-        # the bank is ordered by bin -- the per-bin offsets+arange assignment
-        # is exactly the valid-rank in the flat bank
+        # the bank is ordered by bin -- cumsum-over-valid is exactly the
+        # valid-rank in the flat bank
         gid = np.where(self.valid, np.cumsum(self.valid) - 1, -1).astype(np.int64)
         self.global_id = gid
-        self.offsets = offsets
         self.n_centers_per_bin = counts_per_bin
         self.n_total_clusters = int(counts_per_bin.sum())
 
@@ -268,8 +266,17 @@ class StratifiedKmeans:
             seeded = True
 
         # Minibatch update for all previously-initialized bins' members in
-        # one scatter (bins seeded above already consumed this batch)
-        live = np.flatnonzero(initialized_before[seg_bins])
+        # one scatter (bins seeded above already consumed this batch).
+        # Bins emptied by cleaning (initialized but zero valid centers) are
+        # excluded: their members would otherwise argmin-fall-through onto an
+        # invalidated center row and silently corrupt it
+        trainable = initialized_before & (self.n_centers_per_bin > 0)
+        if (initialized_before & ~trainable)[unique_bins].any():
+            log.debug(
+                "partial_fit batch contains members of emptied bins; "
+                "their contribution is skipped (bins have no valid centers)"
+            )
+        live = np.flatnonzero(trainable[seg_bins])
         if len(live):
             if len(live) < HOST_BATCH_THRESHOLD:
                 self._sync_host()
@@ -339,6 +346,17 @@ class StratifiedKmeans:
             if X_dev.shape[0] > np.iinfo(np.int32).max
             else np.int32
         )
+        # Pad the batch COUNT to a power of two with zero-length batches
+        # (identity steps in the scan): without this every distinct run
+        # length traces a separate lax.scan program -- the expensive
+        # remote-tunnel compiles the scan exists to amortize
+        starts = np.asarray(starts, idx_dt)
+        lengths = np.asarray(lengths, idx_dt)
+        nb = len(starts)
+        nb_pad = 1 << max(nb - 1, 1).bit_length()
+        if nb_pad != nb:
+            starts = np.concatenate([starts, np.zeros(nb_pad - nb, idx_dt)])
+            lengths = np.concatenate([lengths, np.zeros(nb_pad - nb, idx_dt)])
         centers_d, counts_d = self._device_state()
         c, n = masked_minibatch_scan(
             centers_d,
@@ -347,8 +365,8 @@ class StratifiedKmeans:
             eff_bin_dev,
             w_dev,
             jnp.asarray(self.initialized),
-            jnp.asarray(np.asarray(starts, idx_dt)),
-            jnp.asarray(np.asarray(lengths, idx_dt)),
+            jnp.asarray(starts),
+            jnp.asarray(lengths),
             jnp.asarray(self.center_bin),
             jnp.asarray(self.valid),
             n_bins=self.n_bins,
@@ -383,18 +401,27 @@ class StratifiedKmeans:
             )
         else:
             # Reuse any pending device-resident bank: no blocking download +
-            # re-upload round trip right after a streaming fill
+            # re-upload round trip right after a streaming fill. Rows are
+            # padded to a power of two (inert bin -1, sliced off below) so
+            # distinct segment counts reuse a logarithmic set of compiled
+            # shapes instead of one XLA compile per N -- the padding
+            # discipline every other device entry point already follows
             centers_d, _counts_d = self._device_state()
+            N = len(X)
+            Xp, _wp, bp = _pad_pow2(
+                X, np.ones(N, np.float32), seg_bins.astype(np.int32)
+            )
+            bp[N:] = -1  # inert padding rows (empty slice when N was pow2)
             flat = np.asarray(
                 masked_assign(
-                    jnp.asarray(X),
-                    jnp.asarray(seg_bins.astype(np.int32)),
+                    jnp.asarray(Xp),
+                    jnp.asarray(bp),
                     centers_d,
                     jnp.asarray(self.center_bin),
                     jnp.asarray(self.valid),
                     n_bins=self.n_bins,
                 )
-            )
+            )[:N]
         out = self.global_id[flat]
 
         if is_basis is not None:

@@ -510,7 +510,12 @@ def steady_state_from_flux(
     Returns ``(T, p, flux, residual)``.
     """
     out = fm.sum(axis=1)
-    T = jnp.where(out[:, None] > 0, fm / jnp.maximum(out, 1e-30)[:, None], 0.0)
+    # Exact row divisor: clamping to 1e-30 leaves rows with outflux in
+    # (0, 1e-30) sub-stochastic (their flux underestimated by out/1e-30 and
+    # the residual floored at the leaked mass, burning all extra squarings)
+    T = jnp.where(
+        out[:, None] > 0, fm / jnp.where(out > 0, out, 1.0)[:, None], 0.0
+    )
     T = jnp.where(
         (out <= 0)[:, None] & (jnp.eye(fm.shape[0]) > 0), 1.0, T
     )

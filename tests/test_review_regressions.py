@@ -827,6 +827,10 @@ def test_markov_plus_color_nan_fluxsplit_warns():
 
     h = _Catch(level=logging.WARNING)
     pkg_log.addHandler(h)
+    # bench.py (imported by the bench smoke test) pins the package logger to
+    # ERROR process-wide; this test needs WARNING through
+    old_level = pkg_log.level
+    pkg_log.setLevel(logging.WARNING)
     try:
         m = MarkovPlusColorModel(
             [[0, 2, 1, 2, 0], [3, 4, 3, 4, 3]],
@@ -836,6 +840,7 @@ def test_markov_plus_color_nan_fluxsplit_warns():
         )
     finally:
         pkg_log.removeHandler(h)
+        pkg_log.setLevel(old_level)
     assert np.isnan(m.nm_tmatrix).any()
     assert any("Flux-splitting produced NaN" in r for r in records)
 
@@ -1004,13 +1009,39 @@ def test_voronoi_mapper_rejects_flat_centers():
 def test_package_logger_emits_info_by_default():
     """The package logger must be INFO like the reference (_logging.py:16);
     propagate=False + the root WARNING default would otherwise drop every
-    stage-timing report and plugin lifecycle message."""
-    import logging
+    stage-timing report and plugin lifecycle message. Checked in a clean
+    subprocess: in-process, other tests (e.g. bench.py's import) may have
+    pinned a different level, which the default must respect."""
+    import subprocess
+    import sys
 
-    from msm_we_tpu._logging import log as pkg_log
+    code = (
+        "import logging\n"
+        "from msm_we_tpu._logging import log\n"
+        "assert log.getEffectiveLevel() == logging.INFO\n"
+        "assert log.isEnabledFor(logging.INFO)\n"
+        "logging.getLogger('other_pkg')\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=60
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
 
-    assert pkg_log.getEffectiveLevel() <= logging.INFO
-    assert pkg_log.isEnabledFor(logging.INFO)
+    # An embedder-pinned level survives the package import
+    code2 = (
+        "import logging\n"
+        "logging.getLogger('msm_we_tpu').setLevel(logging.ERROR)\n"
+        "from msm_we_tpu._logging import log\n"
+        "assert log.getEffectiveLevel() == logging.ERROR\n"
+        "print('ok')\n"
+    )
+    out2 = subprocess.run(
+        [sys.executable, "-c", code2], capture_output=True, text=True, timeout=60
+    )
+    assert out2.returncode == 0, out2.stderr
+    assert "ok" in out2.stdout
 
 
 def test_check_target_reached_scans_first_iteration(tmp_path):
@@ -1098,3 +1129,166 @@ def test_live_display_marks_enclosing_stage_running():
     # In-progress marker and elapsed placeholder, not "OK ... 0.00s"
     assert ">" in outer_row and "..." in outer_row
     assert "OK" not in outer_row
+
+
+def test_minibatch_update_exact_divisor_tiny_weights():
+    """f32 weight sums in (0, 1e-30) must divide exactly -- the old 1e-30
+    clamp collapsed such centers toward the origin (WE weights routinely sit
+    hundreds of orders of magnitude down)."""
+    import jax.numpy as jnp
+
+    from msm_we_tpu.ops.kmeans import lloyd, minibatch_update
+
+    X = np.array([[10.0, 0.0], [12.0, 0.0]], np.float32)
+    w = np.array([1e-35, 1e-35], np.float32)  # sums to 2e-35 < 1e-30
+    centers = np.array([[11.0, 0.0]], np.float32)
+
+    new, counts = minibatch_update(
+        jnp.asarray(centers), jnp.zeros(1), jnp.asarray(X), jnp.asarray(w),
+        jnp.zeros(2, np.int32),
+    )
+    np.testing.assert_allclose(np.asarray(new)[0, 0], 11.0, rtol=1e-6)
+    assert np.asarray(new)[0, 0] > 1.0  # not collapsed toward origin
+
+    out = lloyd(jnp.asarray(X), jnp.asarray(w), jnp.asarray(centers), n_iter=1)
+    np.testing.assert_allclose(np.asarray(out)[0, 0], 11.0, rtol=1e-6)
+
+
+def test_steady_state_from_flux_rows_stochastic_tiny_outflux():
+    """A state whose total outflux is in (0, 1e-30) must still get a
+    stochastic row (the old clamp left it summing to ~out/1e-30)."""
+    import jax.numpy as jnp
+
+    from msm_we_tpu.parallel.sharded import steady_state_from_flux
+
+    fm = np.zeros((4, 4), np.float32)
+    fm[0, 1] = 1.0
+    fm[1, 0] = 0.5
+    fm[1, 2] = 0.5
+    fm[2, 3] = 1e-35  # tiny but positive outflux
+    basis = np.array([False, False, False, False])
+    basis[0] = True
+    target = np.zeros(4, bool)
+    target[3] = True
+    T, p, flux, residual = steady_state_from_flux(
+        jnp.asarray(fm), jnp.asarray(target), jnp.asarray(basis), 512
+    )
+    np.testing.assert_allclose(np.asarray(T).sum(axis=1), 1.0, rtol=1e-6)
+
+
+def test_moment_accumulator_weighted_convention():
+    """Weights summing to O(1) over many samples must produce the biased
+    weighted covariance (PairMomentAccumulator's convention), not n-1 math."""
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(500, 3))
+    w = rng.random(500)
+    w = w / w.sum()  # sums to 1.0 -- the WE normalization
+
+    acc = MomentAccumulator(3)
+    acc.add(X[:250], weights=w[:250])
+    acc.add(X[250:], weights=w[250:])
+    model = acc.finalize(n_components=3)
+
+    mu = (X * w[:, None]).sum(axis=0)
+    Xc = X - mu
+    cov = (Xc * w[:, None]).T @ Xc  # biased weighted covariance (V1=1)
+    np.testing.assert_allclose(acc.mean, mu, rtol=1e-10)
+    np.testing.assert_allclose(model.covariance_, cov, rtol=1e-10)
+
+    # Unweighted path unchanged: sklearn ddof=1
+    acc_u = MomentAccumulator(3)
+    acc_u.add(X)
+    np.testing.assert_allclose(
+        acc_u.finalize(n_components=3).covariance_, np.cov(X.T, ddof=1),
+        rtol=1e-10,
+    )
+
+
+def test_tica_small_variance_scale_units():
+    """TICA must be scale-equivariant: features measured in units that put
+    variances below 1e-10 (the old absolute rank floor) must not silently
+    produce an all-zero transform."""
+    from msm_we_tpu.ops.pca import PairMomentAccumulator
+
+    rng = np.random.default_rng(4)
+    n, d = 4000, 3
+    X = np.zeros((n, d))
+    for t in range(1, n):
+        X[t] = 0.9 * X[t - 1] + rng.normal(size=d)
+
+    def fit(scale):
+        acc = PairMomentAccumulator(d)
+        acc.add(X[:-1] * scale, X[1:] * scale)
+        return acc.finalize(method="tica")
+
+    big = fit(1.0)
+    tiny = fit(1e-8)  # variances ~1e-16, far below the old 1e-10 floor
+    assert tiny.components_.shape == big.components_.shape
+    assert np.abs(tiny.components_).max() > 0
+    # Same eigenvalues regardless of units
+    np.testing.assert_allclose(tiny.scales_, big.scales_, rtol=1e-6)
+
+    # Constant features now fail loudly instead of returning zeros
+    acc = PairMomentAccumulator(2)
+    const = np.ones((100, 2))
+    acc.add(const[:-1], const[1:])
+    with pytest.raises(ValueError, match="no positive eigenvalues"):
+        acc.finalize(method="tica")
+
+
+def test_scan_trailing_zero_length_batches_are_identity():
+    """Batch-count padding appends zero-length batches; they must be exact
+    identity steps (bitwise), since the per-batch sequence skips empties."""
+    import jax.numpy as jnp
+
+    from msm_we_tpu.ops.kmeans import masked_minibatch_scan
+
+    rng = np.random.default_rng(2)
+    n_bins, k, d = 2, 2, 3
+    X = rng.normal(size=(64, d)).astype(np.float32)
+    bins = rng.integers(0, n_bins, 64).astype(np.int32)
+    centers = rng.normal(size=(n_bins * k, d)).astype(np.float32)
+    counts = np.abs(rng.normal(size=n_bins * k)).astype(np.float32)
+    center_bin = np.repeat(np.arange(n_bins, dtype=np.int32), k)
+    valid = np.ones(n_bins * k, bool)
+    init = np.ones(n_bins, bool)
+
+    def run(starts, lengths):
+        c, n = masked_minibatch_scan(
+            jnp.asarray(centers), jnp.asarray(counts), jnp.asarray(X),
+            jnp.asarray(bins), None, jnp.asarray(init),
+            jnp.asarray(np.asarray(starts, np.int32)),
+            jnp.asarray(np.asarray(lengths, np.int32)),
+            jnp.asarray(center_bin), jnp.asarray(valid),
+            n_bins=n_bins, window=32,
+        )
+        return np.asarray(c), np.asarray(n)
+
+    c_real, n_real = run([0, 32], [32, 32])
+    c_pad, n_pad = run([0, 32, 0, 0], [32, 32, 0, 0])
+    np.testing.assert_array_equal(c_real, c_pad)
+    np.testing.assert_array_equal(n_real, n_pad)
+
+
+def test_predict_pow2_padding_matches_host():
+    """The padded device predict path must agree exactly with the host
+    masked-assign on an awkward (non-pow2) row count."""
+    from msm_we_tpu.ops.stratified import HOST_BATCH_THRESHOLD
+
+    n_bins, k, d = 3, 2, 4
+    sk = StratifiedKmeans(n_bins=n_bins, k_per_bin=k, n_features=d, seed=1)
+    rng = np.random.default_rng(7)
+    Xfit = rng.normal(size=(600, d)).astype(np.float32)
+    bfit = rng.integers(0, n_bins, 600)
+    sk.partial_fit(Xfit, bfit)
+
+    N = HOST_BATCH_THRESHOLD + 321  # odd size, forces padding
+    X = rng.normal(size=(N, d)).astype(np.float32)
+    b = rng.integers(0, n_bins, N)
+    got = sk.predict(X, b)
+
+    from msm_we_tpu.ops.stratified import _np_masked_assign
+
+    sk._sync_host()
+    flat = _np_masked_assign(X, sk.we_remap[b], sk.centers, sk.center_bin, sk.valid)
+    np.testing.assert_array_equal(got, sk.global_id[flat])
