@@ -114,8 +114,11 @@ class StratifiedClustersShim:
         we_bins = self.bin_mapper.assign(pcoords)
         is_target = model.is_WE_target(pcoords)
         is_basis = model.is_WE_basis(pcoords)
-        self.target_bins.update(np.unique(we_bins[is_target]).tolist())
-        self.basis_bins.update(np.unique(we_bins[is_basis]).tolist())
+        # The reference records REMAPPED bins (stratified_clustering.py:135,
+        # 163-169: we_remap is applied before target_bins/basis_bins.add)
+        remapped = self.strat.we_remap[we_bins]
+        self.target_bins.update(np.unique(remapped[is_target]).tolist())
+        self.basis_bins.update(np.unique(remapped[is_basis]).tolist())
         result = self.strat.predict(
             np.asarray(coords), we_bins, is_basis=is_basis, is_target=is_target
         )
@@ -158,16 +161,9 @@ def _pad_rows_to(a, n_pad, fill):
 def _check_live_centers(strat, pbins, cbins):
     """Predict-path guard shared by every device program that assigns rows
     to the stratified bank: a present (remapped) WE bin with no live
-    centers and no remap would silently produce junk ids on device."""
-    present = np.unique(np.concatenate([pbins, cbins]))
-    bad = present[
-        ~strat.initialized[present] | (strat.n_centers_per_bin[present] == 0)
-    ]
-    if len(bad):
-        raise RuntimeError(
-            f"Bins {bad} have no live cluster centers and no remap. "
-            "Cluster more data or remap these bins."
-        )
+    centers and no remap would silently produce junk ids on device.
+    Single implementation: ``StratifiedKmeans.check_live_bins``."""
+    strat.check_live_bins(np.concatenate([pbins, cbins]))
 
 
 def _id_columns_to_host(both, n_rows):
@@ -509,6 +505,16 @@ class modelWE:
         self.use_weights_in_clustering = use_weights_in_clustering
 
         self._dataset = WEDataset(fileList, pcoord_ndim=pcoord_ndim, auxpath=auxpath)
+        # Re-initialization must drop every cache derived from a previous
+        # dataset (same invalidation load(h5_paths=...) performs): stale
+        # features or cluster banks would silently describe the old data
+        self._features = None
+        self._raw_bins_cache = None
+        self._strat = None
+        self._bin_mapper = None
+        self._fluxMatrixParams = None
+        self.clusters = None
+        self.dtrajs = None
         try:
             self.load_iter_data(1)
             # Probe the augmented coordinates too: the flag must reflect
@@ -903,6 +909,12 @@ class modelWE:
                         feats.shape[1], dtype=moment_dtype(feats.shape[1])
                     )
                 acc.add(feats)
+            if acc is None:
+                raise ValueError(
+                    f"No usable coordinates in iterations "
+                    f"[{first_iter}, {last_iter}) at stride {fine_stride}; "
+                    "cannot fit the dimensionality reduction."
+                )
             self.coordinates = acc.finalize(variance_cutoff=variance_cutoff)
             self.ndim = self.coordinates.n_components
             return
@@ -943,6 +955,12 @@ class modelWE:
                         )
                     pair_acc.add(f0, f1, w if use_w else None)
 
+            if flat_acc is None and pair_acc is None:
+                raise ValueError(
+                    f"No usable coordinate pairs in iterations "
+                    f"[{first_iter}, {last_iter}) at stride {fine_stride}; "
+                    "cannot fit the dimensionality reduction."
+                )
             if method == "batch-pca":
                 self.coordinates = flat_acc.finalize(variance_cutoff=1.0)
                 self.ndim = self.coordinates.n_components
@@ -1143,7 +1161,9 @@ class modelWE:
             red_child.add(np.nan_to_num(child, copy=False))
             p0s.append(d["pcoord0"])
             p1s.append(d["pcoord1"])
-            ws.append(d["weights"].copy())
+            # No copy needed: np.concatenate below always allocates, so the
+            # later in-place zeroing never reaches the cached iter_data array
+            ws.append(d["weights"])
             iter_of.append(np.full(d["n_segs"], iteration))
             offsets.append(offsets[-1] + d["n_segs"])
 
@@ -1313,6 +1333,11 @@ class modelWE:
         )
         centers, _ = kmeans_fit(X, w, n_clusters, seed=self._cluster_seed)
         self.clusters = _AggregateClustersShim(centers)
+        # Re-clustering a previously stratified model must drop the old
+        # stratified bank: the device flux path keys on self._strat and
+        # would otherwise assign against the defunct per-bin centers
+        self._strat = None
+        self._bin_mapper = None
 
         # Discretize all iterations (children and parents)
         self._discretize_all_aggregated()
@@ -1868,15 +1893,23 @@ class modelWE:
 
         if n_lag == 0:
             n_iters_all = len(feats["offsets"]) - 1
-            if len(iters_to_use) == n_iters_all and np.array_equal(
-                np.unique(iters_to_use), np.arange(1, n_iters_all + 1)
-            ):
-                # Every discretizable iteration selected (the common case,
-                # and every cleaning pass): skip the O(N) isin scan and let
-                # basic slicing replace the row gathers. The unique check
-                # (O(#iters), tiny) guards against duplicate/out-of-range
-                # selections that happen to match in length.
-                sel = slice(None)
+            u = np.unique(iters_to_use)
+            contiguous = (
+                len(u) == len(iters_to_use)  # no duplicates
+                and u[-1] - u[0] + 1 == len(u)  # gap-free range
+                and u[0] >= 1
+                and u[-1] <= n_iters_all
+            )
+            if contiguous:
+                # Feature rows are ordered by iteration, so ANY contiguous
+                # iteration range -- the default window range(2, maxIter),
+                # every cleaning pass, and explicit first/last selections --
+                # is a contiguous row slice: skip the O(N) isin scan and let
+                # basic slicing replace the row gathers. (The old predicate
+                # demanded ALL iterations starting at 1, which the default
+                # window never satisfies, leaving this path dead.)
+                offs = feats["offsets"]
+                sel = slice(int(offs[u[0] - 1]), int(offs[u[-1]]))
             else:
                 # Integer rows, not a boolean mask: 2-D boolean indexing
                 # takes a slow numpy path on this host (~2x the int gather
@@ -3271,8 +3304,13 @@ class modelWE:
     def get_iter_fluxMatrix(self, n_iter):
         """Single-iteration flux matrix (reference ``_fluxmatrix.py:21-72``)."""
         d = self._dataset.iter_data(n_iter)
-        _p, _c, weights = self._dataset.iter_coord_pairs(n_iter)
         self._ensure_discretized()
+        # NaN-zeroed weights from the feature cache (already materialized by
+        # the discretization above) -- iter_coord_pairs would re-read BOTH
+        # full coordinate frames just to recompute this vector
+        feats = self._featurize_all()
+        offs = feats["offsets"]
+        weights = feats["weights"][offs[n_iter - 1] : offs[n_iter]]
         pairs = np.asarray(self.pair_dtrajs[n_iter - 1])
         start_idx, end_idx = pairs[:, 0].copy(), pairs[:, 1].copy()
         n_states = self.n_clusters + 2
@@ -3306,6 +3344,10 @@ class modelWE:
         (``_data.py:48-252``).
         """
         if n_lag == 0:
+            # Keep n_lag consistent with the data populated: downstream
+            # lagtime math (tau * (n_lag + 1)) would otherwise keep a stale
+            # lag from an earlier call and silently rescale rates
+            self.n_lag = 0
             return self.get_transition_data_lag0()
         tp = self._dataset.iter_transition_pairs(
             self.n_iter, n_lag, basis_coords=self.basis_coords

@@ -201,6 +201,21 @@ class StratifiedKmeans:
     def target_cluster_index(self):
         return self.n_total_clusters + 1
 
+    def check_live_bins(self, remapped_bins):
+        """Raise if any present (already remapped) WE bin has no live
+        centers: assignments against such a bin would be silent junk. The
+        single home of this guard -- predict and every device program in
+        model.py route through it."""
+        present = np.unique(remapped_bins)
+        bad = present[
+            ~self.initialized[present] | (self.n_centers_per_bin[present] == 0)
+        ]
+        if len(bad):
+            raise RuntimeError(
+                f"Bins {bad} have no live cluster centers and no remap. "
+                "Cluster more data or remap these bins."
+            )
+
     def centers_of_bin(self, b):
         """Valid centers of bin b, in global-id order (compat view)."""
         self._sync_host()
@@ -383,15 +398,7 @@ class StratifiedKmeans:
         """
         X = np.asarray(X, np.float32)
         seg_bins = self.we_remap[np.asarray(seg_bins)]
-        present = np.unique(seg_bins)
-        bad = present[
-            ~self.initialized[present] | (self.n_centers_per_bin[present] == 0)
-        ]
-        if len(bad):
-            raise RuntimeError(
-                f"Bins {bad} have no live cluster centers and no remap. "
-                "Cluster more data or remap these bins."
-            )
+        self.check_live_bins(seg_bins)
         if self.mesh is not None and len(X) >= HOST_BATCH_THRESHOLD:
             return self._predict_sharded(X, seg_bins, is_basis, is_target)
         if len(X) < HOST_BATCH_THRESHOLD:

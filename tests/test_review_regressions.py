@@ -1292,3 +1292,154 @@ def test_predict_pow2_padding_matches_host():
     sk._sync_host()
     flat = _np_masked_assign(X, sk.we_remap[b], sk.centers, sk.center_bin, sk.valid)
     np.testing.assert_array_equal(got, sk.global_id[flat])
+
+
+def _tiny_built_model(tmp_path, name="wv5", stratified=True, n_iters=20):
+    path = str(tmp_path / f"{name}.h5")
+    generate_west_h5(path, n_iterations=n_iters, n_segments=12, seed=41)
+    m = modelWE()
+    m.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        name,
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    m.get_iterations()
+    m.dimReduce()
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 7)])
+    m.cluster_coordinates(
+        n_clusters=2, stratified=stratified,
+        user_bin_mapper=mapper if stratified else None,
+    )
+    return m, path
+
+
+def test_cluster_aggregated_clears_stale_stratified_bank(tmp_path):
+    """Re-clustering a stratified model with stratified=False must drop the
+    old stratified bank -- the device flux path keys on model._strat and
+    would otherwise assign against defunct per-bin centers."""
+    m, _ = _tiny_built_model(tmp_path)
+    assert m._strat is not None
+    m.cluster_coordinates(n_clusters=5, stratified=False)
+    assert m._strat is None
+    assert m._bin_mapper is None
+    # The flux build must follow the aggregated numbering without error
+    m.get_fluxMatrix(0)
+    assert m.fluxMatrixRaw.shape == (5 + 2, 5 + 2)
+
+
+def test_reinitialize_invalidates_feature_cache(tmp_path):
+    """initialize() with new files must drop caches built from old data."""
+    m, _ = _tiny_built_model(tmp_path, name="a")
+    assert m._features is not None
+    p2 = str(tmp_path / "b.h5")
+    generate_west_h5(p2, n_iterations=20, n_segments=12, seed=77)
+    m.initialize(
+        [p2],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "b",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    assert m._features is None
+    assert m._strat is None
+    assert m.clusters is None
+    assert m.dtrajs is None
+
+
+def test_dimreduce_empty_window_raises_clearly(tmp_path):
+    """An iteration window yielding no usable coordinates must raise a clear
+    ValueError, not AttributeError on a None accumulator."""
+    path = str(tmp_path / "w.h5")
+    generate_west_h5(path, n_iterations=10, n_segments=8, seed=5)
+    for method in ("pca", "tica"):
+        m = modelWE()
+        m.initialize(
+            [path],
+            {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            "dr",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dim_reduce_method=method,
+            tau=1.0,
+        )
+        m.get_iterations()
+        with pytest.raises(ValueError, match="No usable coordinate"):
+            m.dimReduce(first_iter=5, last_iter=5)  # empty window
+
+
+def test_get_transition_data_lag0_resets_n_lag(tmp_path):
+    """get_transition_data(0) after a lag>0 call must reset n_lag, or
+    downstream lagtime math scales rates by the stale lag."""
+    m, _ = _tiny_built_model(tmp_path, name="lag")
+    m.set_basis({"coords": np.zeros((4, 3))})
+    m.load_iter_data(6)
+    m.get_transition_data(2)
+    assert m.n_lag == 2
+    m.get_transition_data(0)
+    assert m.n_lag == 0
+
+
+def test_get_iter_fluxMatrix_weights_match_coord_pairs(tmp_path):
+    """The feature-cache weights used by get_iter_fluxMatrix must equal the
+    NaN-zeroed weights iter_coord_pairs computes (including a NaN case)."""
+    import h5py
+
+    path = str(tmp_path / "w.h5")
+    generate_west_h5(path, n_iterations=12, n_segments=10, seed=19)
+    with h5py.File(path, "r+") as h5:
+        h5["iterations/iter_00000006/auxdata/coord"][3, -1] = np.nan
+
+    m = modelWE()
+    m.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "wx",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    m.get_iterations()
+    m.dimReduce()
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 7)])
+    m.cluster_coordinates(n_clusters=2, stratified=True, user_bin_mapper=mapper)
+
+    for it in (5, 6):
+        _p, _c, w_ref = m._dataset.iter_coord_pairs(it)
+        feats = m._featurize_all()
+        offs = feats["offsets"]
+        np.testing.assert_array_equal(
+            feats["weights"][offs[it - 1] : offs[it]], w_ref
+        )
+        fm = m.get_iter_fluxMatrix(it)
+        assert np.isfinite(fm).all()
+    # The NaN segment contributes zero flux
+    assert w_ref is not None
+
+
+def test_shim_records_remapped_bins(tmp_path):
+    """StratifiedClustersShim must record REMAPPED bins in
+    target_bins/basis_bins, as the reference does
+    (stratified_clustering.py:135,163-169)."""
+    m, _ = _tiny_built_model(tmp_path, name="remap")
+    strat = m._strat
+    shim = m.clusters
+    # Force a remap of some bin onto another, then re-run a predict pass
+    src = int(np.flatnonzero(strat.initialized)[0])
+    dst = int(np.flatnonzero(strat.initialized)[1])
+    strat.set_remap(src, dst)
+    shim.target_bins.clear()
+    shim.basis_bins.clear()
+    m.load_iter_data(5)
+    m.load_iter_coordinates()
+    shim.toggle = False
+    shim.processing_from = False
+    shim.predict(m.reduceCoordinates(m.cur_iter_coords))
+    recorded = shim.target_bins | shim.basis_bins
+    assert src not in recorded or strat.we_remap[src] == src
