@@ -49,14 +49,24 @@ if os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE) == _DEFAUL
 # (peak_flops_f32_matmul, hbm_bytes_per_s) by TPU generation. v5e MXU peak is
 # 197 TFLOP/s in bf16; XLA's default f32 matmul precision on TPU runs the MXU
 # in bf16-input mode, so the bf16 figure is the honest peak for these kernels.
+# Match order matters: "TPU v5 lite" must be tried before "TPU v5".
 DEVICE_PEAKS = {
     "TPU v5 lite": (197e12, 819e9),
-    "TPU v5": (459e12, 1228e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v5": (459e12, 2765e9),  # v5p device_kind variants without the 'p'
     "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),
+    "TPU v6": (918e12, 1640e9),
 }
 
 
 def device_peaks():
+    """(peak_flops, hbm_bytes_per_s) for the attached TPU, or (None, None).
+
+    Unknown generations return (None, None) -- reporting v5e constants for a
+    v6/v7 chip would silently misstate pct_peak and sol_fraction by large
+    factors; a null roofline is honest, the throughput numbers still stand.
+    """
     import jax
 
     dev = jax.devices()[0]
@@ -66,7 +76,7 @@ def device_peaks():
     for key, peaks in DEVICE_PEAKS.items():
         if key in kind:
             return peaks
-    return DEVICE_PEAKS["TPU v5 lite"]
+    return None, None
 
 
 def make_problem(n_segments=102_400, n_raw_features=900, n_components=30,
@@ -440,6 +450,8 @@ def _device_reachable(timeout=240):
 
 
 def main():
+    import sys
+
     probed = _device_reachable()
     device_fallback = None
     if probed is None:
@@ -448,6 +460,11 @@ def main():
             "measured on CPU fallback"
         )
         os.environ["JAX_PLATFORMS"] = "cpu"
+    elif probed == "cpu":
+        # No accelerator at all: the full 102k x 900 problem takes minutes
+        # per step on host CPU -- same degraded-measurement case as an
+        # unreachable backend, and the JSON must say so
+        device_fallback = "no accelerator backend; measured on CPU"
 
     import jax
 
@@ -456,7 +473,8 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
-        print(f"WARNING: {device_fallback}", flush=True)
+        # stderr: stdout carries exactly one JSON line (module contract)
+        print(f"WARNING: {device_fallback}", file=sys.stderr, flush=True)
 
     # Fallback mode shrinks the hot-step problem: the full 102k x 900
     # shapes at Precision.HIGHEST take minutes per step on host CPU

@@ -52,6 +52,20 @@ def pallas_available():
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
+def _pad2(x, rows, cols, dtype=np.float32):
+    """Zero-pad a 2-D array to (rows, cols) -- shared wrapper padding."""
+    out = np.zeros((rows, cols), dtype)
+    out[: x.shape[0], : x.shape[1]] = x
+    return out
+
+
+def _col(x, rows, fill=0, dtype=np.int32):
+    """Pad a 1-D array into a (rows, 1) column with the given fill."""
+    out = np.full((rows, 1), fill, dtype)
+    out[: len(x), 0] = x
+    return out
+
+
 
 def _kernel(
     fp_ref, fc_ref, pbin_ref, cbin_ref, wp_ref,
@@ -428,35 +442,25 @@ def fused_transform_assign(
     F_pad = _round_up(F, 128)
     K_pad = _round_up(K, 128)
 
-    def pad2(x, rows, cols, dtype=np.float32):
-        out = np.zeros((rows, cols), dtype)
-        out[: x.shape[0], : x.shape[1]] = x
-        return out
-
-    def col(x, rows, fill=0, dtype=np.int32):
-        out = np.full((rows, 1), fill, dtype)
-        out[: len(x), 0] = x
-        return out
-
     proj = np.asarray(proj, np.float32)
     centers = np.asarray(centers, np.float32)
     bias = np.asarray(mean, np.float32) @ proj  # (F,)
     c2adj = (centers * centers).sum(1) + 2.0 * centers @ bias
 
     args = (
-        jnp.asarray(pad2(raw_p, N_pad, D_pad)),
-        jnp.asarray(pad2(raw_c, N_pad, D_pad)),
-        jnp.asarray(col(np.asarray(pbins), N_pad, fill=-1)),
-        jnp.asarray(col(np.asarray(cbins), N_pad, fill=-1)),
-        jnp.asarray(col(np.asarray(w, np.float32), N_pad, fill=0.0, dtype=np.float32)),
-        jnp.asarray(col(np.asarray(basis_p, np.int32), N_pad)),
-        jnp.asarray(col(np.asarray(basis_c, np.int32), N_pad)),
-        jnp.asarray(col(np.asarray(target_c, np.int32), N_pad)),
-        jnp.asarray(pad2(proj, D_pad, F_pad)),
-        jnp.asarray(pad2(centers, K_pad, F_pad).T.copy()),
-        jnp.asarray(col(c2adj, K_pad, fill=0.0, dtype=np.float32)),
-        jnp.asarray(col(np.asarray(center_bin), K_pad, fill=-2)),
-        jnp.asarray(col(np.asarray(valid, np.int32), K_pad)),
+        jnp.asarray(_pad2(raw_p, N_pad, D_pad)),
+        jnp.asarray(_pad2(raw_c, N_pad, D_pad)),
+        jnp.asarray(_col(np.asarray(pbins), N_pad, fill=-1)),
+        jnp.asarray(_col(np.asarray(cbins), N_pad, fill=-1)),
+        jnp.asarray(_col(np.asarray(w, np.float32), N_pad, fill=0.0, dtype=np.float32)),
+        jnp.asarray(_col(np.asarray(basis_p, np.int32), N_pad)),
+        jnp.asarray(_col(np.asarray(basis_c, np.int32), N_pad)),
+        jnp.asarray(_col(np.asarray(target_c, np.int32), N_pad)),
+        jnp.asarray(_pad2(proj, D_pad, F_pad)),
+        jnp.asarray(_pad2(centers, K_pad, F_pad).T.copy()),
+        jnp.asarray(_col(c2adj, K_pad, fill=0.0, dtype=np.float32)),
+        jnp.asarray(_col(np.asarray(center_bin), K_pad, fill=-2)),
+        jnp.asarray(_col(np.asarray(valid, np.int32), K_pad)),
     )
     pidx, cidx, fm = _transform_assign_call(
         *args, n_states=n_states, tile=tile, with_flux=with_flux,
@@ -476,6 +480,13 @@ def fused_assign_flux(
     center bank/dims to MXU-friendly shapes, then launches the kernel. The
     bank must be compact (valid-first, global-id order), as the production
     kernels require. Returns (parent_idx, child_idx, flux_matrix).
+
+    Caveat (same as :func:`fused_transform_assign`): the stratified
+    predict-time *target* short-circuit for parents (``target_p`` routing,
+    applied by ``parallel.sharded._discretize_and_flux`` before ``basis_p``)
+    is NOT implemented -- in a stratified build where parents can sit inside
+    the target region this kernel's flux diverges from the production
+    matrix. A documented performance experiment, not a production path.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -489,28 +500,18 @@ def fused_assign_flux(
     d_pad = _round_up(d, 128)
     K_pad = _round_up(K, 128)
 
-    def pad2(x, rows, cols, dtype=np.float32):
-        out = np.zeros((rows, cols), dtype)
-        out[: x.shape[0], : x.shape[1]] = x
-        return out
-
-    def col(x, rows, fill=0, dtype=np.int32):
-        out = np.full((rows, 1), fill, dtype)
-        out[: len(x), 0] = x
-        return out
-
     args = (
-        jnp.asarray(pad2(fp, N_pad, d_pad)),
-        jnp.asarray(pad2(fc, N_pad, d_pad)),
-        jnp.asarray(col(np.asarray(pbins), N_pad, fill=-1)),
-        jnp.asarray(col(np.asarray(cbins), N_pad, fill=-1)),
-        jnp.asarray(col(np.asarray(w, np.float32), N_pad, fill=0.0, dtype=np.float32)),
-        jnp.asarray(col(np.asarray(basis_p, np.int32), N_pad)),
-        jnp.asarray(col(np.asarray(basis_c, np.int32), N_pad)),
-        jnp.asarray(col(np.asarray(target_c, np.int32), N_pad)),
-        jnp.asarray(pad2(np.asarray(centers, np.float32), K_pad, d_pad).T.copy()),
-        jnp.asarray(col(np.asarray(center_bin), K_pad, fill=-2)),
-        jnp.asarray(col(np.asarray(valid, np.int32), K_pad)),
+        jnp.asarray(_pad2(fp, N_pad, d_pad)),
+        jnp.asarray(_pad2(fc, N_pad, d_pad)),
+        jnp.asarray(_col(np.asarray(pbins), N_pad, fill=-1)),
+        jnp.asarray(_col(np.asarray(cbins), N_pad, fill=-1)),
+        jnp.asarray(_col(np.asarray(w, np.float32), N_pad, fill=0.0, dtype=np.float32)),
+        jnp.asarray(_col(np.asarray(basis_p, np.int32), N_pad)),
+        jnp.asarray(_col(np.asarray(basis_c, np.int32), N_pad)),
+        jnp.asarray(_col(np.asarray(target_c, np.int32), N_pad)),
+        jnp.asarray(_pad2(np.asarray(centers, np.float32), K_pad, d_pad).T.copy()),
+        jnp.asarray(_col(np.asarray(center_bin), K_pad, fill=-2)),
+        jnp.asarray(_col(np.asarray(valid, np.int32), K_pad)),
     )
     pidx, cidx, fm = _fused_call(
         *args, n_states=n_states, tile=tile, interpret=interpret

@@ -100,7 +100,15 @@ def run_worker(
         n_bins = int(h5.attrs["n_bins"])
         n_rows_global = int(h5.attrs["n_rows_global"])
 
-    mesh = make_mesh(jax.devices())
+    # The model axis must divide the per-process device count: process i's
+    # devices then form whole, contiguous data-axis rows, which is exactly
+    # the _write_shards contract (process i owns row block i). Letting
+    # make_mesh factor globally can put the WHOLE row dimension on one
+    # data row (e.g. 2 procs x 1 device -> mesh (1, 2)), where
+    # make_array_from_process_local_data requires every process to hold
+    # every row -- a contract violation that crashes
+    model_parallel = 2 if local_devices % 2 == 0 else 1
+    mesh = make_mesh(jax.devices(), model_parallel=model_parallel)
     data_sharding = NamedSharding(mesh, P("data"))
     model_sharding = NamedSharding(mesh, P("model"))
 
