@@ -629,3 +629,64 @@ def test_facade_end_to_end_analysis_differential(ref):
     np.testing.assert_allclose(m_ours.pSS, m_ref.pSS, rtol=1e-10)
     np.testing.assert_allclose(m_ours.JtargetSS, m_ref.JtargetSS, rtol=1e-10)
     assert m_ours.lagtime == m_ref.lagtime
+
+
+def test_flux_profiles_differential(ref):
+    """get_flux (pcoord-ordered net flux + linear fit + overcorrection flag)
+    and get_flux_committor (committor-ordered Jq) must match the reference's
+    double loops on the same model state."""
+    from msm_we_tpu.model import modelWE
+    from msm_we_tpu.ops import linalg
+
+    rng = np.random.default_rng(37)
+    n = 15
+    F = rng.random((n, n)) * np.exp(rng.normal(scale=2, size=(n, n)))
+    centers = np.sort(rng.uniform(0, 10, n))[:, None]
+    ind_basis, ind_targets = np.array([n - 1]), np.array([0])
+
+    attrs = dict(
+        fluxMatrix=F.copy(),
+        targetRMSD_centers=centers.copy(),
+        indBasis=ind_basis,
+        indTargets=ind_targets,
+        basis_bin_centers=np.array([9.5]),
+        target_bin_centers=np.array([0.5]),
+        nBins=n,
+        tau=1.0,
+        n_lag=0,
+        all_centers=None,
+    )
+
+    m_ref = _raw_ref_model(ref, **attrs)
+    # Avoid the reference's update_sorted_cluster_centers fallback (needs
+    # cluster structures): populate all_centers the way it would
+    ac = centers[:, 0].copy()
+    ac[ind_basis] = 9.5
+    ac[ind_targets] = 0.5
+    m_ref.all_centers = np.sort(ac)
+    ref.msm_we.modelWE.get_flux(m_ref)
+
+    m_ours = modelWE()
+    for k, v in attrs.items():
+        setattr(m_ours, k, np.copy(v) if isinstance(v, np.ndarray) else v)
+    m_ours.all_centers = np.sort(ac)
+    m_ours.get_flux()
+
+    np.testing.assert_allclose(m_ours.J, m_ref.J, rtol=1e-10)
+    for key in ("slope", "intercept", "r_value", "p_value", "std_err"):
+        np.testing.assert_allclose(
+            m_ours.fit_parameters[key], m_ref.fit_parameters[key], rtol=1e-9
+        )
+    assert m_ours.slope_overcorrected == m_ref.slope_overcorrected
+
+    # Committor-ordered flux: reference needs q on the instance
+    Tm = linalg.tmatrix_from_flux(F, ind_targets, ind_basis, n)
+    m_ref.Tmatrix = Tm
+    ref.msm_we.modelWE.get_committor(m_ref, conv=1e-8)
+    ref.msm_we.modelWE.get_flux_committor(m_ref)
+
+    m_ours.Tmatrix = Tm.copy()
+    m_ours.get_committor(conv=1e-8)
+    m_ours.get_flux_committor()
+    np.testing.assert_allclose(m_ours.q, m_ref.q, rtol=1e-9)
+    np.testing.assert_allclose(m_ours.Jq, m_ref.Jq, rtol=1e-9)
