@@ -75,7 +75,17 @@ def ref():
             is_initialized=lambda: False,
         )
     if "westpa" not in sys.modules:
-        class _Mapper:
+        # Distinct classes: the reference's find_nearest_bin branches on
+        # `type(bin_mapper) is VoronoiBinMapper` etc.
+        class _RectMapper:
+            def __init__(self, *a, **k):
+                pass
+
+        class _VorMapper:
+            def __init__(self, *a, **k):
+                pass
+
+        class _FuncMapper:
             def __init__(self, *a, **k):
                 pass
 
@@ -84,9 +94,9 @@ def ref():
         wc = _stub_module("westpa.core")
         wb = _stub_module(
             "westpa.core.binning",
-            RectilinearBinMapper=_Mapper,
-            VoronoiBinMapper=_Mapper,
-            FuncBinMapper=_Mapper,
+            RectilinearBinMapper=_RectMapper,
+            VoronoiBinMapper=_VorMapper,
+            FuncBinMapper=_FuncMapper,
         )
         west.analysis, west.core, wc.binning = wa, wc, wb
     if "deeptime" not in sys.modules:
@@ -690,3 +700,65 @@ def test_flux_profiles_differential(ref):
     m_ours.get_flux_committor()
     np.testing.assert_allclose(m_ours.q, m_ref.q, rtol=1e-9)
     np.testing.assert_allclose(m_ours.Jq, m_ref.Jq, rtol=1e-9)
+
+
+def test_find_connected_sets_differential(ref):
+    """The cleaning decision layer: connected-component sets (ordered by
+    size) must match the reference on sparse random flux patterns."""
+    from msm_we_tpu.utils import find_connected_sets
+
+    rng = np.random.default_rng(41)
+    for trial in range(8):
+        n = int(rng.integers(5, 30))
+        C = (rng.random((n, n)) < 0.12) * rng.random((n, n))
+        C[-1, -2] = 1.0  # the recycling edge organize_stratified injects
+        sets_ours = find_connected_sets(C, directed=True)
+        sets_ref = ref.utils.find_connected_sets(C, directed=True)
+        assert len(sets_ours) == len(sets_ref), trial
+        for s_ours, s_ref in zip(sets_ours, sets_ref):
+            np.testing.assert_array_equal(np.sort(s_ours), np.sort(s_ref))
+
+
+def test_find_nearest_bin_differential(ref):
+    """Empty-bin remap targets: the nearest-populated-bin selection must
+    match the reference for both mapper families."""
+    import msm_we_tpu.binning as ours_binning
+
+    rng = np.random.default_rng(43)
+
+    # Rectilinear: the reference branch keys on the STUB westpa class, so
+    # wear its clothes -- the executed distance/selection math is all real
+    RefRect = sys.modules["westpa.core.binning"].RectilinearBinMapper
+    RefVor = sys.modules["westpa.core.binning"].VoronoiBinMapper
+
+    edges = np.linspace(0, 10, 9)
+    ref_mapper = RefRect()
+    ref_mapper.boundaries = [edges]
+    ours_mapper = ours_binning.RectilinearBinMapper([edges])
+
+    n_bins = len(edges) - 1
+    for _ in range(10):
+        filled = np.sort(
+            rng.choice(n_bins, size=int(rng.integers(2, n_bins)), replace=False)
+        )
+        empty = int(rng.integers(0, n_bins))
+        got = ours_binning.find_nearest_bin(ours_mapper, empty, list(filled))
+        want = ref.msm_we.modelWE.find_nearest_bin(ref_mapper, empty, list(filled))
+        assert got == want, (empty, filled)
+
+    # Voronoi
+    centers = rng.normal(size=(7, 2)) * 5
+
+    def _dfunc(point, _centers):
+        return np.sqrt(np.sum((point - _centers) ** 2, axis=1))
+
+    ref_vmapper = RefVor()
+    ref_vmapper.centers = centers
+    ref_vmapper.dfunc = _dfunc
+    ours_vmapper = ours_binning.VoronoiBinMapper(centers)
+    for _ in range(10):
+        filled = np.sort(rng.choice(7, size=int(rng.integers(2, 7)), replace=False))
+        empty = int(rng.integers(0, 7))
+        got = ours_binning.find_nearest_bin(ours_vmapper, empty, list(filled))
+        want = ref.msm_we.modelWE.find_nearest_bin(ref_vmapper, empty, list(filled))
+        assert got == want, (empty, filled)
