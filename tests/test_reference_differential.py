@@ -762,3 +762,58 @@ def test_find_nearest_bin_differential(ref):
         got = ours_binning.find_nearest_bin(ours_vmapper, empty, list(filled))
         want = ref.msm_we.modelWE.find_nearest_bin(ref_vmapper, empty, list(filled))
         assert got == want, (empty, filled)
+
+
+def test_iter_flux_matrix_differential(ref, tmp_path):
+    """Per-iteration flux matrices from a model built by OUR pipeline must
+    equal the reference's build_flux_matrix executed on the same inputs
+    (dtrajs, basis/target membership, weights) -- this pins the override
+    composition (end-in-target, start-in-basis, end-in-basis) by running the
+    reference's code, not a transcription of it."""
+    from msm_we_tpu.binning import RectilinearBinMapper
+    from msm_we_tpu.data import generate_west_h5
+    from msm_we_tpu.model import modelWE
+
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=18, n_segments=14, seed=51)
+    m = modelWE()
+    m.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "dfx",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="none",
+        tau=1.0,
+    )
+    m.get_iterations()
+    m.dimReduce()
+    mapper = RectilinearBinMapper([np.linspace(0, 10, 7)])
+    m.cluster_coordinates(n_clusters=2, stratified=True, user_bin_mapper=mapper)
+    m.get_fluxMatrix(0)
+    m.organize_fluxMatrix()  # post-cleaning: numbering is the live numbering
+
+    feats = m._featurize_all()
+    offs = feats["offsets"]
+    checked = 0
+    for it in range(2, m.maxIter, 3):
+        ours = m.get_iter_fluxMatrix(it)
+
+        d = m._dataset.iter_data(it)
+        pairs = np.asarray(m.pair_dtrajs[it - 1])
+        weights = feats["weights"][offs[it - 1] : offs[it]]
+        want = (
+            ref.msm_we.modelWE.build_flux_matrix(
+                m.n_clusters,
+                pairs,
+                np.where(m.is_WE_basis(d["pcoord0"])),
+                np.where(m.is_WE_basis(d["pcoord1"])),
+                np.where(m.is_WE_target(d["pcoord1"])),
+                weights.copy(),
+            )
+            .todense()
+            .A
+        )
+        np.testing.assert_array_equal(ours, want)
+        checked += 1
+    assert checked >= 4
