@@ -817,3 +817,61 @@ def test_iter_flux_matrix_differential(ref, tmp_path):
         np.testing.assert_array_equal(ours, want)
         checked += 1
     assert checked >= 4
+
+
+def test_adaptive_fpt_distribution_differential(ref):
+    """The adaptive log-sweep FPT distribution (coarse/fine increment
+    switching, absorbing-boundary stripping, renormalization bookkeeping)
+    must match the reference's implementation step for step."""
+    from msm_we_tpu.msm.fpt import MatrixFPT
+
+    rng = np.random.default_rng(47)
+    n = 9
+    T = _random_tmatrix(rng, n)
+    kwargs = dict(
+        initial_states=[0],
+        initial_state_probs=[1.0],
+        target_states=[n - 1],
+        tau=1.0,
+        increment=5,
+        fine_increment=1.2,
+        relevant_thresh=1e-4,
+        max_steps=int(2e4),
+    )
+    out_ref = ref.fpt.MatrixFPT.adaptive_fpt_distribution(T.copy(), **kwargs)
+    out_ours = MatrixFPT.adaptive_fpt_distribution(T.copy(), **kwargs)
+    assert len(out_ours) == len(out_ref)
+    for got, want in zip(out_ours, out_ref):
+        np.testing.assert_allclose(
+            np.asarray(got, dtype=float),
+            np.asarray(want, dtype=float),
+            rtol=1e-9,
+        )
+
+
+def test_ensemble_statistics_differential(ref):
+    """Ensemble-level empirical MFPTs and the discrete-ensemble generator
+    (global-RNG stream) must match the reference."""
+    from msm_we_tpu.msm.ensembles import DiscreteEnsemble, Ensemble
+
+    rng = np.random.default_rng(53)
+    trajs = [rng.integers(0, 4, size=500) for _ in range(3)]
+
+    e_ref = ref.ensembles.Ensemble([t.copy() for t in trajs], discrete=True)
+    e_ours = Ensemble([t.copy() for t in trajs], discrete=True)
+    r = e_ref.empirical_mfpts(stateA=[0], stateB=[3])
+    o = e_ours.empirical_mfpts(stateA=[0], stateB=[3])
+    for key in r:
+        np.testing.assert_allclose(o[key], r[key], rtol=1e-12)
+
+    # Generated discrete ensemble: same global RNG stream, identical output
+    T = _random_tmatrix(rng, 4)
+    np.random.seed(11)
+    g_ref = ref.ensembles.DiscreteEnsemble.from_transition_matrix(
+        T, sim_length=400
+    )
+    np.random.seed(11)
+    g_ours = DiscreteEnsemble.from_transition_matrix(T, sim_length=400)
+    np.testing.assert_array_equal(
+        np.asarray(g_ours.trajectories[0]), np.asarray(g_ref.trajectories[0])
+    )
