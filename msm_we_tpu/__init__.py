@@ -8,7 +8,7 @@ analysis, first-passage-time engines, WE bin/allocation optimization, and
 WESTPA plugin drivers.
 """
 
-__version__ = "0.3.2"
+__version__ = "0.3.3"
 
 from . import utils  # noqa: F401
 from ._logging import log  # noqa: F401

@@ -2164,6 +2164,12 @@ class modelWE:
             )
             with _scoped_x64():
                 buf, both = step(*args)
+            # One overlapped download: device_get issues async host copies
+            # for both outputs before blocking, merging what were two
+            # serial ~RTT-bound syncs through the remote tunnel
+            import jax
+
+            buf, both = jax.device_get((buf, both))
             self._store_dtrajs(*_id_columns_to_host(both, N))
             fm = unpack_packed_flux(
                 np.asarray(buf), n_states, flux_pack_capacity(n_states)
