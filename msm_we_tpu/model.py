@@ -2764,6 +2764,7 @@ class modelWE:
         iters_to_use=None,
         flux_fractional_convergence=1e-4,
         max_iters=10,
+        observables=("flux",),
     ):
         """Block-bootstrap confidence interval for ``JtargetSS`` over WE
         iterations (an extension; the reference has only point estimates
@@ -2786,7 +2787,23 @@ class modelWE:
         Returns a dict: ``flux`` (point estimate), ``mean``, ``std``,
         ``ci`` ((lo, hi) percentile interval at ``1 - alpha``),
         ``fluxes`` (per-replicate values, NaN where failed), ``n_failed``.
+
+        ``observables`` may additionally include ``"pss"`` and/or
+        ``"committor"``: each surviving replicate's steady-state
+        distribution / forward committor is collected and per-state
+        percentile bands are added to the result (``pss_mean``/``pss_ci``
+        of shapes (n_states,) / (2, n_states), and likewise
+        ``committor_mean``/``committor_ci``). The committor adds one
+        absorbing-BC power iteration per replicate (reference
+        ``_analysis.py:527-606`` semantics via ``ops.linalg.committor``).
         """
+        observables = tuple(observables)
+        unknown = set(observables) - {"flux", "pss", "committor"}
+        if unknown:
+            raise ValueError(
+                f"Unknown bootstrap observables {sorted(unknown)}; "
+                "supported: 'flux', 'pss', 'committor'"
+            )
         self._ensure_discretized()
         if iters_to_use is None:
             params = getattr(self, "_fluxMatrixParams", None) or [0, 1, None, None]
@@ -2820,9 +2837,20 @@ class modelWE:
         ind_basis = np.array([self.n_clusters])
         ind_targets = np.array([self.n_clusters + 1])
 
-        def _flux_of(F):
+        want_pss = "pss" in observables
+        want_q = "committor" in observables
+        # Per-iteration matrices are in the cleaned-but-unsorted (raw)
+        # numbering; the model's pSS/committor are pcoord-sorted. The scalar
+        # flux is permutation-invariant (basis/target stay at n, n+1 under
+        # the NaN-pinned stable sort), but per-state vectors must be
+        # reordered into the model's numbering before percentiles.
+        sort_idx = getattr(self, "pcoord_sort_indices", None)
+        if sort_idx is None:
+            sort_idx = np.arange(n_states)
+
+        def _eval(F):
             T = linalg.tmatrix_from_flux(F, ind_targets, ind_basis, n_states)
-            _pSS, J = linalg.steady_state_refined(
+            pSS, J = linalg.steady_state_refined(
                 T,
                 ind_targets,
                 ind_basis,
@@ -2831,10 +2859,17 @@ class modelWE:
                 flux_fractional_convergence=flux_fractional_convergence,
                 max_iters=max_iters,
             )
-            return J
+            q = (
+                linalg.committor(F, ind_targets, ind_basis, n_states)[sort_idx]
+                if want_q
+                else None
+            )
+            return J, np.ravel(pSS)[sort_idx], q
 
         rng = np.random.default_rng(seed)
         fluxes = np.full(n_boot, np.nan)
+        pss_boot = np.full((n_boot, n_states), np.nan) if want_pss else None
+        q_boot = np.full((n_boot, n_states), np.nan) if want_q else None
         n_failed = 0
         n_blocks = -(-n_it // block_size)
         # Degenerate resamples legitimately trigger per-replicate solver
@@ -2854,9 +2889,15 @@ class modelWE:
                         starts[:, None] + np.arange(block_size)[None, :]
                     ).reshape(-1)[:n_it] % n_it
                 try:
-                    fluxes[b] = _flux_of(per_iter[picks].mean(axis=0))
+                    J, pSS_b, q_b = _eval(per_iter[picks].mean(axis=0))
                 except (ValueError, AssertionError):
                     n_failed += 1
+                    continue
+                fluxes[b] = J
+                if want_pss:
+                    pss_boot[b] = pSS_b
+                if want_q:
+                    q_boot[b] = q_b
         finally:
             log.setLevel(prev_level)
         if n_failed:
@@ -2872,7 +2913,7 @@ class modelWE:
                 "the model has too little recycling data for error bars."
             )
         lo, hi = np.percentile(ok, [100 * alpha / 2, 100 * (1 - alpha / 2)])
-        point = _flux_of(per_iter.mean(axis=0))
+        point, point_pss, point_q = _eval(per_iter.mean(axis=0))
         result = {
             "flux": float(point),
             "mean": float(ok.mean()),
@@ -2887,6 +2928,17 @@ class modelWE:
             "block_size": block_size,
             "n_iterations": n_it,
         }
+        pcts = [100 * alpha / 2, 100 * (1 - alpha / 2)]
+        for name, boot, pt in (
+            ("pss", pss_boot, point_pss),
+            ("committor", q_boot, point_q),
+        ):
+            if boot is None:
+                continue
+            rows = boot[np.all(np.isfinite(boot), axis=1)]
+            result[name] = pt
+            result[f"{name}_mean"] = rows.mean(axis=0)
+            result[f"{name}_ci"] = np.percentile(rows, pcts, axis=0)
         self.flux_bootstrap = result
         return result
 

@@ -348,9 +348,28 @@ def plot_flux_committor_pcoordcolor(
 
 
 def plot_committor(model):
-    """Committor scatter vs mean microstate pcoord. Reference ``_plotting.py:431-448``."""
+    """Committor scatter vs mean microstate pcoord. Reference ``_plotting.py:431-448``.
+
+    Extension: if ``model.flux_bootstrap`` carries committor bands (from
+    ``bootstrap_target_flux(observables=(..., "committor"))``, which stores
+    them in the model's sorted numbering), they are drawn as error bars.
+    """
     plt = _plt()
     fig = plt.figure(figsize=(8, 6))
+    boot = getattr(model, "flux_bootstrap", None)
+    if boot is not None and "committor_ci" in boot:
+        lo, hi = boot["committor_ci"]
+        q = np.asarray(model.q)
+        plt.errorbar(
+            model.targetRMSD_centers[:, 0],
+            q,
+            yerr=np.stack([np.maximum(q - lo, 0.0), np.maximum(hi - q, 0.0)]),
+            fmt="none",
+            ecolor="gray",
+            elinewidth=0.8,
+            capsize=2,
+            zorder=1,
+        )
     plt.scatter(model.targetRMSD_centers[:, 0], model.q, s=15, c="black")
     plt.yscale("log")
     plt.ylabel("Pseudocommittor to target", fontsize=12)

@@ -103,3 +103,53 @@ def test_bootstrap_degenerate_iterations_zero_width(built_model):
     ok = res["fluxes"][np.isfinite(res["fluxes"])]
     assert len(ok) == 10
     assert res["ci"][1] - res["ci"][0] < 1e-14
+
+
+def test_bootstrap_pss_and_committor_observables(built_model):
+    res = built_model.bootstrap_target_flux(
+        n_boot=30, seed=11, observables=("flux", "pss", "committor")
+    )
+    n_states = built_model.n_clusters + 2
+
+    # Point estimates: pSS matches the build's steady state (same identity
+    # resample property as the flux), committor is a valid probability with
+    # the absorbing boundary values
+    np.testing.assert_allclose(
+        res["pss"], np.ravel(built_model.pSS), rtol=1e-8
+    )
+    q = res["committor"]
+    assert q.shape == (n_states,)
+    assert (q >= -1e-12).all() and (q <= 1 + 1e-12).all()
+    # Identity-resample committor agrees with the facade's own committor
+    # (computed from the sorted fluxMatrix): the bootstrap computes in raw
+    # numbering and reorders, and the power iteration is
+    # permutation-equivariant up to float accumulation order
+    built_model.get_committor()
+    np.testing.assert_allclose(q, built_model.q, atol=1e-4)
+
+    for name in ("pss", "committor"):
+        mean = res[f"{name}_mean"]
+        ci = res[f"{name}_ci"]
+        assert mean.shape == (n_states,)
+        assert ci.shape == (2, n_states)
+        assert np.isfinite(ci).all()
+        assert (ci[0] <= ci[1] + 1e-15).all()
+        # The mean of percentile-bounded samples lies within the bounds
+        assert (mean >= ci[0] - 1e-12).all() and (mean <= ci[1] + 1e-12).all()
+
+    # pSS replicates are distributions
+    assert abs(res["pss_mean"].sum() - 1.0) < 1e-8
+
+    # Determinism: same seed, same bands
+    res2 = built_model.bootstrap_target_flux(
+        n_boot=30, seed=11, observables=("flux", "pss", "committor")
+    )
+    np.testing.assert_array_equal(res["pss_ci"], res2["pss_ci"])
+    np.testing.assert_array_equal(res["committor_ci"], res2["committor_ci"])
+
+    # Default observables add no extra keys
+    res_default = built_model.bootstrap_target_flux(n_boot=5, seed=1)
+    assert "pss_ci" not in res_default and "committor_ci" not in res_default
+
+    with pytest.raises(ValueError, match="Unknown bootstrap observables"):
+        built_model.bootstrap_target_flux(n_boot=5, observables=("flux", "nope"))

@@ -92,3 +92,18 @@ def test_coarse_profile_consistent_with_fine(plot_model):
     mid = len(fluxes) // 2
     fine_J = plot_model.J
     assert np.isfinite(fluxes[mid])
+
+
+def test_plot_committor_with_and_without_bootstrap_bands(plot_model, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # the plot saves a png into cwd
+    fig = plot_model.plot_committor()
+    assert fig is not None
+
+    # With bootstrap committor bands stored on the model, error bars render
+    plot_model.bootstrap_target_flux(
+        n_boot=12, seed=5, observables=("flux", "committor")
+    )
+    assert "committor_ci" in plot_model.flux_bootstrap
+    fig2 = plot_model.plot_committor()
+    # errorbar adds LineCollection artists beyond the scatter
+    assert len(fig2.axes[0].collections) > len(fig.axes[0].collections)
