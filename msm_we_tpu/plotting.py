@@ -357,7 +357,15 @@ def plot_committor(model):
     plt = _plt()
     fig = plt.figure(figsize=(8, 6))
     boot = getattr(model, "flux_bootstrap", None)
-    if boot is not None and "committor_ci" in boot:
+    # Band length must match the current model: a re-cluster/re-organize
+    # after the bootstrap changes n_states and leaves stale bands behind
+    # (the facade's attributes are overwrite-on-recompute, like the
+    # reference's)
+    if (
+        boot is not None
+        and "committor_ci" in boot
+        and boot["committor_ci"].shape[1] == len(np.ravel(model.q))
+    ):
         lo, hi = boot["committor_ci"]
         q = np.asarray(model.q)
         plt.errorbar(
