@@ -230,21 +230,27 @@ class OptimizedBinMapper:
         stratified_cluster_assignments = self.clusterer.predict(extended_pcoords)
 
         microstate_mapper = self.microstate_mapper
-        # Membership test must respect the container type: for a dict with
-        # non-contiguous keys (e.g. after a microstate was cleaned),
-        # ``m < len(...)`` passes for missing keys and KeyErrors mid-run
+        # One vectorized table lookup instead of a per-segment python loop
+        # (this runs inside WESTPA's resampling step every WE iteration).
+        # Missing microstates -> -1.0: for a dict with non-contiguous keys
+        # (e.g. after a microstate was cleaned) the table rows between keys
+        # stay -1, preserving the membership-test semantics
         if isinstance(microstate_mapper, dict):
-            def _known(m):
-                return m in microstate_mapper
+            size = max(microstate_mapper.keys(), default=-1) + 1
+            lut = np.full(size, -1.0)
+            if size:
+                keys = np.fromiter(microstate_mapper.keys(), dtype=np.int64)
+                lut[keys] = [float(microstate_mapper[k]) for k in keys]
         else:
-            def _known(m):
-                return 0 <= m < len(microstate_mapper)
-        we_bin_assignments = np.array(
-            [
-                float(microstate_mapper[m]) if _known(m) else -1.0
-                for m in stratified_cluster_assignments
-            ]
-        )
+            lut = np.asarray(microstate_mapper, dtype=float)
+        m = np.asarray(stratified_cluster_assignments, dtype=np.int64)
+        if len(lut):
+            known = (m >= 0) & (m < len(lut))
+            we_bin_assignments = np.where(
+                known, lut[np.clip(m, 0, len(lut) - 1)], -1.0
+            )
+        else:
+            we_bin_assignments = np.full(len(m), -1.0)
 
         we_bin_assignments[
             self.clusterer.model.is_WE_target(original_pcoords)
@@ -255,8 +261,12 @@ class OptimizedBinMapper:
 
         if output is None:
             output = np.empty(len(final_coords))
-        for i in range(len(output)):
-            output[i] = we_bin_assignments[i]
+        try:
+            output[: len(we_bin_assignments)] = we_bin_assignments
+        except (TypeError, ValueError):
+            # Exotic WESTPA-provided output buffers without slice support
+            for i in range(len(output)):
+                output[i] = we_bin_assignments[i]
 
         assert not np.isnan(output).any(), "Some segments couldn't get assigned WE bins"
         assert all(np.asarray(output) >= 0), (

@@ -91,3 +91,31 @@ def test_optimized_mapper_pickle_roundtrip(optimized_mapper):
     bytestring = optimized_mapper.pickle_and_encode()
     restored = optimization.OptimizedBinMapper(bytestring=bytestring)
     assert np.array_equal(restored.assign(coords), ref)
+
+
+def test_optimized_mapper_noncontiguous_dict_keys(optimized_mapper):
+    """The vectorized microstate lookup must preserve dict membership
+    semantics: keys missing from a non-contiguous dict (a cleaned
+    microstate) map to -1 and only survive via the basis/target override
+    (otherwise the mapper's own assert fires)."""
+    rng = np.random.default_rng(4)
+    # Remove one mid-range microstate key; route every segment that would
+    # land there to the target region instead so the assert stays green
+    mm = dict(optimized_mapper.microstate_mapper)
+    victim = sorted(mm.keys())[len(mm) // 2]
+    del mm[victim]
+    optimized_mapper.microstate_mapper = mm
+
+    coords = np.concatenate(
+        [rng.uniform(1.5, 8, (50, 2)), [[0.5, 0.1]], [[9.5, 7.0]]]
+    ).astype(np.float32)
+    # Identify segments that hit the victim microstate and push them into
+    # the target region (assignment becomes the target bin, not the lut)
+    strat = optimized_mapper.clusterer
+    optimized_mapper.clusterer.model.pcoord1List = coords[:, :1]
+    micro = strat.predict(coords[:, 1:])
+    coords[np.asarray(micro) == victim, 0] = 0.5  # inside target bounds
+
+    out = optimized_mapper.assign(coords)
+    assert (out >= 0).all() and (out < 8).all()
+    assert out[-2] == 7 and out[-1] == 6
