@@ -338,6 +338,12 @@ def _device_parent_from_child(child_dev, feats, N_pad, row_sharding):
 class modelWE:
     """History-augmented Markov state model estimation from WE data."""
 
+    # Force the fused device scatter+psum flux program even on one process
+    # (where the host f64 bincount of the device ids is measured faster and
+    # is the default -- get_fluxMatrix). Class-level so tests can pin the
+    # device program for parity coverage.
+    _force_device_flux = False
+
     class BlockValidationError(Exception):
         pass
 
@@ -1869,17 +1875,33 @@ class modelWE:
         feats = self._featurize_all()
         n_states = self.n_clusters + 2
 
-        if (
+        use_device_flux = (
             n_lag == 0
             and self._mesh is not None
             and self.clusters is not None
             and not getattr(self, "_flux_prefer_host", False)
             and self._device_f64_weights_ok(feats["weights"])
-        ):
-            # Production device path: one fused shard_map program
-            # (discretize -> f64 scatter -> psum) over the mesh. Works for
-            # stratified (per-bin bank) and aggregated (single-bin bank)
-            # clustering alike.
+        )
+        if use_device_flux and not getattr(self, "_force_device_flux", False):
+            # Single-process meshes: the predict ids land on the host either
+            # way (deferred discretization runs ONE ids-only sharded
+            # program; otherwise they are already stored), and the host f64
+            # bincount below then beats the device flux program outright --
+            # measured 2 ms vs 60-73 ms at 100k segments (TPU f64 is
+            # emulated double-double and the scatter is all adds; see
+            # docs/performance.md "Flux accumulation routing"). The fused
+            # scatter+psum program (_device_flux_lag0) remains the
+            # multi-process path, where each process holds only its own id
+            # shard and the in-mesh psum replaces a cross-host gather.
+            import jax
+
+            if jax.process_count() == 1:
+                self._ensure_discretized()
+                use_device_flux = False
+        if use_device_flux:
+            # Fused shard_map program (discretize -> f64 scatter -> psum)
+            # over the mesh. Works for stratified (per-bin bank) and
+            # aggregated (single-bin bank) clustering alike.
             self.fluxMatrixRaw = self._device_flux_lag0(iters_to_use) / len(
                 iters_to_use
             )

@@ -109,6 +109,9 @@ def test_device_flux_survives_extreme_weight_range(west_h5):
     scale[::7] = 1e-250  # every 7th transition becomes astronomically light
     feats["weights"] = feats["weights"] * scale
 
+    # Pin the fused device scatter program (single-process builds default
+    # to host f64 bincount of the device ids -- measured faster)
+    model._force_device_flux = True
     model.get_fluxMatrix(0)
     device_fm = model.fluxMatrixRaw.copy()
 
@@ -156,6 +159,7 @@ def test_device_flux_aggregated_matches_host(west_h5):
         model.dimReduce()
         if mesh:
             model.enable_mesh()
+            model._force_device_flux = True  # exercise the fused scatter
         model.cluster_coordinates(n_clusters=8, stratified=False)
         model.get_fluxMatrix(0)
         model.organize_fluxMatrix()
@@ -170,11 +174,13 @@ def test_device_flux_aggregated_matches_host(west_h5):
     assert meshed.JtargetSS == pytest.approx(host.JtargetSS, rel=1e-6)
 
 
-def test_block_validation_with_device_pipeline(west_h5):
+def test_block_validation_with_device_pipeline(west_h5, monkeypatch):
     """Cross-validation models are deepcopies made while a mesh is attached;
     each must re-run the fused device flux path and produce the same
     JtargetSS values as host-path validation."""
     host = _build(west_h5, show_live_display=False, cross_validation_groups=2)
+    # Pin the fused device program (single-process default is host bincount)
+    monkeypatch.setattr(modelWE, "_force_device_flux", True)
     dev = _build(
         west_h5, show_live_display=False, cross_validation_groups=2,
         device_pipeline=True,

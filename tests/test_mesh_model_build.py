@@ -158,3 +158,60 @@ def test_deferred_discretization_matches_eager(tmp_path):
     lazy.update_cluster_structures()
     assert lazy.dtrajs is not None
     assert lazy.cluster_structures
+
+
+def test_flux_routing_single_process_prefers_host_bincount(tmp_path, monkeypatch):
+    """On a single process, get_fluxMatrix(0) with a mesh routes to the host
+    f64 bincount of the (device-computed) predict ids — measured 30x faster
+    than the device f64 scatter program — and _force_device_flux pins the
+    fused combined program, whose flux must agree to f64 summation order."""
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=20, n_segments=16, seed=91)
+
+    def build(force_device):
+        if force_device:
+            monkeypatch.setattr(modelWE, "_force_device_flux", True)
+        else:
+            monkeypatch.setattr(modelWE, "_force_device_flux", False)
+        model = modelWE()
+        model.initialize(
+            [path],
+            {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+            "route",
+            basis_pcoord_bounds=[[9.0, 10.0]],
+            target_pcoord_bounds=[[0.0, 1.0]],
+            dim_reduce_method="pca",
+            tau=1.0,
+        )
+        model.get_iterations()
+        model.get_coordSet(model.maxIter)
+        model.dimReduce()
+        model.enable_mesh()
+        model.cluster_coordinates(
+            n_clusters=2,
+            stratified=True,
+            user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
+            defer_discretization=True,
+        )
+        spy = {"device": 0}
+        orig = modelWE._device_flux_lag0
+
+        def counting(self, iters):
+            spy["device"] += 1
+            return orig(self, iters)
+
+        monkeypatch.setattr(modelWE, "_device_flux_lag0", counting)
+        model.get_fluxMatrix(0)
+        return model, spy["device"]
+
+    routed, n_device_routed = build(force_device=False)
+    # Default single-process route: no device flux program ran, but the
+    # ids were still materialized (by the sharded pair-discretize program)
+    assert n_device_routed == 0
+    assert routed._parent_idx is not None
+
+    forced, n_device_forced = build(force_device=True)
+    assert n_device_forced == 1
+    np.testing.assert_allclose(
+        routed.fluxMatrixRaw, forced.fluxMatrixRaw, rtol=1e-12
+    )
