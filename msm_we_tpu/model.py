@@ -1753,6 +1753,48 @@ class modelWE:
 
         fp_dev, fc_dev = self._device_row_feats()
         centersC, center_binC, validC = strat.compact_bank(pad_to=K_pad)
+
+        # Dedup fast path: under WE continuity parent row i is a bit-copy of
+        # child row src[i] (the recipe _featurize_dedup verified), and when
+        # its WE bin and basis/target flags also agree with that child row
+        # (pcoord continuity -- checked here, not assumed), its assignment
+        # IS the child's: score only the N child rows on device (instead of
+        # 2N) and gather parent ids on the host. Disagreeing/fallback rows
+        # (iteration 1, recycled parents, any continuity break) go through
+        # strat.predict, which matches the device scoring bitwise
+        # (tests/test_coverage_round3.py pins the equality).
+        src = getattr(feats, "_parent_src", None)
+        if src is not None:
+            s = np.maximum(src, 0)
+            agree = (
+                (src >= 0)
+                & (pbins == cbins[s])
+                & (basis_p == basis_c[s])
+                & (target_p == target_c[s])
+            )
+            direct = np.flatnonzero(~agree)
+            if len(direct) <= max(N // 4, 1):
+                from .parallel.sharded import build_sharded_single_assign
+
+                assign1 = build_sharded_single_assign(
+                    mesh, n_states, n_bins=strat.n_bins
+                )
+                cid = assign1(
+                    fc_dev, pad_rows(cbins, -1),
+                    pad_rows(basis_c, False), pad_rows(target_c, False),
+                    centersC, center_binC, validC,
+                )
+                cid = np.asarray(cid)[:N].astype(np.int32)
+                pid = cid[s]  # fancy indexing: already a fresh array
+                if len(direct):
+                    pid[direct] = strat.predict(
+                        _feat_parent_rows(feats, direct),
+                        parent_bins[direct],  # raw bins: predict remaps
+                        is_basis=basis_p[direct],
+                        is_target=target_p[direct],
+                    )
+                return np.ascontiguousarray(pid), cid
+
         assign = build_sharded_pair_assign(
             mesh, n_states, with_target_p=True,
             n_bins=strat.n_bins,

@@ -438,6 +438,49 @@ def build_sharded_pair_assign(mesh, n_states, with_target_p=False, n_bins=None):
 
 
 @lru_cache(maxsize=64)
+def build_sharded_single_assign(mesh, n_states, n_bins=None):
+    """Child-only variant of :func:`build_sharded_pair_assign`: ONE row set
+    scored with the predict-order overrides, narrowed to int16 when ids fit.
+
+    Used by the facade's dedup discretization fast path
+    (``modelWE._sharded_pair_discretize``): under WE continuity a parent
+    row is a bit-copy of its source child row with identical bin and
+    basis/target metadata (checked on the host), so its assignment is a
+    host gather of the child ids — the program scores N rows instead of
+    2N and downloads half the bytes. The scoring call is the same
+    ``_local_masked_min`` at the same (N_pad, K_pad) shapes as the pair
+    program's child set, so the ids are bitwise-identical to that
+    program's child column.
+    """
+    model_size = mesh.shape["model"]
+
+    def body(fc, cbins, basis_c, target_c, centers, center_bin, valid):
+        local_min, local_k = _local_masked_min(
+            fc, cbins, centers, center_bin, valid, n_bins=n_bins
+        )
+        offset = jax.lax.axis_index("model") * centers.shape[0]
+        cidx = _combine_argmin(local_min, local_k + offset, "model")
+        # Predict-order overrides (target wins overlaps), as in
+        # _apply_overrides(predict_order=True)
+        cidx = jnp.where(basis_c, n_states - 2, cidx)
+        cidx = jnp.where(target_c, n_states - 1, cidx)
+        if n_states <= 30000 and centers.shape[0] * model_size <= 30000:
+            cidx = cidx.astype(jnp.int16)
+        return jax.lax.pmax(cidx, "model")
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"), P("data"), P("data"),
+            P("model"), P("model"), P("model"),
+        ),
+        out_specs=P("data"),
+    )
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=64)
 def build_sharded_assign(mesh, n_bins=None):
     """Jitted data-parallel stratified assignment over ``mesh`` (memoized,
     as :func:`build_sharded_step`).

@@ -215,3 +215,75 @@ def test_flux_routing_single_process_prefers_host_bincount(tmp_path, monkeypatch
     np.testing.assert_allclose(
         routed.fluxMatrixRaw, forced.fluxMatrixRaw, rtol=1e-12
     )
+
+
+def test_dedup_child_only_discretization_matches_pair_program(tmp_path):
+    """The dedup fast path (score N child rows, gather parent ids on host)
+    must equal the 2N-row pair program bitwise — including rows whose
+    parent metadata DISAGREES with the source child row (forced here by
+    mutating one parent pcoord), which detour through strat.predict."""
+    path = str(tmp_path / "west.h5")
+    generate_west_h5(path, n_iterations=22, n_segments=18, seed=77)
+    model = modelWE()
+    model.initialize(
+        [path],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "dd",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="pca",
+        tau=1.0,
+    )
+    model.get_iterations()
+    model.get_coordSet(model.maxIter)
+    model.dimReduce()
+    model.enable_mesh()
+    model.cluster_coordinates(
+        n_clusters=2,
+        stratified=True,
+        user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
+        defer_discretization=True,
+    )
+    feats = model._featurize_all()
+    assert getattr(feats, "_parent_src", None) is not None, (
+        "dedup recipe expected on synthetic (continuous) data"
+    )
+    # Break pcoord continuity for a few rows: their parent flags disagree
+    # with the source child row, forcing the strat.predict detour
+    src = feats._parent_src
+    rows = np.flatnonzero(src >= 0)[:3]
+    feats["pcoord0"][rows] = 9.5  # inside the basis region
+    model._invalidate_pcoord_caches()
+
+    strat = model._strat
+    parent_bins, child_bins = model._raw_we_bins()
+    # Spy: the child-only program must actually run (a silent fallback to
+    # the pair program would make the equality below vacuous)
+    from msm_we_tpu.parallel import sharded as _sharded
+    calls = {"n": 0}
+    orig_single = _sharded.build_sharded_single_assign
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig_single(*a, **k)
+
+    _sharded.build_sharded_single_assign = counting
+    try:
+        fast = model._sharded_pair_discretize(strat, parent_bins, child_bins)
+    finally:
+        _sharded.build_sharded_single_assign = orig_single
+    assert calls["n"] == 1
+
+    # Force the pair program by hiding the recipe (materialize the parent
+    # array first so _device_row_feats can upload it without the recipe)
+    feats["parent"]
+    feats._parent_src = None
+    try:
+        model._dev_feats_cache = None
+        pair = model._sharded_pair_discretize(strat, parent_bins, child_bins)
+    finally:
+        feats._parent_src = src
+        model._dev_feats_cache = None
+
+    np.testing.assert_array_equal(fast[0], pair[0])
+    np.testing.assert_array_equal(fast[1], pair[1])
