@@ -1751,9 +1751,6 @@ class modelWE:
 
         pad_rows = lambda a, fill: _pad_rows_to(a, N_pad, fill)
 
-        fp_dev, fc_dev = self._device_row_feats()
-        centersC, center_binC, validC = strat.compact_bank(pad_to=K_pad)
-
         # Dedup fast path: under WE continuity parent row i is a bit-copy of
         # child row src[i] (the recipe _featurize_dedup verified), and when
         # its WE bin and basis/target flags also agree with that child row
@@ -1762,8 +1759,11 @@ class modelWE:
         # 2N) and gather parent ids on the host. Disagreeing/fallback rows
         # (iteration 1, recycled parents, any continuity break) go through
         # strat.predict, which matches the device scoring bitwise
-        # (tests/test_coverage_round3.py pins the equality).
+        # (tests/test_coverage_round3.py pins the equality). Decided BEFORE
+        # fetching the device feature arrays so the fast path never pays
+        # the on-device parent gather it would not read.
         src = getattr(feats, "_parent_src", None)
+        direct = s = None
         if src is not None:
             s = np.maximum(src, 0)
             agree = (
@@ -1773,27 +1773,32 @@ class modelWE:
                 & (target_p == target_c[s])
             )
             direct = np.flatnonzero(~agree)
-            if len(direct) <= max(N // 4, 1):
-                from .parallel.sharded import build_sharded_single_assign
+        fast = direct is not None and len(direct) <= max(N // 4, 1)
 
-                assign1 = build_sharded_single_assign(
-                    mesh, n_states, n_bins=strat.n_bins
+        fp_dev, fc_dev = self._device_row_feats(need_parent=not fast)
+        centersC, center_binC, validC = strat.compact_bank(pad_to=K_pad)
+
+        if fast:
+            from .parallel.sharded import build_sharded_single_assign
+
+            assign1 = build_sharded_single_assign(
+                mesh, n_states, n_bins=strat.n_bins
+            )
+            cid = assign1(
+                fc_dev, pad_rows(cbins, -1),
+                pad_rows(basis_c, False), pad_rows(target_c, False),
+                centersC, center_binC, validC,
+            )
+            cid = np.asarray(cid)[:N].astype(np.int32)
+            pid = cid[s]  # fancy indexing: already a fresh array
+            if len(direct):
+                pid[direct] = strat.predict(
+                    _feat_parent_rows(feats, direct),
+                    parent_bins[direct],  # raw bins: predict remaps
+                    is_basis=basis_p[direct],
+                    is_target=target_p[direct],
                 )
-                cid = assign1(
-                    fc_dev, pad_rows(cbins, -1),
-                    pad_rows(basis_c, False), pad_rows(target_c, False),
-                    centersC, center_binC, validC,
-                )
-                cid = np.asarray(cid)[:N].astype(np.int32)
-                pid = cid[s]  # fancy indexing: already a fresh array
-                if len(direct):
-                    pid[direct] = strat.predict(
-                        _feat_parent_rows(feats, direct),
-                        parent_bins[direct],  # raw bins: predict remaps
-                        is_basis=basis_p[direct],
-                        is_target=target_p[direct],
-                    )
-                return np.ascontiguousarray(pid), cid
+            return np.ascontiguousarray(pid), cid
 
         assign = build_sharded_pair_assign(
             mesh, n_states, with_target_p=True,
@@ -2909,6 +2914,19 @@ class modelWE:
         # the NaN-pinned stable sort), but per-state vectors must be
         # reordered into the model's numbering before percentiles.
         sort_idx = getattr(self, "pcoord_sort_indices", None)
+        if sort_idx is not None and len(sort_idx) != n_states:
+            # Stale: a re-clustering after the last organize left a sort
+            # index for a different state count. Flux is permutation-
+            # invariant, but per-state vectors would be mislabeled (or
+            # crash), so require a fresh organize for those observables.
+            if want_pss or want_q:
+                raise ValueError(
+                    f"pcoord_sort_indices has length {len(sort_idx)} but the "
+                    f"model now has {n_states} states -- re-run "
+                    "organize_fluxMatrix before bootstrapping per-state "
+                    "observables."
+                )
+            sort_idx = None
         if sort_idx is None:
             sort_idx = np.arange(n_states)
 
@@ -2991,6 +3009,10 @@ class modelWE:
             "n_zero_flux": int((ok == 0.0).sum()),
             "block_size": block_size,
             "n_iterations": n_it,
+            # Staleness stamp: consumers (plot_committor) compare this to
+            # the model's current sort index -- a same-size re-organize
+            # changes state identities without changing n_states
+            "sort_indices": np.asarray(sort_idx).copy(),
         }
         pcts = [100 * alpha / 2, 100 * (1 - alpha / 2)]
         for name, boot, pt in (
@@ -3387,12 +3409,18 @@ class modelWE:
             self._strat.use_mesh(self._mesh)
         return self._mesh
 
-    def _device_row_feats(self):
+    def _device_row_feats(self, need_parent=True):
         """Padded, P('data')-sharded device copies of the parent/child
         feature arrays, shared by the sharded discretization and the fused
         flux step (same layout). One upload per featurization: at 2M
         segments the repeated ~475 MB feature upload through a remote
         tunnel was ~3.5 s of the flux stage alone.
+
+        ``need_parent=False`` skips building the parent array (the
+        child-only dedup discretization never reads it — at 2M segments
+        the on-device parent gather allocates ~N_pad x d of HBM and a
+        dispatch for nothing); a later ``need_parent=True`` call fills it
+        in from the cached child upload.
 
         The cache pins the feature dict it was built from; recomputed
         features or a new mesh invalidate it.
@@ -3408,7 +3436,11 @@ class modelWE:
 
         cache = getattr(self, "_dev_feats_cache", None)
         if cache is not None and cache[0] is feats and cache[1] == N_pad:
-            return cache[2]
+            parent_dev, child_dev = cache[2]
+            if parent_dev is not None or not need_parent:
+                return cache[2]
+        else:
+            child_dev = None
 
         sharding = NamedSharding(mesh, P("data"))
 
@@ -3417,8 +3449,11 @@ class modelWE:
             out[:N] = a
             return jax.device_put(out, sharding)
 
-        child_dev = pad_put(feats["child"])
-        if isinstance(feats, FeatureSet) and feats.parent_is_lazy:
+        if child_dev is None:
+            child_dev = pad_put(feats["child"])
+        if not need_parent:
+            parent_dev = None
+        elif isinstance(feats, FeatureSet) and feats.parent_is_lazy:
             # Features born on device: parent rows are a device gather of
             # the child upload (bit-copies by WE continuity) — skips the
             # host gather and the redundant parent upload entirely

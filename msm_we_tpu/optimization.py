@@ -234,15 +234,23 @@ class OptimizedBinMapper:
         # (this runs inside WESTPA's resampling step every WE iteration).
         # Missing microstates -> -1.0: for a dict with non-contiguous keys
         # (e.g. after a microstate was cleaned) the table rows between keys
-        # stay -1, preserving the membership-test semantics
-        if isinstance(microstate_mapper, dict):
-            size = max(microstate_mapper.keys(), default=-1) + 1
-            lut = np.full(size, -1.0)
-            if size:
-                keys = np.fromiter(microstate_mapper.keys(), dtype=np.int64)
-                lut[keys] = [float(microstate_mapper[k]) for k in keys]
+        # stay -1, preserving the membership-test semantics. The table is
+        # cached per mapper object (it only changes when reassigned).
+        cached = getattr(self, "_microstate_lut", None)
+        if cached is not None and cached[0] is microstate_mapper:
+            lut = cached[1]
         else:
-            lut = np.asarray(microstate_mapper, dtype=float)
+            if isinstance(microstate_mapper, dict):
+                size = max(microstate_mapper.keys(), default=-1) + 1
+                lut = np.full(size, -1.0)
+                if size:
+                    keys = np.fromiter(
+                        microstate_mapper.keys(), dtype=np.int64
+                    )
+                    lut[keys] = [float(microstate_mapper[k]) for k in keys]
+            else:
+                lut = np.asarray(microstate_mapper, dtype=float)
+            self._microstate_lut = (microstate_mapper, lut)
         m = np.asarray(stratified_cluster_assignments, dtype=np.int64)
         if len(lut):
             known = (m >= 0) & (m < len(lut))
@@ -261,10 +269,18 @@ class OptimizedBinMapper:
 
         if output is None:
             output = np.empty(len(final_coords))
-        try:
-            output[: len(we_bin_assignments)] = we_bin_assignments
-        except (TypeError, ValueError):
-            # Exotic WESTPA-provided output buffers without slice support
+        if len(output) == len(we_bin_assignments):
+            try:
+                output[:] = we_bin_assignments
+            except (TypeError, ValueError):
+                # Exotic output buffers without slice support
+                for i in range(len(output)):
+                    output[i] = we_bin_assignments[i]
+        else:
+            # Reference loop semantics (``optimization.py:340-341``): a
+            # longer buffer fails loudly with IndexError, a shorter one
+            # truncates -- a silent slice fill would leave np.empty
+            # garbage in the tail that passes the asserts below
             for i in range(len(output)):
                 output[i] = we_bin_assignments[i]
 

@@ -357,15 +357,24 @@ def plot_committor(model):
     plt = _plt()
     fig = plt.figure(figsize=(8, 6))
     boot = getattr(model, "flux_bootstrap", None)
-    # Band length must match the current model: a re-cluster/re-organize
-    # after the bootstrap changes n_states and leaves stale bands behind
-    # (the facade's attributes are overwrite-on-recompute, like the
-    # reference's)
-    if (
-        boot is not None
-        and "committor_ci" in boot
-        and boot["committor_ci"].shape[1] == len(np.ravel(model.q))
-    ):
+    # Staleness checks: a re-cluster/re-organize after the bootstrap leaves
+    # old bands behind (facade attributes are overwrite-on-recompute, like
+    # the reference's). The length must match the current model, and the
+    # bootstrap's sort-index stamp must equal the model's current one — a
+    # same-size re-organize changes state identities without changing
+    # n_states.
+    def _bands_fresh():
+        if boot is None or "committor_ci" not in boot:
+            return False
+        if boot["committor_ci"].shape[1] != len(np.ravel(model.q)):
+            return False
+        stamp = boot.get("sort_indices")
+        current = getattr(model, "pcoord_sort_indices", None)
+        if stamp is not None and current is not None:
+            return np.array_equal(stamp, current)
+        return True
+
+    if _bands_fresh():
         lo, hi = boot["committor_ci"]
         q = np.asarray(model.q)
         plt.errorbar(

@@ -153,3 +153,20 @@ def test_bootstrap_pss_and_committor_observables(built_model):
 
     with pytest.raises(ValueError, match="Unknown bootstrap observables"):
         built_model.bootstrap_target_flux(n_boot=5, observables=("flux", "nope"))
+
+
+def test_bootstrap_stale_sort_index_raises_for_per_state_observables(built_model):
+    """A re-clustering after the last organize leaves pcoord_sort_indices at
+    the old state count; per-state observables must fail loudly instead of
+    mislabeling states (flux alone is permutation-invariant and still OK)."""
+    saved = built_model.pcoord_sort_indices
+    built_model.pcoord_sort_indices = np.arange(len(saved) + 3)
+    try:
+        with pytest.raises(ValueError, match="re-run\\s+organize_fluxMatrix"):
+            built_model.bootstrap_target_flux(
+                n_boot=4, observables=("flux", "pss")
+            )
+        res = built_model.bootstrap_target_flux(n_boot=4)  # flux-only: fine
+        assert np.isfinite(res["flux"])
+    finally:
+        built_model.pcoord_sort_indices = saved

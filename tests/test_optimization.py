@@ -119,3 +119,15 @@ def test_optimized_mapper_noncontiguous_dict_keys(optimized_mapper):
     out = optimized_mapper.assign(coords)
     assert (out >= 0).all() and (out < 8).all()
     assert out[-2] == 7 and out[-1] == 6
+
+
+def test_optimized_mapper_output_buffer_contract(optimized_mapper):
+    """Reference loop semantics for mismatched output buffers: longer
+    buffers fail loudly (no np.empty garbage in the tail), shorter ones
+    truncate (reference optimization.py:340-341)."""
+    rng = np.random.default_rng(9)
+    coords = rng.uniform(1.5, 8, (10, 2)).astype(np.float32)
+    with pytest.raises(IndexError):
+        optimized_mapper.mapper(coords, np.ones(10, bool), np.empty(12))
+    out = optimized_mapper.mapper(coords, np.ones(10, bool), np.empty(7))
+    assert len(np.asarray(out)) == 7
