@@ -1,0 +1,472 @@
+"""Flux-matrix estimation engine: host f64 bincount path, the fused
+mesh-sharded device path, and the routing between them.
+
+Extracted from the ``modelWE`` facade (which delegates here unchanged).
+Capability parity with the reference's ``get_fluxMatrix``
+(``msm_we/_hamsm/_fluxmatrix.py:166-345``), redesigned per SURVEY.md
+section 7: one vectorized scatter-add over all selected transitions instead
+of a Ray fan-out over iterations, with an optional shard_map program
+(discretize -> f64 scatter -> psum) when a device mesh is enabled.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ._logging import log
+from .features import _id_columns_to_host, _pad_rows_to
+
+
+def get_flux_matrix(
+    model,
+    n_lag,
+    first_iter=1,
+    last_iter=None,
+    iters_to_use=None,
+    use_ray=False,
+    result_batch_size=5,
+    progress_bar=None,
+):
+    """Weighted flux matrix over iterations (reference ``get_fluxMatrix``,
+    ``_fluxmatrix.py:166-345``): one vectorized scatter-add over all
+    selected transitions, normalized by the number of iterations used.
+
+    WE weights span many orders of magnitude, so the final (n+2)^2
+    accumulation runs in float64 on the host (a trivial bincount); the
+    expensive part -- discretization -- already ran on device. With a
+    mesh enabled, the fused device path (parallel.sharded: f32 assign +
+    f64 scatter + psum) replaces this host accumulation entirely.
+
+    ``n_lag > 0`` builds (n_lag+1)-tau transitions: the start state is the
+    *ancestor's* frame-0 assignment ``n_lag`` iterations back (already
+    discretized -- lagged starts reuse the parent-feature assignments, no
+    new device work), with recycled-within-window lineages departing from
+    the basis state. Extends the reference, whose lag machinery is gated
+    (``msm_we.py:353-359``).
+    """
+    model._fluxMatrixParams = [n_lag, first_iter, last_iter, iters_to_use]
+
+    if iters_to_use is None:
+        if last_iter is None:
+            last_iter = model.maxIter
+        iters_to_use = range(max(first_iter + 1, n_lag + 1), last_iter)
+    in_range = [i for i in iters_to_use if i - n_lag >= 1 and i < model.maxIter]
+    if len(in_range) != len(iters_to_use):
+        dropped = sorted(set(iters_to_use) - set(in_range))
+        log.warning(
+            f"Dropping iterations {dropped} from the flux matrix: outside "
+            f"the usable range [{n_lag + 1}, {model.maxIter - 1}] at "
+            f"n_lag={n_lag}"
+        )
+    iters_to_use = in_range
+    if not iters_to_use:
+        raise ValueError(
+            f"No iterations have enough history for n_lag={n_lag} "
+            f"(first_iter={first_iter}, last_iter={last_iter})"
+        )
+
+    model.n_lag = n_lag
+    model.errorWeight = 0.0
+    model.errorCount = 0
+
+    feats = model._featurize_all()
+    n_states = model.n_clusters + 2
+
+    use_device_flux = (
+        n_lag == 0
+        and model._mesh is not None
+        and model.clusters is not None
+        and not getattr(model, "_flux_prefer_host", False)
+        and model._device_f64_weights_ok(feats["weights"])
+    )
+    if use_device_flux and not getattr(model, "_force_device_flux", False):
+        # Single-process meshes: the predict ids land on the host either
+        # way (deferred discretization runs ONE ids-only sharded
+        # program; otherwise they are already stored), and the host f64
+        # bincount below then beats the device flux program outright --
+        # measured 2 ms vs 60-73 ms at 100k segments (TPU f64 is
+        # emulated double-double and the scatter is all adds; see
+        # docs/performance.md "Flux accumulation routing"). The fused
+        # scatter+psum program (device_flux_lag0) remains the
+        # multi-process path, where each process holds only its own id
+        # shard and the in-mesh psum replaces a cross-host gather.
+        import jax
+
+        if jax.process_count() == 1:
+            model._ensure_discretized()
+            use_device_flux = False
+    if use_device_flux:
+        # Fused shard_map program (discretize -> f64 scatter -> psum)
+        # over the mesh. Works for stratified (per-bin bank) and
+        # aggregated (single-bin bank) clustering alike.
+        model.fluxMatrixRaw = model._device_flux_lag0(iters_to_use) / len(
+            iters_to_use
+        )
+        return
+
+    # Deferred discretization (the device fast path above normally
+    # materializes ids as a flux byproduct): any host-path build --
+    # lag>0, device fallback, or a user bypassing the mesh -- needs the
+    # stored ids, so materialize them now
+    model._ensure_discretized()
+
+    if n_lag == 0:
+        n_iters_all = len(feats["offsets"]) - 1
+        u = np.unique(iters_to_use)
+        contiguous = (
+            len(u) == len(iters_to_use)  # no duplicates
+            and u[-1] - u[0] + 1 == len(u)  # gap-free range
+            and u[0] >= 1
+            and u[-1] <= n_iters_all
+        )
+        if contiguous:
+            # Feature rows are ordered by iteration, so ANY contiguous
+            # iteration range -- the default window range(2, maxIter),
+            # every cleaning pass, and explicit first/last selections --
+            # is a contiguous row slice: skip the O(N) isin scan and let
+            # basic slicing replace the row gathers. (The old predicate
+            # demanded ALL iterations starting at 1, which the default
+            # window never satisfies, leaving this path dead.)
+            offs = feats["offsets"]
+            sel = slice(int(offs[u[0] - 1]), int(offs[u[-1]]))
+        else:
+            # Integer rows, not a boolean mask: 2-D boolean indexing
+            # takes a slow numpy path on this host (~2x the int gather
+            # at 2M rows)
+            sel = np.flatnonzero(np.isin(feats["iteration"], iters_to_use))
+        weights = feats["weights"][sel]
+        masks = model._pc_masks()
+        start_idx = np.asarray(model._parent_idx[sel], dtype=np.int64)
+        end_idx = np.asarray(model._child_idx[sel], dtype=np.int64)
+        strat = model._strat
+        if (
+            model.clustering_method == "stratified"
+            and strat is not None
+            and model.n_clusters == strat.n_total_clusters
+        ):
+            # Fast path (every cleaning pass): stored stratified dtrajs
+            # already carry the predict-time basis/target overrides
+            # (target wins overlaps, stratified_clustering.py:159-169)
+            # in the CURRENT numbering; the flux build's basis-wins
+            # composition (_fluxmatrix.py:134-137) differs only on rows
+            # inside BOTH regions. Bitwise-identical to the general
+            # chain below, minus ~6 O(N) passes per pass. Pre-cleaning
+            # (nominal n_clusters > live total) the stored basis/target
+            # ids use the live total, so the general chain re-applies
+            # them with the nominal index instead.
+            if masks["overlap_p"] is not None:
+                start_idx = start_idx.copy()
+                start_idx[masks["overlap_p"][sel]] = model.n_clusters
+            if masks["overlap_c"] is not None:
+                end_idx = end_idx.copy()
+                end_idx[masks["overlap_c"][sel]] = model.n_clusters
+        else:
+            # General chain: aggregated clustering stores raw
+            # (un-overridden) ids, and pre-cleaning stratified ids
+            # carry live-total basis/target states -- re-apply the
+            # flux-order overrides at the nominal numbering
+            # (end-in-target, start-in-target for stratified, then
+            # basis unconditionally)
+            end_idx = np.where(
+                masks["target_c"][sel], model.n_clusters + 1, end_idx
+            )
+            if model.clustering_method == "stratified":
+                start_idx = np.where(
+                    masks["target_p"][sel], model.n_clusters + 1, start_idx
+                )
+            start_idx = np.where(
+                masks["basis_p"][sel], model.n_clusters, start_idx
+            )
+            end_idx = np.where(
+                masks["basis_c"][sel], model.n_clusters, end_idx
+            )
+    else:
+        offsets = feats["offsets"]
+        masks = model._pc_masks()
+        starts, ends, ws, b0s, t0s, b1s, t1s, warps = (
+            [], [], [], [], [], [], [], []
+        )
+        for it in iters_to_use:
+            anc, warped = model._dataset.ancestor_ids(it, n_lag)
+            rows_now = np.arange(offsets[it - 1], offsets[it])
+            rows_lag = offsets[it - n_lag - 1] + np.where(warped, 0, anc)
+            starts.append(model._parent_idx[rows_lag])
+            ends.append(model._child_idx[rows_now])
+            # A zeroed ancestor weight marks bad (NaN) augmentation
+            # coords at the lagged frame (westh5 convention); those
+            # transitions carry no flux at lag L either -- the start
+            # assignment would come from zero-filled garbage features
+            w_now = feats["weights"][rows_now].copy()
+            w_now[(feats["weights"][rows_lag] == 0.0) & ~warped] = 0.0
+            ws.append(w_now)
+            b0s.append(masks["basis_p"][rows_lag])
+            t0s.append(masks["target_p"][rows_lag])
+            b1s.append(masks["basis_c"][rows_now])
+            t1s.append(masks["target_c"][rows_now])
+            warps.append(warped)
+        start_idx = np.concatenate(starts).astype(np.int64)
+        end_idx = np.concatenate(ends).astype(np.int64)
+        weights = np.concatenate(ws)
+        warped_all = np.concatenate(warps)
+        # Recycled lineages depart from the basis state regardless of
+        # the (meaningless) ancestor pcoord gathered at the safe index
+        basis_start = np.concatenate(b0s) | warped_all
+        target_start = np.concatenate(t0s) & ~warped_all
+        basis_end = np.concatenate(b1s)
+        target_end = np.concatenate(t1s)
+
+        # Basis/target overrides, reference composition: predict routes
+        # target-region rows to the target cluster first
+        # (stratified_clustering.py:159-169) -- re-applied here with the
+        # *nominal* target index so the numbering agrees with the fused
+        # device kernel pre-cleaning -- and the flux build then applies
+        # start/end-in-basis unconditionally AFTER end-in-target
+        # (_fluxmatrix.py:134-137). So for rows inside BOTH regions
+        # (overlapping bounds), basis wins, for parents and children
+        # alike. (The lag-0 branches above compose the same order.)
+        end_idx = np.where(target_end, model.n_clusters + 1, end_idx)
+        if model.clustering_method == "stratified":
+            start_idx = np.where(
+                target_start, model.n_clusters + 1, start_idx
+            )
+        start_idx = np.where(basis_start, model.n_clusters, start_idx)
+        end_idx = np.where(basis_end, model.n_clusters, end_idx)
+
+    flat = start_idx * n_states + end_idx
+    fm = np.bincount(
+        flat, weights=weights, minlength=n_states * n_states
+    ).reshape(n_states, n_states)
+    model.fluxMatrixRaw = fm / len(iters_to_use)
+
+
+def device_f64_weights_ok(model, weights):
+    """True when the mesh's backend can accumulate these WE weights in
+    genuine f64. CPU always can. TPU has no native f64: XLA's x64
+    rewrite emulates it as a double-double f32 pair, keeping ~49
+    mantissa bits but only f32's EXPONENT range, so weights below
+    ~1.2e-38 flush to zero in the device scatter (measured on v5e:
+    1e250 -> inf, 2.25e-300 -> 0). WE weights legitimately span
+    hundreds of orders of magnitude, so such runs take the host f64
+    bincount path instead, with a warning."""
+    plats = {d.platform for d in model._mesh.devices.flat}
+    if plats == {"cpu"}:
+        return True
+    w = weights[weights != 0]
+    if w.size == 0:
+        return True
+    lo, hi = float(w.min()), float(w.max())
+    f32 = np.finfo(np.float32)
+    if lo >= float(f32.tiny) and hi <= float(f32.max):
+        return True
+    log.warning(
+        f"WE weights span [{lo:.3g}, {hi:.3g}], outside the f32 exponent "
+        f"range that {sorted(plats)} f64 emulation preserves; using the "
+        "host f64 flux path for this build (device discretization is "
+        "unaffected)."
+    )
+    return False
+
+
+def device_flux_lag0(model, iters_to_use):
+    """Fused mesh-sharded flux matrix: discretize + f64 scatter + psum.
+
+    One shard_map program over the ('data', 'model') mesh -- segments
+    data-parallel, the stratified center bank tensor-parallel -- with the
+    flux accumulated and psum-reduced in float64 while the distance
+    matmuls stay f32 (``jax.enable_x64`` scopes the trace). This is the
+    TPU-native replacement for the reference's Ray gather + driver-side
+    f64 summation (``_fluxmatrix.py:311-342``), reachable from
+    ``build_analyze_model`` via ``enable_mesh``/``device_pipeline``.
+
+    Results match the host bincount path to f64 summation-order (the
+    parity test asserts JtargetSS equality through the full build).
+    """
+    from .parallel.sharded import build_sharded_step
+    from .utils import _scoped_x64
+
+    feats = model._featurize_all()
+    strat = model._strat
+    mesh = model._mesh
+
+    # Iteration selection folds into the weights (w * mask; f64 adds of
+    # zero are exact), so the big feature arrays need no sel-gather and
+    # the device copies cached by _device_row_feats (shared with the
+    # sharded discretization) are reused as-is -- one upload per build
+    sel = np.isin(feats["iteration"], list(iters_to_use))
+    w = np.where(sel, feats["weights"], 0.0).astype(np.float64)
+
+    masks = model._pc_masks()
+    basis_p = masks["basis_p"]
+    # Target-region parents route to the target state only for
+    # stratified clustering (the reference's predict-time short-circuit;
+    # its aggregated path leaves such parents at their raw cluster)
+    if strat is not None:
+        target_p = masks["target_p"]
+    else:
+        target_p = np.zeros(len(w), bool)
+    basis_c = masks["basis_c"]
+    target_c = masks["target_c"]
+
+    n_states = model.n_clusters + 2
+    data_size = mesh.shape["data"]
+    model_size = mesh.shape["model"]
+    N = len(w)
+
+    if strat is not None:
+        raw_pbins, raw_cbins = model._raw_we_bins()
+        remap = strat.we_remap
+        pbins = remap[raw_pbins].astype(np.int32)
+        cbins = remap[raw_cbins].astype(np.int32)
+        K = strat.n_total_clusters
+        n_bins = strat.n_bins
+        bank = lambda K_pad: strat.compact_bank(pad_to=K_pad)
+    else:
+        # Aggregated clustering: one implicit bin holding every center
+        centers_all = np.asarray(model.clusters.cluster_centers_, np.float32)
+        pbins = np.zeros(N, np.int32)
+        cbins = np.zeros(N, np.int32)
+        K = len(centers_all)
+        n_bins = 1
+
+        def bank(K_pad):
+            c = np.zeros((K_pad, centers_all.shape[1]), np.float32)
+            cb = np.full(K_pad, -2, np.int32)
+            v = np.zeros(K_pad, bool)
+            c[:K] = centers_all
+            cb[:K] = 0
+            v[:K] = True
+            return c, cb, v
+
+    N_pad = -(-N // data_size) * data_size
+    K_pad = -(-K // model_size) * model_size
+
+    pad_rows = lambda a, fill: _pad_rows_to(a, N_pad, fill)
+
+    # Padded rows carry weight 0 (their scatter adds nothing) and bin -1
+    # (matches no center); the compact bank (argmin row == global id,
+    # no device gather) pads with invalid rows
+    fp_dev, fc_dev = model._device_row_feats()
+    centersC, center_binC, validC = bank(K_pad)
+    args = (
+        fp_dev,
+        fc_dev,
+        pad_rows(pbins, -1),
+        pad_rows(cbins, -1),
+        pad_rows(basis_p, False),
+        pad_rows(basis_c, False),
+        pad_rows(target_c, False),
+        pad_rows(w, 0.0),
+        centersC,
+        center_binC,
+        validC,
+        pad_rows(target_p, False),
+    )
+
+    # build_sharded_step is memoized on (mesh, n_states, ...), so a
+    # model-level cache would only risk staleness when enable_mesh()
+    # swaps meshes mid-life.
+    #
+    # Deferred discretization (cluster_stratified(defer_discretization=
+    # True)): dtrajs don't exist yet, so run the combined program that
+    # emits the packed flux AND the predict-order ids in ONE
+    # dispatch+sync -- the two score GEMMs run once for both outputs.
+    if model._parent_idx is None and strat is not None:
+        from .parallel.sharded import (
+            build_sharded_step_packed_with_ids, flux_pack_capacity,
+            unpack_packed_flux,
+        )
+        from .discretization import _check_live_centers
+
+        # Same junk-id guard as sharded_pair_discretize: this program
+        # is about to mint the build's dtrajs
+        _check_live_centers(strat, pbins, cbins)
+        step = build_sharded_step_packed_with_ids(
+            mesh, n_states, strat.n_total_clusters + 2,
+            with_target_p=True, n_bins=n_bins,
+        )
+        with _scoped_x64():
+            buf, both = step(*args)
+        # One overlapped download: device_get issues async host copies
+        # for both outputs before blocking, merging what were two
+        # serial ~RTT-bound syncs through the remote tunnel
+        import jax
+
+        buf, both = jax.device_get((buf, both))
+        model._store_dtrajs(*_id_columns_to_host(both, N))
+        fm = unpack_packed_flux(
+            np.asarray(buf), n_states, flux_pack_capacity(n_states)
+        )
+        if fm is not None:
+            return fm
+        log.debug(
+            "Packed flux overflowed its nonzero capacity; re-running "
+            "the dense device step."
+        )
+    # Matrices big enough for the download to matter go through the
+    # packed-sparse variant (the dense f64 download is ~80 ms of a warm
+    # 100k build on a ~10 MB/s tunnel); an overflowing nonzero count
+    # falls back to the dense program.
+    elif n_states >= 96:
+        from .parallel.sharded import (
+            build_sharded_step_packed, flux_pack_capacity,
+            unpack_packed_flux,
+        )
+
+        step = build_sharded_step_packed(
+            mesh, n_states, with_target_p=True, n_bins=n_bins
+        )
+        with _scoped_x64():
+            buf = step(*args)
+        fm = unpack_packed_flux(
+            np.asarray(buf), n_states, flux_pack_capacity(n_states)
+        )
+        if fm is not None:
+            return fm
+        log.debug(
+            "Packed flux overflowed its nonzero capacity; re-running "
+            "the dense device step."
+        )
+    step = build_sharded_step(mesh, n_states, with_target_p=True, n_bins=n_bins)
+    with _scoped_x64():
+        fm = step(*args)
+    fm = np.asarray(fm, dtype=np.float64)
+    assert fm.shape == (n_states, n_states)
+    return fm
+
+
+def get_iter_flux_matrix(model, n_iter):
+    """Single-iteration flux matrix (reference ``_fluxmatrix.py:21-72``)."""
+    d = model._dataset.iter_data(n_iter)
+    model._ensure_discretized()
+    # NaN-zeroed weights from the feature cache (already materialized by
+    # the discretization above) -- iter_coord_pairs would re-read BOTH
+    # full coordinate frames just to recompute this vector
+    feats = model._featurize_all()
+    offs = feats["offsets"]
+    weights = feats["weights"][offs[n_iter - 1] : offs[n_iter]]
+    pairs = np.asarray(model.pair_dtrajs[n_iter - 1])
+    start_idx, end_idx = pairs[:, 0].copy(), pairs[:, 1].copy()
+    n_states = model.n_clusters + 2
+    end_idx = np.where(
+        model.is_WE_target(d["pcoord1"]), model.n_clusters + 1, end_idx
+    )
+    if model.clustering_method == "stratified":
+        # Same nominal-numbering routing as get_fluxMatrix: stratified
+        # predict short-circuits target-region parents to its own
+        # target index (n_total_clusters + 1), which pre-cleaning can be
+        # a dead regular-cluster slot in the nominal n_clusters + 2
+        # numbering -- route them to the nominal target row. Applied
+        # BEFORE start-in-basis: with overlapping bounds, basis wins
+        # (reference composition, _fluxmatrix.py:134-137)
+        start_idx = np.where(
+            model.is_WE_target(d["pcoord0"]), model.n_clusters + 1, start_idx
+        )
+    start_idx = np.where(
+        model.is_WE_basis(d["pcoord0"]), model.n_clusters, start_idx
+    )
+    end_idx = np.where(
+        model.is_WE_basis(d["pcoord1"]), model.n_clusters, end_idx
+    )
+    flat = start_idx.astype(np.int64) * n_states + end_idx.astype(np.int64)
+    return np.bincount(flat, weights=weights, minlength=n_states**2).reshape(
+        n_states, n_states
+    )

@@ -27,13 +27,29 @@ for API compatibility and ignored where the redesign makes them moot.
 from __future__ import annotations
 
 from copy import deepcopy
-from functools import lru_cache
 
 import numpy as np
 
 from ._logging import ProgressBar, log  # noqa: F401
+from . import bootstrap as _bootstrap
+from . import cleaning as _cleaning
+from . import discretization as _discretization
+from . import fluxmatrix as _fluxmatrix
 from .binning import find_nearest_bin
 from .data.westh5 import WEDataset
+# Re-exported for backward compatibility (tests and old pickles import
+# these from msm_we_tpu.model; the implementations live in features.py)
+from .features import (  # noqa: F401
+    FeatureSet,
+    StreamingReducer,
+    _device_parent_from_child,
+    _feat_parent_rows,
+    _featureset_unpickle,
+    _id_columns_to_host,
+    _pad_rows_to,
+    _parent_gather_fn,
+    device_row_feats as _device_row_feats_impl,
+)
 from .ops import linalg
 from .ops.kmeans import kmeans_fit
 from .ops.pca import (
@@ -145,194 +161,8 @@ class _AggregateClustersShim:
         return np.asarray(idx)
 
 
-
-def _pad_rows_to(a, n_pad, fill):
-    """Pad a row-sharded array to ``n_pad`` rows with ``fill`` (shared by the
-    mesh discretization and flux paths -- padded rows must be inert there:
-    weight 0, bin -1, masks False)."""
-    n = len(a)
-    if n_pad == n:
-        return a
-    out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
-    out[:n] = a
-    return out
-
-
-def _check_live_centers(strat, pbins, cbins):
-    """Predict-path guard shared by every device program that assigns rows
-    to the stratified bank: a present (remapped) WE bin with no live
-    centers and no remap would silently produce junk ids on device.
-    Single implementation: ``StratifiedKmeans.check_live_bins``."""
-    strat.check_live_bins(np.concatenate([pbins, cbins]))
-
-
-def _id_columns_to_host(both, n_rows):
-    """Download a device (N_pad, 2) stacked-id array and split it into
-    contiguous int32 (parent_idx, child_idx) columns, dropping pad rows."""
-    both = np.asarray(both)[:n_rows].astype(np.int32)
-    return np.ascontiguousarray(both[:, 0]), np.ascontiguousarray(both[:, 1])
-
-
-class FeatureSet(dict):
-    """Concatenated per-segment feature arrays (see ``modelWE._featurize_all``).
-
-    Under the continuity dedup the parent feature array is redundant with
-    the child array: parent row ``i`` is a bit-copy of child row ``src[i]``
-    (WE continuity), except for a few directly-featurized *fallback* rows
-    (iteration 1 and recycled segments). This class stores that recipe
-    instead of the materialized array: host consumers that index
-    ``feats["parent"]`` trigger a one-time materialization, subset
-    consumers use :meth:`parent_rows` (no full gather), and the device
-    pipeline (``modelWE._device_row_feats``) performs the gather on-device
-    from the child upload — large builds never pay the host gather or the
-    redundant parent transfer (~240 MB at 2M segments, 30 components).
-    """
-
-    def __init__(self, *args, parent_src=None, parent_fb_rows=None,
-                 parent_fb_feats=None, **kw):
-        super().__init__(*args, **kw)
-        # Recipe: parent[i] = child[parent_src[i]] where parent_src[i] >= 0;
-        # rows with parent_src[i] < 0 appear in parent_fb_rows (sorted
-        # ascending) with their directly-featurized values in parent_fb_feats
-        self._parent_src = parent_src
-        self._parent_fb_rows = parent_fb_rows
-        self._parent_fb_feats = parent_fb_feats
-
-    @property
-    def parent_is_lazy(self):
-        return dict.__getitem__(self, "parent") is None
-
-    def __getitem__(self, key):
-        val = dict.__getitem__(self, key)
-        if val is None and key == "parent":
-            val = self.parent_rows()
-            # Keep the recipe: the device path still prefers the on-device
-            # gather even after a host consumer forced materialization
-            dict.__setitem__(self, "parent", val)
-        return val
-
-    # Accessors that would otherwise leak the raw None placeholder
-    # materialize first. (Plain ``dict(fs)`` bypasses all overrides via
-    # CPython's fast path and is not interceptable -- use ``fs.copy()``.)
-    def get(self, key, default=None):
-        try:
-            return self[key]
-        except KeyError:
-            return default
-
-    def __reduce__(self):
-        # Custom pickling: dict-subclass pickling walks obj.items(), which
-        # (overridden below) would materialize the lazy parent and bloat
-        # the pickle with a redundant array; ship the recipe instead
-        return (
-            _featureset_unpickle,
-            (
-                dict.copy(self),
-                self._parent_src,
-                self._parent_fb_rows,
-                self._parent_fb_feats,
-            ),
-        )
-
-    def _materialized(self):
-        if self.parent_is_lazy:
-            self["parent"]
-        return self
-
-    def items(self):
-        return dict.items(self._materialized())
-
-    def values(self):
-        return dict.values(self._materialized())
-
-    def copy(self):
-        return FeatureSet(
-            dict.copy(self._materialized()),
-            parent_src=self._parent_src,
-            parent_fb_rows=self._parent_fb_rows,
-            parent_fb_feats=self._parent_fb_feats,
-        )
-
-    def parent_rows(self, rows=None):
-        """Parent feature rows without materializing the full array.
-
-        ``rows``: integer indices, a boolean mask, or None for all rows."""
-        parent = dict.__getitem__(self, "parent")
-        if parent is not None:
-            return parent if rows is None else parent[rows]
-        child = dict.__getitem__(self, "child")
-        src = self._parent_src
-        fbr = self._parent_fb_rows
-        fbv = self._parent_fb_feats
-        if rows is None:
-            out = child[np.maximum(src, 0)]
-            if len(fbr):
-                out[fbr] = fbv
-            return out
-        rows = np.asarray(rows)
-        if rows.dtype == bool:
-            rows = np.flatnonzero(rows)
-        rows = rows.astype(np.int64, copy=False)
-        out = child[np.maximum(src[rows], 0)]
-        if len(fbr):
-            pos = np.minimum(np.searchsorted(fbr, rows), len(fbr) - 1)
-            hit = fbr[pos] == rows
-            if hit.any():
-                out[hit] = fbv[pos[hit]]
-        return out
-
-
-def _featureset_unpickle(d, src, fbr, fbv):
-    return FeatureSet(d, parent_src=src, parent_fb_rows=fbr, parent_fb_feats=fbv)
-
-
-def _feat_parent_rows(feats, rows):
-    """Subset of parent feature rows; avoids full materialization for
-    :class:`FeatureSet`, falls back to plain indexing for legacy dicts."""
-    if isinstance(feats, FeatureSet):
-        return feats.parent_rows(rows)
-    return feats["parent"][rows]
-
-
-@lru_cache(maxsize=None)
-def _parent_gather_fn(sharding, with_fallback):
-    """Jitted on-device parent-from-child row gather (memoized per sharding
-    like the other mesh builders; retracing per build would dominate)."""
-    import jax
-    import jax.numpy as jnp
-
-    if with_fallback:
-        def f(child, src, fb_rows, fb_vals):
-            return jnp.take(child, src, axis=0).at[fb_rows].set(fb_vals)
-    else:
-        def f(child, src):
-            return jnp.take(child, src, axis=0)
-
-    return jax.jit(f, out_shardings=sharding)
-
-
-def _device_parent_from_child(child_dev, feats, N_pad, row_sharding):
-    """Build the padded parent feature array ON DEVICE from the child upload
-    and the :class:`FeatureSet` recipe — the "features born on device" path:
-    no host gather, no redundant parent upload. Bitwise-identical rows to
-    the host materialization (gather and scatter copy f32 bits exactly);
-    pad rows (weight 0, bin -1) read child row 0, which no consumer looks at.
-    """
-    import jax
-
-    src = feats._parent_src
-    idx_dtype = np.int64 if N_pad > np.iinfo(np.int32).max else np.int32
-    src_pad = np.zeros(N_pad, idx_dtype)
-    src_pad[: len(src)] = np.maximum(src, 0)
-    src_dev = jax.device_put(src_pad, row_sharding)
-    fbr = feats._parent_fb_rows
-    if len(fbr):
-        fn = _parent_gather_fn(row_sharding, True)
-        return fn(
-            child_dev, src_dev,
-            np.asarray(fbr, idx_dtype), np.asarray(feats._parent_fb_feats),
-        )
-    return _parent_gather_fn(row_sharding, False)(child_dev, src_dev)
+# Compat alias: _check_live_centers moved to discretization.py
+from .discretization import _check_live_centers  # noqa: F401,E402
 
 
 class modelWE:
@@ -993,278 +823,24 @@ class modelWE:
     transform once regardless of how segment counts vary per iteration --
     the padded-batch discipline of SURVEY.md P4."""
 
-    class _StreamingReducer:
-        """Buffer raw frames and flush fixed-size chunks through a reduce fn.
-
-        Keeps only the small reduced features resident -- raw coordinates
-        never accumulate beyond one chunk (the streaming design of SURVEY.md
-        P4; for production systems the raw set can be orders of magnitude
-        larger than host RAM).
-        """
-
-        def __init__(self, reduce_fn, chunk):
-            self.reduce_fn = reduce_fn
-            self.chunk = chunk
-            self.buf = []
-            self.buffered = 0
-            self.out = []
-
-        def add(self, coords):
-            # Drain directly from the incoming block: the previous
-            # append-concatenate-split loop re-copied the whole buffered
-            # tail once per flushed chunk (~0.5 GB of pure copies per 2M-
-            # segment featurization pass). Only the sub-chunk remainder is
-            # ever buffered (copied, so the big source block can be freed).
-            pos = 0
-            n = len(coords)
-            if self.buffered:
-                take = min(self.chunk - self.buffered, n)
-                if self.buffered + take < self.chunk:
-                    if take:
-                        # Copy: a view would pin the whole incoming block
-                        self.buf.append(coords[:take].copy())
-                        self.buffered += take
-                    return
-                self.buf.append(coords[:take])
-                self.out.append(
-                    np.asarray(self.reduce_fn(np.concatenate(self.buf)))
-                )
-                self.buf = []
-                self.buffered = 0
-                pos = take
-            while n - pos >= self.chunk:
-                self.out.append(
-                    np.asarray(self.reduce_fn(coords[pos : pos + self.chunk]))
-                )
-                pos += self.chunk
-            if n - pos:
-                self.buf = [coords[pos:].copy()]
-                self.buffered = n - pos
-
-        def finish(self):
-            if self.buffered:
-                block = np.concatenate(self.buf) if len(self.buf) > 1 else self.buf[0]
-                if self.out:  # pad to the compiled chunk shape
-                    pad = np.zeros(
-                        (self.chunk - len(block),) + block.shape[1:], block.dtype
-                    )
-                    padded = np.concatenate([block, pad])
-                    self.out.append(
-                        np.asarray(self.reduce_fn(padded))[: len(block)]
-                    )
-                else:
-                    self.out.append(np.asarray(self.reduce_fn(block)))
-            self.buf = []
-            return (
-                np.concatenate(self.out)
-                if self.out
-                else np.zeros((0, 1), np.float32)
-            )
+    # Streaming chunk reducer: implementation in features.StreamingReducer
+    # (alias kept -- docs and downstream code refer to
+    # ``modelWE._StreamingReducer``)
+    _StreamingReducer = StreamingReducer
 
     def _featurize_all(self, force=False):
-        """Reduce every iteration's (parent, child) coords to features, once.
+        """Reduce every iteration's (parent, child) coords to features, once
+        (engine: :func:`msm_we_tpu.features.featurize_all`)."""
+        from .features import featurize_all
 
-        Builds concatenated arrays over iterations 1..maxIter-1 (the
-        discretizable range): features, pcoords, weights, per-iteration
-        offsets. Raw coordinates stream through fixed-size chunks; NaN
-        coordinates are zero-filled (their weight is already 0).
-
-        With ``dedup_coordinates`` (default "auto"), parent features are
-        gathered from the previous iteration's child features instead of
-        re-read and re-featurized -- see :meth:`_featurize_dedup`.
-        """
-        if self._features is not None and not force:
-            return self._features
-        self._raw_bins_cache = None  # bins follow the feature arrays
-        self._pc_masks_cache = None  # and so do the basis/target masks
-
-        mode = getattr(self, "dedup_coordinates", "auto")
-        use_dedup = mode is True or (
-            mode == "auto"
-            and self._dataset.check_continuity(last_iter=self.maxIter - 1)
-        )
-        if mode == "auto" and not use_dedup:
-            log.debug(
-                "Coordinate continuity does not hold for this dataset; "
-                "featurizing parent frames directly."
-            )
-        if use_dedup:
-            feats = self._featurize_dedup(verify=(mode == "auto"))
-            if feats is not None:
-                self._features = feats
-                return feats
-            log.warning(
-                "Gathered parent features did not bitwise-match directly "
-                "featurized samples (non-row-independent featurizer?); "
-                "falling back to direct parent featurization."
-            )
-
-        red_parent = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
-        red_child = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
-        p0s, p1s, ws, iter_of = [], [], [], []
-        offsets = [0]
-        for iteration in range(1, self.maxIter):
-            parent, child, weights = self._dataset.iter_coord_pairs(iteration)
-            d = self._dataset.iter_data(iteration)
-            red_parent.add(np.nan_to_num(parent, copy=False))
-            red_child.add(np.nan_to_num(child, copy=False))
-            p0s.append(d["pcoord0"])
-            p1s.append(d["pcoord1"])
-            ws.append(weights)
-            iter_of.append(np.full(len(weights), iteration))
-            offsets.append(offsets[-1] + len(weights))
-
-        self._features = FeatureSet(
-            parent=red_parent.finish().astype(np.float32),
-            child=red_child.finish().astype(np.float32),
-            pcoord0=np.concatenate(p0s),
-            pcoord1=np.concatenate(p1s),
-            weights=np.concatenate(ws),
-            iteration=np.concatenate(iter_of),
-            offsets=np.array(offsets),
-        )
-        return self._features
+        return featurize_all(self, force=force)
 
     def _featurize_dedup(self, verify=True):
-        """Featurize with the WE-continuity dedup: child frames only are read
-        and reduced; parent features are *gathered* from the previous
-        iteration's child features (a segment's frame 0 is a bit-copy of its
-        parent's final frame). Direct frame-0 reads remain only for
-        iteration 1 and recycled (parent_id < 0) segments.
+        """Featurize with the WE-continuity dedup (engine:
+        :func:`msm_we_tpu.features.featurize_dedup`)."""
+        from .features import featurize_dedup
 
-        Halves coordinate I/O and ``processCoordinates``/transform work vs
-        the reference, which reads and featurizes both frames of every
-        segment (``_data.py:254-313``). With ``verify``, a sample of gathered
-        rows is re-featurized directly from their own frame-0 coords and must
-        match bitwise; returns None on mismatch (caller falls back).
-        """
-        ds = self._dataset
-        red_child = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
-        p0s, p1s, ws, iter_of, nan_blocks = [], [], [], [], []
-        offsets = [0]
-        for iteration in range(1, self.maxIter):
-            child = ds._iter_frame_block(iteration, -1)
-            if verify and iteration == 1 and len(child) > 1:
-                # Pre-flight fail-fast: a featurizer whose per-row output
-                # depends on the rest of the batch (e.g. batch-mean
-                # centering) breaks the gather. Catch it BEFORE the full
-                # dedup pass, not only at the post-hoc sample check --
-                # otherwise a doomed pass costs ~1.5x the direct path.
-                # Bounded to one chunk: featurizing the whole block would
-                # bypass the FEATURE_CHUNK streaming discipline (an extra
-                # compile shape + a memory spike on large iterations)
-                block = np.nan_to_num(child[: self.FEATURE_CHUNK])
-                k = min(8, len(block))
-                whole = np.asarray(self.reduceCoordinates(block))
-                sub = np.asarray(self.reduceCoordinates(block[:k]))
-                if not np.array_equal(whole[:k], sub):
-                    return None
-            d = ds.iter_data(iteration)
-            nan_blocks.append(np.isnan(child).any(axis=tuple(range(1, child.ndim))))
-            # In-place NaN fill is safe: the block is a fresh h5 read, and
-            # the NaN scan above already ran. Saves a full copy pass over
-            # every raw coordinate per build (GBs for real MD data)
-            red_child.add(np.nan_to_num(child, copy=False))
-            p0s.append(d["pcoord0"])
-            p1s.append(d["pcoord1"])
-            # No copy needed: np.concatenate below always allocates, so the
-            # later in-place zeroing never reaches the cached iter_data array
-            ws.append(d["weights"])
-            iter_of.append(np.full(d["n_segs"], iteration))
-            offsets.append(offsets[-1] + d["n_segs"])
-
-        child_feats = red_child.finish().astype(np.float32)
-        offsets = np.array(offsets)
-        child_nan = (
-            np.concatenate(nan_blocks) if nan_blocks else np.zeros(0, bool)
-        )
-
-        # Accumulate one global source-index array, then gather once: 100+
-        # small fancy-index copies have poor locality at millions of rows
-        src_all = np.full(int(offsets[-1]), -1, np.int64)
-        fallback = []  # (iteration, local_rows)
-        for iteration in range(1, self.maxIter):
-            d = ds.iter_data(iteration)
-            base = offsets[iteration - 1]
-            if iteration == 1:
-                fb_local = np.arange(d["n_segs"])
-            else:
-                pg = d["parent_ids_global"]
-                fb_local = np.flatnonzero(pg < 0)
-                ga_local = np.flatnonzero(pg >= 0)
-                if len(ga_local):
-                    src_all[base + ga_local] = offsets[iteration - 2] + pg[ga_local]
-            if len(fb_local):
-                fallback.append((iteration, fb_local))
-
-        # Parent features stay a RECIPE (src gather + fallback rows) inside
-        # the returned FeatureSet: the full host gather only happens if a
-        # host consumer indexes feats["parent"]; the device pipeline gathers
-        # on-device from the child upload instead. Only the cheap 1-D NaN
-        # propagation is done eagerly here.
-        gathered = np.flatnonzero(src_all >= 0)
-        parent_nan = np.zeros(len(child_nan), bool)
-        if len(gathered):
-            parent_nan[gathered] = child_nan[src_all[gathered]]
-
-        fb_rows_all = np.zeros(0, np.int64)
-        fb_feats = np.zeros((0, child_feats.shape[1]), np.float32)
-        if fallback:
-            red_fb = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
-            fb_nan, fb_rows = [], []
-            for iteration, fb_local in fallback:
-                raw = ds.iter_frame_subset(iteration, fb_local, 0)
-                fb_nan.append(np.isnan(raw).any(axis=tuple(range(1, raw.ndim))))
-                red_fb.add(np.nan_to_num(raw, copy=False))
-                fb_rows.append(offsets[iteration - 1] + fb_local)
-            # Iterations ascend and fb_local is sorted within each, so the
-            # concatenation is globally sorted (parent_rows searchsorts it)
-            fb_rows_all = np.concatenate(fb_rows).astype(np.int64)
-            fb_feats = red_fb.finish().astype(np.float32)
-            parent_nan[fb_rows_all] = np.concatenate(fb_nan)
-
-        if verify and len(gathered):
-            rng = np.random.default_rng(0)
-            n_sample = min(256, len(gathered))
-            sample = np.sort(rng.choice(gathered, n_sample, replace=False))
-            sample_iter = np.searchsorted(offsets, sample, side="right")
-            red_v = self._StreamingReducer(self.reduceCoordinates, self.FEATURE_CHUNK)
-            for it in np.unique(sample_iter):
-                rows_g = sample[sample_iter == it]
-                raw = ds.iter_frame_subset(int(it), rows_g - offsets[it - 1], 0)
-                red_v.add(np.nan_to_num(raw, copy=False))
-            direct = red_v.finish().astype(np.float32)
-            if not np.array_equal(direct, child_feats[src_all[sample]]):
-                return None
-
-        # The NaN -> weight-0 convention (reference _data.py:303-313), with
-        # parent NaN-ness propagated through the gather
-        weights = np.concatenate(ws) if ws else np.zeros(0)
-        bad = child_nan | parent_nan
-        if bad.any():
-            iter_all = np.concatenate(iter_of)
-            for it in np.unique(iter_all[bad]):
-                seg = np.flatnonzero(bad & (iter_all == it)) - offsets[it - 1]
-                log.warning(
-                    f"Bad coordinates for segments {seg} in iteration {it}, "
-                    "setting weights to 0"
-                )
-            weights[bad] = 0.0
-
-        return FeatureSet(
-            dict(
-                parent=None,  # lazy: materialized from the recipe on demand
-                child=child_feats,
-                pcoord0=np.concatenate(p0s),
-                pcoord1=np.concatenate(p1s),
-                weights=weights,
-                iteration=np.concatenate(iter_of),
-                offsets=offsets,
-            ),
-            parent_src=src_all,
-            parent_fb_rows=fb_rows_all,
-            parent_fb_feats=fb_feats,
-        )
+        return featurize_dedup(self, verify=verify)
 
     # ------------------------------------------------------------ clustering
     def cluster_coordinates(
@@ -1431,72 +1007,11 @@ class modelWE:
         offsets = feats["offsets"]
 
         # Pass 1: build the batch plan (accumulate iterations until all seen
-        # bins are filled -- bin counts update incrementally with each
-        # appended iteration, O(N) total).
-        batches = []  # (rows, bins) per batch; bins after any ran-out remap
-        delegated = []  # batches that must run through per-batch partial_fit
-        idx = 0
-        while idx < len(iters_to_use):
-            kept_rows = []
-            kept_bins = []
-            batch_counts = np.zeros(bin_mapper.nbins, dtype=np.int64)
-            j = idx
-            ran_out = False
-            while True:
-                if j >= len(iters_to_use):
-                    ran_out = True
-                    break
-                iteration = iters_to_use[j]
-                # O(log N) row range from the featurization offsets (a
-                # flatnonzero scan here is O(N) per iteration -- it was the
-                # dominant cost of million-segment clustering)
-                if 1 <= iteration < len(offsets):
-                    lo, hi = np.searchsorted(
-                        kept_rows_all,
-                        (offsets[iteration - 1], offsets[iteration]),
-                    )
-                else:
-                    lo = hi = 0
-                rows_it = kept_rows_all[lo:hi]
-                bins_it = kept_bins_all[lo:hi]
-                kept_rows.append(rows_it)
-                kept_bins.append(bins_it)
-                if len(bins_it):
-                    batch_counts += np.bincount(
-                        bins_it, minlength=bin_mapper.nbins
-                    )
-
-                seen = batch_counts > 0
-                if seen.any() and (batch_counts[seen] >= n_clusters).all():
-                    break
-                j += 1
-
-            rows = (
-                np.concatenate(kept_rows) if kept_rows else np.array([], int)
-            )
-            if len(rows):
-                bins = np.concatenate(kept_bins)
-                unique_bins, counts = np.unique(bins, return_counts=True)
-                unfilled = unique_bins[counts < n_clusters]
-                filled = np.setdiff1d(unique_bins, unfilled)
-
-                remapped = False
-                if ran_out and len(unfilled) and len(filled):
-                    # Out of data: push unfilled bins' members to nearest filled
-                    log.warning(
-                        f"Couldn't fill bins {unfilled}; remapping members to "
-                        "nearest filled bins for clustering."
-                    )
-                    for ub in unfilled:
-                        nearest = find_nearest_bin(bin_mapper, int(ub), list(filled))
-                        bins[bins == ub] = nearest
-                    remapped = True
-                    unique_bins, counts = np.unique(bins, return_counts=True)
-
-                batches.append((rows, bins, unique_bins, counts))
-                delegated.append(remapped)
-
-            idx = j + 1
+        # bins are filled; engine: discretization.build_batch_plan)
+        batches, delegated = _discretization.build_batch_plan(
+            bin_mapper, iters_to_use, n_clusters,
+            kept_rows_all, kept_bins_all, offsets,
+        )
 
         self._run_streaming_batches(strat, feats, batches, delegated,
                                     bin_mapper, all_filled, iters_to_use,
@@ -1537,136 +1052,12 @@ class modelWE:
     def _run_streaming_batches(self, strat, feats, batches, delegated,
                                bin_mapper, all_filled, iters_to_use,
                                scan_small_batches=False):
-        """Execute the streaming-clustering batch plan, fusing runs of
-        no-seeding device-path batches into single ``lax.scan`` dispatches.
-
-        Per-batch ``partial_fit`` costs one device round trip each; at a
-        hundred iterations through a remote tunnel those enqueues dominate
-        the clustering stage. Batches are classified on the host (a bin
-        seeds when it is uninitialized and has >= k members in the batch --
-        the exact ``partial_fit`` criterion), and maximal runs of >= 2
-        consecutive batches that (a) seed nothing, (b) clear
-        ``HOST_BATCH_THRESHOLD`` (the device-family cutoff -- host-family
-        batches keep their numerics), and (c) weren't ran-out-remapped go
-        through :meth:`StratifiedKmeans.minibatch_scan_run`, which is
-        bitwise-identical to the per-batch sequence. Everything else
-        delegates to ``partial_fit`` unchanged.
-        """
-        from .ops.stratified import HOST_BATCH_THRESHOLD
-
-        use_weights = self.use_weights_in_clustering
-        offsets = feats["offsets"]
-
-        # Scan windows address contiguous row ranges; with a non-ascending
-        # iteration list a batch's rows are not contiguous, so keep the
-        # per-batch path (user-supplied custom orderings are tiny anyway)
-        ascending = len(iters_to_use) <= 1 or bool(
-            np.all(np.diff(np.asarray(iters_to_use)) > 0)
+        """Execute the streaming-clustering batch plan (engine:
+        :func:`msm_we_tpu.discretization.run_streaming_batches`)."""
+        return _discretization.run_streaming_batches(
+            self, strat, feats, batches, delegated, bin_mapper, all_filled,
+            iters_to_use, scan_small_batches=scan_small_batches,
         )
-
-        # Classify: simulate the initialized state forward (only delegated
-        # batches can seed, so the simulation is exact)
-        sim_init = strat.initialized.copy()
-        plan = []
-        for (rows, bins, ub, cnt), remapped in zip(batches, delegated):
-            seeds = (~sim_init[ub]) & (cnt >= strat.k)
-            live = int(cnt[sim_init[ub]].sum())
-            live_floor = 1 if scan_small_batches else HOST_BATCH_THRESHOLD
-            if (
-                not ascending
-                or remapped
-                or seeds.any()
-                or live < live_floor
-            ):
-                plan.append(False)
-                sim_init[ub[seeds]] = True
-            else:
-                plan.append(True)
-
-        scan_ctx = None
-
-        def scan_context():
-            # Device-resident arrays for the scan path, built once: the
-            # shared feature upload (mesh builds reuse _device_row_feats --
-            # the same array the discretization/flux programs read), an
-            # int16 effective-bin array (-1 = excluded from training), and
-            # optionally the f32 weights
-            nonlocal scan_ctx
-            if scan_ctx is not None:
-                return scan_ctx
-            import jax
-            import jax.numpy as jnp
-
-            N = int(offsets[-1])
-            eff_dt = np.int16 if bin_mapper.nbins < 2**15 else np.int32
-            eff = np.full(N, -1, eff_dt)
-            for rows, bins, _ub, _cnt in batches:
-                eff[rows] = bins
-            if self._mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                X_dev = self._device_row_feats()[1]
-                n_pad = X_dev.shape[0]
-                sh = NamedSharding(self._mesh, P("data"))
-
-                def pad_put(a, fill):
-                    return jax.device_put(_pad_rows_to(a, n_pad, fill), sh)
-
-                eff_dev = pad_put(eff, -1)
-                w_dev = (
-                    pad_put(feats["weights"].astype(np.float32), 0.0)
-                    if use_weights
-                    else None
-                )
-            else:
-                X_dev = jnp.asarray(feats["child"])
-                eff_dev = jnp.asarray(eff)
-                w_dev = (
-                    jnp.asarray(feats["weights"].astype(np.float32))
-                    if use_weights
-                    else None
-                )
-            scan_ctx = (X_dev, eff_dev, w_dev)
-            return scan_ctx
-
-        i = 0
-        while i < len(batches):
-            if plan[i]:
-                j = i
-                while j + 1 < len(batches) and plan[j + 1]:
-                    j += 1
-                # Default mode only fuses runs of >= 2 (a lone device-family
-                # batch costs one dispatch either way); scan_small_batches
-                # scans even singletons so every non-seeding batch gets the
-                # same (device) numerics family
-                if j > i or scan_small_batches:
-                    X_dev, eff_dev, w_dev = scan_context()
-                    starts = np.array(
-                        [batches[b][0][0] for b in range(i, j + 1)], np.int64
-                    )
-                    lengths = np.array(
-                        [
-                            batches[b][0][-1] + 1 - batches[b][0][0]
-                            for b in range(i, j + 1)
-                        ],
-                        np.int64,
-                    )
-                    strat.minibatch_scan_run(
-                        X_dev, eff_dev, w_dev, starts, lengths
-                    )
-                    for b in range(i, j + 1):
-                        ub = batches[b][2]
-                        all_filled.update(
-                            int(x) for x in ub[strat.initialized[ub]]
-                        )
-                    i = j + 1
-                    continue
-            rows, bins = batches[i][:2]
-            X = feats["child"][rows]
-            w = feats["weights"][rows] if use_weights else None
-            updated = strat.partial_fit(X, bins, weights=w)
-            all_filled.update(updated)
-            i += 1
 
     def _load_bin_mapper_from_h5(self, bin_iteration):
         """Load a WESTPA bin mapper from the h5 (requires westpa); otherwise
@@ -1690,132 +1081,20 @@ class modelWE:
 
     # --------------------------------------------------------- discretization
     def launch_discretization(self, progress_bar=None):
-        """Discretize every iteration's parent+child features in one pass.
-
-        Replaces the reference's per-iteration Ray fan-out
-        (``launch_ray_discretization``, ``_clustering.py:1144-1242``).
-        Parent and child rows go through ONE predict call (2N rows): on a
-        remote-tunnel device each predict is a blocking dispatch+download
-        round trip, so fusing them halves the discretization latency.
-        """
-        feats = self._featurize_all()
-        strat = self._strat
-
-        parent_bins, child_bins = self._raw_we_bins()
-        n = len(parent_bins)
-
-        if self._mesh is not None and strat is not None:
-            pidx, cidx = self._sharded_pair_discretize(
-                strat, parent_bins, child_bins
-            )
-            self._store_dtrajs(pidx, cidx)
-            return
-
-        masks = self._pc_masks()
-        both_idx = strat.predict(
-            np.concatenate([feats["parent"], feats["child"]]),
-            np.concatenate([parent_bins, child_bins]),
-            is_basis=np.concatenate([masks["basis_p"], masks["basis_c"]]),
-            is_target=np.concatenate([masks["target_p"], masks["target_c"]]),
+        """Discretize every iteration's parent+child features in one pass
+        (engine: :func:`msm_we_tpu.discretization.launch_discretization`;
+        replaces the reference's per-iteration Ray fan-out,
+        ``_clustering.py:1144-1242``)."""
+        return _discretization.launch_discretization(
+            self, progress_bar=progress_bar
         )
-        self._store_dtrajs(both_idx[:n], both_idx[n:])
 
     def _sharded_pair_discretize(self, strat, parent_bins, child_bins):
-        """One sharded dispatch assigning parent AND child rows, reading the
-        shared device-resident feature arrays (:meth:`_device_row_feats`) --
-        the same layout the fused flux step consumes, so features upload
-        once per build instead of once per stage. Identical ids to
-        ``strat.predict`` (same masked scores, same overrides)."""
-        from .parallel.sharded import build_sharded_pair_assign
-
-        feats = self._featurize_all()
-        mesh = self._mesh
-        N = len(parent_bins)
-
-        pbins = strat.we_remap[parent_bins].astype(np.int32)
-        cbins = strat.we_remap[child_bins].astype(np.int32)
-        _check_live_centers(strat, pbins, cbins)
-
-        masks = self._pc_masks()
-        basis_p = masks["basis_p"]
-        basis_c = masks["basis_c"]
-        target_p = masks["target_p"]
-        target_c = masks["target_c"]
-
-        data_size = mesh.shape["data"]
-        model_size = mesh.shape["model"]
-        N_pad = -(-N // data_size) * data_size
-        K = strat.n_total_clusters
-        K_pad = -(-K // model_size) * model_size
-        n_states = K + 2
-
-        pad_rows = lambda a, fill: _pad_rows_to(a, N_pad, fill)
-
-        # Dedup fast path: under WE continuity parent row i is a bit-copy of
-        # child row src[i] (the recipe _featurize_dedup verified), and when
-        # its WE bin and basis/target flags also agree with that child row
-        # (pcoord continuity -- checked here, not assumed), its assignment
-        # IS the child's: score only the N child rows on device (instead of
-        # 2N) and gather parent ids on the host. Disagreeing/fallback rows
-        # (iteration 1, recycled parents, any continuity break) go through
-        # strat.predict, which matches the device scoring bitwise
-        # (tests/test_coverage_round3.py pins the equality). Decided BEFORE
-        # fetching the device feature arrays so the fast path never pays
-        # the on-device parent gather it would not read.
-        src = getattr(feats, "_parent_src", None)
-        direct = s = None
-        if src is not None:
-            s = np.maximum(src, 0)
-            agree = (
-                (src >= 0)
-                & (pbins == cbins[s])
-                & (basis_p == basis_c[s])
-                & (target_p == target_c[s])
-            )
-            direct = np.flatnonzero(~agree)
-        fast = direct is not None and len(direct) <= max(N // 4, 1)
-
-        fp_dev, fc_dev = self._device_row_feats(need_parent=not fast)
-        centersC, center_binC, validC = strat.compact_bank(pad_to=K_pad)
-
-        if fast:
-            from .parallel.sharded import build_sharded_single_assign
-
-            assign1 = build_sharded_single_assign(
-                mesh, n_states, n_bins=strat.n_bins
-            )
-            cid = assign1(
-                fc_dev, pad_rows(cbins, -1),
-                pad_rows(basis_c, False), pad_rows(target_c, False),
-                centersC, center_binC, validC,
-            )
-            cid = np.asarray(cid)[:N].astype(np.int32)
-            pid = cid[s]  # fancy indexing: already a fresh array
-            if len(direct):
-                pid[direct] = strat.predict(
-                    _feat_parent_rows(feats, direct),
-                    parent_bins[direct],  # raw bins: predict remaps
-                    is_basis=basis_p[direct],
-                    is_target=target_p[direct],
-                )
-            return np.ascontiguousarray(pid), cid
-
-        assign = build_sharded_pair_assign(
-            mesh, n_states, with_target_p=True,
-            n_bins=strat.n_bins,
+        """One sharded dispatch assigning parent AND child rows (engine:
+        :func:`msm_we_tpu.discretization.sharded_pair_discretize`)."""
+        return _discretization.sharded_pair_discretize(
+            self, strat, parent_bins, child_bins
         )
-        both = assign(
-            fp_dev, fc_dev,
-            pad_rows(pbins, -1), pad_rows(cbins, -1),
-            pad_rows(basis_p, False), pad_rows(basis_c, False),
-            pad_rows(target_c, False),
-            centersC, center_binC, validC,
-            pad_rows(target_p, False),
-        )
-        # ONE device-to-host sync for both id columns (the program stacks
-        # them, int16 when ids fit): at ~10 MB/s tunnel bandwidth the two
-        # separate int32 downloads were ~180 ms of a 100k discretization
-        return _id_columns_to_host(both, N)
 
     def _invalidate_pcoord_caches(self):
         """Drop the caches derived from the feature pcoord arrays (WE bin
@@ -1877,408 +1156,25 @@ class modelWE:
         result_batch_size=5,
         progress_bar=None,
     ):
-        """Weighted flux matrix over iterations (reference ``get_fluxMatrix``,
-        ``_fluxmatrix.py:166-345``): one vectorized scatter-add over all
-        selected transitions, normalized by the number of iterations used.
-
-        WE weights span many orders of magnitude, so the final (n+2)^2
-        accumulation runs in float64 on the host (a trivial bincount); the
-        expensive part -- discretization -- already ran on device. With a
-        mesh enabled, the fused device path (parallel.sharded: f32 assign +
-        f64 scatter + psum) replaces this host accumulation entirely.
-
-        ``n_lag > 0`` builds (n_lag+1)-tau transitions: the start state is the
-        *ancestor's* frame-0 assignment ``n_lag`` iterations back (already
-        discretized -- lagged starts reuse the parent-feature assignments, no
-        new device work), with recycled-within-window lineages departing from
-        the basis state. Extends the reference, whose lag machinery is gated
-        (``msm_we.py:353-359``).
-        """
-        self._fluxMatrixParams = [n_lag, first_iter, last_iter, iters_to_use]
-
-        if iters_to_use is None:
-            if last_iter is None:
-                last_iter = self.maxIter
-            iters_to_use = range(max(first_iter + 1, n_lag + 1), last_iter)
-        in_range = [i for i in iters_to_use if i - n_lag >= 1 and i < self.maxIter]
-        if len(in_range) != len(iters_to_use):
-            dropped = sorted(set(iters_to_use) - set(in_range))
-            log.warning(
-                f"Dropping iterations {dropped} from the flux matrix: outside "
-                f"the usable range [{n_lag + 1}, {self.maxIter - 1}] at "
-                f"n_lag={n_lag}"
-            )
-        iters_to_use = in_range
-        if not iters_to_use:
-            raise ValueError(
-                f"No iterations have enough history for n_lag={n_lag} "
-                f"(first_iter={first_iter}, last_iter={last_iter})"
-            )
-
-        self.n_lag = n_lag
-        self.errorWeight = 0.0
-        self.errorCount = 0
-
-        feats = self._featurize_all()
-        n_states = self.n_clusters + 2
-
-        use_device_flux = (
-            n_lag == 0
-            and self._mesh is not None
-            and self.clusters is not None
-            and not getattr(self, "_flux_prefer_host", False)
-            and self._device_f64_weights_ok(feats["weights"])
+        """Weighted flux matrix over iterations (engine:
+        :func:`msm_we_tpu.fluxmatrix.get_flux_matrix`; reference
+        ``get_fluxMatrix``, ``_fluxmatrix.py:166-345``)."""
+        return _fluxmatrix.get_flux_matrix(
+            self, n_lag,
+            first_iter=first_iter, last_iter=last_iter,
+            iters_to_use=iters_to_use, use_ray=use_ray,
+            result_batch_size=result_batch_size, progress_bar=progress_bar,
         )
-        if use_device_flux and not getattr(self, "_force_device_flux", False):
-            # Single-process meshes: the predict ids land on the host either
-            # way (deferred discretization runs ONE ids-only sharded
-            # program; otherwise they are already stored), and the host f64
-            # bincount below then beats the device flux program outright --
-            # measured 2 ms vs 60-73 ms at 100k segments (TPU f64 is
-            # emulated double-double and the scatter is all adds; see
-            # docs/performance.md "Flux accumulation routing"). The fused
-            # scatter+psum program (_device_flux_lag0) remains the
-            # multi-process path, where each process holds only its own id
-            # shard and the in-mesh psum replaces a cross-host gather.
-            import jax
-
-            if jax.process_count() == 1:
-                self._ensure_discretized()
-                use_device_flux = False
-        if use_device_flux:
-            # Fused shard_map program (discretize -> f64 scatter -> psum)
-            # over the mesh. Works for stratified (per-bin bank) and
-            # aggregated (single-bin bank) clustering alike.
-            self.fluxMatrixRaw = self._device_flux_lag0(iters_to_use) / len(
-                iters_to_use
-            )
-            return
-
-        # Deferred discretization (the device fast path above normally
-        # materializes ids as a flux byproduct): any host-path build --
-        # lag>0, device fallback, or a user bypassing the mesh -- needs the
-        # stored ids, so materialize them now
-        self._ensure_discretized()
-
-        if n_lag == 0:
-            n_iters_all = len(feats["offsets"]) - 1
-            u = np.unique(iters_to_use)
-            contiguous = (
-                len(u) == len(iters_to_use)  # no duplicates
-                and u[-1] - u[0] + 1 == len(u)  # gap-free range
-                and u[0] >= 1
-                and u[-1] <= n_iters_all
-            )
-            if contiguous:
-                # Feature rows are ordered by iteration, so ANY contiguous
-                # iteration range -- the default window range(2, maxIter),
-                # every cleaning pass, and explicit first/last selections --
-                # is a contiguous row slice: skip the O(N) isin scan and let
-                # basic slicing replace the row gathers. (The old predicate
-                # demanded ALL iterations starting at 1, which the default
-                # window never satisfies, leaving this path dead.)
-                offs = feats["offsets"]
-                sel = slice(int(offs[u[0] - 1]), int(offs[u[-1]]))
-            else:
-                # Integer rows, not a boolean mask: 2-D boolean indexing
-                # takes a slow numpy path on this host (~2x the int gather
-                # at 2M rows)
-                sel = np.flatnonzero(np.isin(feats["iteration"], iters_to_use))
-            weights = feats["weights"][sel]
-            masks = self._pc_masks()
-            start_idx = np.asarray(self._parent_idx[sel], dtype=np.int64)
-            end_idx = np.asarray(self._child_idx[sel], dtype=np.int64)
-            strat = self._strat
-            if (
-                self.clustering_method == "stratified"
-                and strat is not None
-                and self.n_clusters == strat.n_total_clusters
-            ):
-                # Fast path (every cleaning pass): stored stratified dtrajs
-                # already carry the predict-time basis/target overrides
-                # (target wins overlaps, stratified_clustering.py:159-169)
-                # in the CURRENT numbering; the flux build's basis-wins
-                # composition (_fluxmatrix.py:134-137) differs only on rows
-                # inside BOTH regions. Bitwise-identical to the general
-                # chain below, minus ~6 O(N) passes per pass. Pre-cleaning
-                # (nominal n_clusters > live total) the stored basis/target
-                # ids use the live total, so the general chain re-applies
-                # them with the nominal index instead.
-                if masks["overlap_p"] is not None:
-                    start_idx = start_idx.copy()
-                    start_idx[masks["overlap_p"][sel]] = self.n_clusters
-                if masks["overlap_c"] is not None:
-                    end_idx = end_idx.copy()
-                    end_idx[masks["overlap_c"][sel]] = self.n_clusters
-            else:
-                # General chain: aggregated clustering stores raw
-                # (un-overridden) ids, and pre-cleaning stratified ids
-                # carry live-total basis/target states -- re-apply the
-                # flux-order overrides at the nominal numbering
-                # (end-in-target, start-in-target for stratified, then
-                # basis unconditionally)
-                end_idx = np.where(
-                    masks["target_c"][sel], self.n_clusters + 1, end_idx
-                )
-                if self.clustering_method == "stratified":
-                    start_idx = np.where(
-                        masks["target_p"][sel], self.n_clusters + 1, start_idx
-                    )
-                start_idx = np.where(
-                    masks["basis_p"][sel], self.n_clusters, start_idx
-                )
-                end_idx = np.where(
-                    masks["basis_c"][sel], self.n_clusters, end_idx
-                )
-        else:
-            offsets = feats["offsets"]
-            masks = self._pc_masks()
-            starts, ends, ws, b0s, t0s, b1s, t1s, warps = (
-                [], [], [], [], [], [], [], []
-            )
-            for it in iters_to_use:
-                anc, warped = self._dataset.ancestor_ids(it, n_lag)
-                rows_now = np.arange(offsets[it - 1], offsets[it])
-                rows_lag = offsets[it - n_lag - 1] + np.where(warped, 0, anc)
-                starts.append(self._parent_idx[rows_lag])
-                ends.append(self._child_idx[rows_now])
-                # A zeroed ancestor weight marks bad (NaN) augmentation
-                # coords at the lagged frame (westh5 convention); those
-                # transitions carry no flux at lag L either -- the start
-                # assignment would come from zero-filled garbage features
-                w_now = feats["weights"][rows_now].copy()
-                w_now[(feats["weights"][rows_lag] == 0.0) & ~warped] = 0.0
-                ws.append(w_now)
-                b0s.append(masks["basis_p"][rows_lag])
-                t0s.append(masks["target_p"][rows_lag])
-                b1s.append(masks["basis_c"][rows_now])
-                t1s.append(masks["target_c"][rows_now])
-                warps.append(warped)
-            start_idx = np.concatenate(starts).astype(np.int64)
-            end_idx = np.concatenate(ends).astype(np.int64)
-            weights = np.concatenate(ws)
-            warped_all = np.concatenate(warps)
-            # Recycled lineages depart from the basis state regardless of
-            # the (meaningless) ancestor pcoord gathered at the safe index
-            basis_start = np.concatenate(b0s) | warped_all
-            target_start = np.concatenate(t0s) & ~warped_all
-            basis_end = np.concatenate(b1s)
-            target_end = np.concatenate(t1s)
-
-            # Basis/target overrides, reference composition: predict routes
-            # target-region rows to the target cluster first
-            # (stratified_clustering.py:159-169) -- re-applied here with the
-            # *nominal* target index so the numbering agrees with the fused
-            # device kernel pre-cleaning -- and the flux build then applies
-            # start/end-in-basis unconditionally AFTER end-in-target
-            # (_fluxmatrix.py:134-137). So for rows inside BOTH regions
-            # (overlapping bounds), basis wins, for parents and children
-            # alike. (The lag-0 branches above compose the same order.)
-            end_idx = np.where(target_end, self.n_clusters + 1, end_idx)
-            if self.clustering_method == "stratified":
-                start_idx = np.where(
-                    target_start, self.n_clusters + 1, start_idx
-                )
-            start_idx = np.where(basis_start, self.n_clusters, start_idx)
-            end_idx = np.where(basis_end, self.n_clusters, end_idx)
-
-        flat = start_idx * n_states + end_idx
-        fm = np.bincount(
-            flat, weights=weights, minlength=n_states * n_states
-        ).reshape(n_states, n_states)
-        self.fluxMatrixRaw = fm / len(iters_to_use)
 
     def _device_f64_weights_ok(self, weights):
         """True when the mesh's backend can accumulate these WE weights in
-        genuine f64. CPU always can. TPU has no native f64: XLA's x64
-        rewrite emulates it as a double-double f32 pair, keeping ~49
-        mantissa bits but only f32's EXPONENT range, so weights below
-        ~1.2e-38 flush to zero in the device scatter (measured on v5e:
-        1e250 -> inf, 2.25e-300 -> 0). WE weights legitimately span
-        hundreds of orders of magnitude, so such runs take the host f64
-        bincount path instead, with a warning."""
-        plats = {d.platform for d in self._mesh.devices.flat}
-        if plats == {"cpu"}:
-            return True
-        w = weights[weights != 0]
-        if w.size == 0:
-            return True
-        lo, hi = float(w.min()), float(w.max())
-        f32 = np.finfo(np.float32)
-        if lo >= float(f32.tiny) and hi <= float(f32.max):
-            return True
-        log.warning(
-            f"WE weights span [{lo:.3g}, {hi:.3g}], outside the f32 exponent "
-            f"range that {sorted(plats)} f64 emulation preserves; using the "
-            "host f64 flux path for this build (device discretization is "
-            "unaffected)."
-        )
-        return False
+        genuine f64 (engine: :func:`msm_we_tpu.fluxmatrix.device_f64_weights_ok`)."""
+        return _fluxmatrix.device_f64_weights_ok(self, weights)
 
     def _device_flux_lag0(self, iters_to_use):
-        """Fused mesh-sharded flux matrix: discretize + f64 scatter + psum.
-
-        One shard_map program over the ('data', 'model') mesh -- segments
-        data-parallel, the stratified center bank tensor-parallel -- with the
-        flux accumulated and psum-reduced in float64 while the distance
-        matmuls stay f32 (``jax.enable_x64`` scopes the trace). This is the
-        TPU-native replacement for the reference's Ray gather + driver-side
-        f64 summation (``_fluxmatrix.py:311-342``), reachable from
-        ``build_analyze_model`` via ``enable_mesh``/``device_pipeline``.
-
-        Results match the host bincount path to f64 summation-order (the
-        parity test asserts JtargetSS equality through the full build).
-        """
-        from .parallel.sharded import build_sharded_step
-        from .utils import _scoped_x64
-
-        feats = self._featurize_all()
-        strat = self._strat
-        mesh = self._mesh
-
-        # Iteration selection folds into the weights (w * mask; f64 adds of
-        # zero are exact), so the big feature arrays need no sel-gather and
-        # the device copies cached by _device_row_feats (shared with the
-        # sharded discretization) are reused as-is -- one upload per build
-        sel = np.isin(feats["iteration"], list(iters_to_use))
-        w = np.where(sel, feats["weights"], 0.0).astype(np.float64)
-
-        masks = self._pc_masks()
-        basis_p = masks["basis_p"]
-        # Target-region parents route to the target state only for
-        # stratified clustering (the reference's predict-time short-circuit;
-        # its aggregated path leaves such parents at their raw cluster)
-        if strat is not None:
-            target_p = masks["target_p"]
-        else:
-            target_p = np.zeros(len(w), bool)
-        basis_c = masks["basis_c"]
-        target_c = masks["target_c"]
-
-        n_states = self.n_clusters + 2
-        data_size = mesh.shape["data"]
-        model_size = mesh.shape["model"]
-        N = len(w)
-
-        if strat is not None:
-            raw_pbins, raw_cbins = self._raw_we_bins()
-            remap = strat.we_remap
-            pbins = remap[raw_pbins].astype(np.int32)
-            cbins = remap[raw_cbins].astype(np.int32)
-            K = strat.n_total_clusters
-            n_bins = strat.n_bins
-            bank = lambda K_pad: strat.compact_bank(pad_to=K_pad)
-        else:
-            # Aggregated clustering: one implicit bin holding every center
-            centers_all = np.asarray(self.clusters.cluster_centers_, np.float32)
-            pbins = np.zeros(N, np.int32)
-            cbins = np.zeros(N, np.int32)
-            K = len(centers_all)
-            n_bins = 1
-
-            def bank(K_pad):
-                c = np.zeros((K_pad, centers_all.shape[1]), np.float32)
-                cb = np.full(K_pad, -2, np.int32)
-                v = np.zeros(K_pad, bool)
-                c[:K] = centers_all
-                cb[:K] = 0
-                v[:K] = True
-                return c, cb, v
-
-        N_pad = -(-N // data_size) * data_size
-        K_pad = -(-K // model_size) * model_size
-
-        pad_rows = lambda a, fill: _pad_rows_to(a, N_pad, fill)
-
-        # Padded rows carry weight 0 (their scatter adds nothing) and bin -1
-        # (matches no center); the compact bank (argmin row == global id,
-        # no device gather) pads with invalid rows
-        fp_dev, fc_dev = self._device_row_feats()
-        centersC, center_binC, validC = bank(K_pad)
-        args = (
-            fp_dev,
-            fc_dev,
-            pad_rows(pbins, -1),
-            pad_rows(cbins, -1),
-            pad_rows(basis_p, False),
-            pad_rows(basis_c, False),
-            pad_rows(target_c, False),
-            pad_rows(w, 0.0),
-            centersC,
-            center_binC,
-            validC,
-            pad_rows(target_p, False),
-        )
-
-        # build_sharded_step is memoized on (mesh, n_states, ...), so a
-        # model-level cache would only risk staleness when enable_mesh()
-        # swaps meshes mid-life.
-        #
-        # Deferred discretization (cluster_stratified(defer_discretization=
-        # True)): dtrajs don't exist yet, so run the combined program that
-        # emits the packed flux AND the predict-order ids in ONE
-        # dispatch+sync -- the two score GEMMs run once for both outputs.
-        if self._parent_idx is None and strat is not None:
-            from .parallel.sharded import (
-                build_sharded_step_packed_with_ids, flux_pack_capacity,
-                unpack_packed_flux,
-            )
-
-            # Same junk-id guard as _sharded_pair_discretize: this program
-            # is about to mint the build's dtrajs
-            _check_live_centers(strat, pbins, cbins)
-            step = build_sharded_step_packed_with_ids(
-                mesh, n_states, strat.n_total_clusters + 2,
-                with_target_p=True, n_bins=n_bins,
-            )
-            with _scoped_x64():
-                buf, both = step(*args)
-            # One overlapped download: device_get issues async host copies
-            # for both outputs before blocking, merging what were two
-            # serial ~RTT-bound syncs through the remote tunnel
-            import jax
-
-            buf, both = jax.device_get((buf, both))
-            self._store_dtrajs(*_id_columns_to_host(both, N))
-            fm = unpack_packed_flux(
-                np.asarray(buf), n_states, flux_pack_capacity(n_states)
-            )
-            if fm is not None:
-                return fm
-            log.debug(
-                "Packed flux overflowed its nonzero capacity; re-running "
-                "the dense device step."
-            )
-        # Matrices big enough for the download to matter go through the
-        # packed-sparse variant (the dense f64 download is ~80 ms of a warm
-        # 100k build on a ~10 MB/s tunnel); an overflowing nonzero count
-        # falls back to the dense program.
-        elif n_states >= 96:
-            from .parallel.sharded import (
-                build_sharded_step_packed, flux_pack_capacity,
-                unpack_packed_flux,
-            )
-
-            step = build_sharded_step_packed(
-                mesh, n_states, with_target_p=True, n_bins=n_bins
-            )
-            with _scoped_x64():
-                buf = step(*args)
-            fm = unpack_packed_flux(
-                np.asarray(buf), n_states, flux_pack_capacity(n_states)
-            )
-            if fm is not None:
-                return fm
-            log.debug(
-                "Packed flux overflowed its nonzero capacity; re-running "
-                "the dense device step."
-            )
-        step = build_sharded_step(mesh, n_states, with_target_p=True, n_bins=n_bins)
-        with _scoped_x64():
-            fm = step(*args)
-        fm = np.asarray(fm, dtype=np.float64)
-        assert fm.shape == (n_states, n_states)
-        return fm
+        """Fused mesh-sharded flux matrix: discretize + f64 scatter + psum
+        (engine: :func:`msm_we_tpu.fluxmatrix.device_flux_lag0`)."""
+        return _fluxmatrix.device_flux_lag0(self, iters_to_use)
 
     def organize_fluxMatrix(self, use_ray=False, progress_bar=None,
                             incremental=True, max_passes=10, **args):
@@ -2304,359 +1200,52 @@ class modelWE:
 
     def _organize_flux_cleaning(self, remove_and_rediscretize, max_passes=10,
                                 host_flux=False):
-        """Shared flux-matrix cleaning driver (stratified + aggregated).
-
-        Each pass: find strongly connected sets (with the artificial
-        target->basis recycle edge), delete everything outside the largest
-        via ``remove_and_rediscretize`` (the path-specific step), recompute
-        the flux matrix at the new clustering, pcoord-sort and normalize.
-
-        ``host_flux`` recomputes the per-pass flux matrix from the (already
-        updated) dtrajs with the host f64 bincount even when a device mesh
-        is enabled: the assignments are in hand after the incremental
-        update, so the fused device step would only re-upload the feature
-        arrays to recompute what is already known.
-
-        Improvement over the reference: re-discretization can itself create
-        new disconnected states (segments move to surviving clusters), which
-        makes the reference's single pass fail its own post-assert
-        (``_clustering.py:1140-1142``). Here the cycle repeats until the
-        matrix is clean (bounded by ``max_passes``).
-        """
-        from .utils import find_connected_sets
-
-        fmatrix_original = self.fluxMatrixRaw.copy()
-
-        for _pass in range(max_passes):
-            fmatrix = self.fluxMatrixRaw.copy()
-            fmatrix[-1, -2] = 1.0
-            connected_sets = find_connected_sets(fmatrix, directed=True)
-
-            if len(connected_sets) == 1 and _pass > 0:
-                break  # clean; keep the previous pass's results
-
-            if len(connected_sets) == 1:
-                log.info("Nothing to clean")
-                states_to_remove = np.array([], dtype=int)
-            else:
-                states_to_remove = np.concatenate(connected_sets[1:]).astype(int)
-                log.debug(f"Pass {_pass}: cleaning states {states_to_remove}")
-
-            basis_target = {self.n_clusters, self.n_clusters + 1}
-            if basis_target & set(states_to_remove.tolist()):
-                raise RuntimeError(
-                    "The basis or target state is disconnected from the main "
-                    "flux network -- this data contains no transitions into "
-                    "the target (or out of the basis), so no steady-state "
-                    "model can be built from it. Use more iterations or a "
-                    "dataset with recycling events."
-                )
-
-            remove_and_rediscretize(states_to_remove)
-
-            # Recompute the flux matrix at the new clustering (unsorted
-            # global-id order), then pcoord-sort and normalize
-            pcoord_sort_indices = self.get_cluster_centers()
-            # Kept current for downstream consumers mapping raw (global-id)
-            # assignments into the sorted fluxMatrix numbering (e.g. the
-            # Aristoffian kh machinery in extended.py)
-            self.pcoord_sort_indices = pcoord_sort_indices
-            self._flux_prefer_host = host_flux
-            try:
-                self.get_fluxMatrix(*self._fluxMatrixParams)
-            finally:
-                self._flux_prefer_host = False
-            fluxMatrix = self.fluxMatrixRaw[
-                np.ix_(pcoord_sort_indices, pcoord_sort_indices)
-            ]
-            self.fluxMatrix = fluxMatrix / fluxMatrix.sum()
-            # self.fluxMatrixRaw stays at the *new* clustering so the next
-            # pass's SCC indices line up with the current global ids
-
-        self.fluxMatrixRaw = fmatrix_original
-        self.indBasis = np.array([self.n_clusters])
-        self.indTargets = np.array([self.n_clusters + 1])
-        self.nBins = self.n_clusters + 2
-        self.update_sorted_cluster_centers()
-
-        # Sanity check: everything is connected now
-        fcheck = self.fluxMatrix.copy()
-        fcheck[-1, -2] = 1.0
-        remaining = find_connected_sets(fcheck, directed=True)
-        assert len(remaining) == 1, "Still not clean after cleaning!"
+        """Shared flux-matrix cleaning driver (engine:
+        :func:`msm_we_tpu.cleaning.organize_flux_cleaning`)."""
+        return _cleaning.organize_flux_cleaning(
+            self, remove_and_rediscretize, max_passes=max_passes,
+            host_flux=host_flux,
+        )
 
     def organize_stratified(self, use_ray=False, progress_bar=None,
                             max_passes=10, incremental=True):
-        """Stratified cleaning (reference ``organize_stratified``,
-        ``_clustering.py:920-1142``): remove everything outside the largest
-        strongly connected set, remap emptied WE bins, re-discretize,
-        recompute, sort by mean pcoord, normalize. See
-        :meth:`_organize_flux_cleaning` for the shared loop semantics.
-
-        ``incremental`` (default): removing centers never changes the
-        nearest-center argmin of a row whose winner survives, so each pass
-        re-scores ONLY segments whose winning center was removed or whose WE
-        bin remap changed; everyone else's assignment is relabeled through
-        the old-row -> new-global-id map, and the flux matrix is rebuilt
-        with the host f64 bincount (no device feature re-upload). The full
-        re-discretization per pass (reference ``_clustering.py:1101-1115``)
-        is the ``incremental=False`` escape hatch; results are identical
-        (asserted in ``test_coverage_round3.py``).
-        """
-        strat = self._strat
-
-        def remove_and_rediscretize(states_to_remove):
-            real_removals = states_to_remove[
-                states_to_remove < strat.n_total_clusters
-            ]
-            # Snapshot the pre-removal numbering for the incremental update
-            old_remap = strat.we_remap.copy()
-            old_global = strat.global_id.copy()
-            old_total = strat.n_total_clusters
-
-            emptied = strat.remove_global_clusters(real_removals)
-            # Bins never initialized also count as empty (reference
-            # ``_clustering.py:1023-1034``)
-            for b in range(strat.n_bins):
-                if not strat.initialized[b]:
-                    emptied.add(b)
-
-            self.n_clusters = strat.n_total_clusters
-            assert self.n_clusters > 1, (
-                "All clusters would be cleaned! You probably need more data, "
-                "fewer clusters, or both."
-            )
-
-            populated = np.setdiff1d(np.arange(strat.n_bins), sorted(emptied))
-            if emptied:
-                log.warning(
-                    f"All clusters were cleaned from bins {emptied} (normal "
-                    "for source/target WE bins)."
-                )
-            for b in emptied:
-                strat.set_remap(
-                    int(b), find_nearest_bin(self._bin_mapper, int(b), populated)
-                )
-            if incremental and self._parent_idx is not None:
-                self._incremental_rediscretize(
-                    strat, old_remap, old_global, old_total
-                )
-            else:
-                self.launch_discretization()
-
-        self._organize_flux_cleaning(
-            remove_and_rediscretize, max_passes=max_passes,
-            host_flux=incremental,
+        """Stratified cleaning (engine:
+        :func:`msm_we_tpu.cleaning.organize_stratified`; reference
+        ``organize_stratified``, ``_clustering.py:920-1142``)."""
+        return _cleaning.organize_stratified(
+            self, max_passes=max_passes, incremental=incremental
         )
-        self.cluster_mapping = {x: x for x in range(self.n_clusters + 2)}
 
     def _incremental_rediscretize(self, strat, old_remap, old_global,
                                   old_total):
-        """Patch the stored dtrajs after center removal/remap instead of
-        re-discretizing every segment (see :meth:`organize_stratified`).
-
-        Invariant: a masked argmin over a row's (remapped) WE-bin centers is
-        unchanged by deleting centers the row did not win -- its winner is
-        still present and still beats the (shrunk) candidate set. Only rows
-        whose winner was deleted, or whose ``we_remap`` target changed (a
-        different candidate set entirely), are re-scored, through the same
-        jitted ``masked_assign`` scoring as the full path.
-
-        Survivors (and basis/target rows, whose stored ids already carry the
-        predict-time override priority -- target wins overlaps,
-        ``stratified_clustering.py:159-169``) relabel through ONE
-        old-state -> new-state table gather; removed states map to -1 and
-        flag their rows for re-scoring. The previous where-chain rebuild
-        was ~7 O(N) array passes per dtraj (5.3 s of a 2M cleaning stage on
-        a 1-core host); this is ~3.
-        """
-        feats = self._featurize_all()
-        pbins_raw, cbins_raw = self._raw_we_bins()
-        masks = self._pc_masks()
-        remap_changed = strat.we_remap != old_remap
-        any_remap_changed = bool(remap_changed.any())
-
-        # old-state -> new-state: surviving global ids renumber, the old
-        # basis/target states become the new ones, removed ids stay -1.
-        # int32 keeps the relabeled dtrajs the dtype the device path
-        # produced (and halves the bytes of every later O(N) host pass)
-        table = np.full(old_total + 2, -1, np.int32)
-        still = np.flatnonzero(strat.valid)
-        table[old_global[still]] = strat.global_id[still]
-        table[old_total] = strat.basis_cluster_index
-        table[old_total + 1] = strat.target_cluster_index
-
-        def update(idx_old, rows_of, raw_bins, is_b, is_t):
-            new_idx = table[idx_old]
-            affected = new_idx < 0
-            if any_remap_changed:
-                affected |= remap_changed[raw_bins] & ~(is_b | is_t)
-            if affected.any():
-                sub = np.flatnonzero(affected)
-                new_idx[sub] = self._assign_rows_subset(
-                    strat, rows_of(sub), strat.we_remap[raw_bins[sub]]
-                )
-            assert (new_idx >= 0).all()
-            return new_idx
-
-        # Row-getters instead of full arrays: the parent side reads the few
-        # affected rows through the FeatureSet recipe without materializing
-        # the (possibly lazy) full parent array
-        parent_idx = update(
-            self._parent_idx, lambda r: _feat_parent_rows(feats, r),
-            pbins_raw, masks["basis_p"], masks["target_p"],
+        """Patch the stored dtrajs after center removal/remap (engine:
+        :func:`msm_we_tpu.cleaning.incremental_rediscretize`)."""
+        return _cleaning.incremental_rediscretize(
+            self, strat, old_remap, old_global, old_total
         )
-        child_idx = update(
-            self._child_idx, lambda r: feats["child"][r], cbins_raw,
-            masks["basis_c"], masks["target_c"],
-        )
-        self._store_dtrajs(parent_idx, child_idx)
 
     def _assign_rows_subset(self, strat, X, bins_eff):
-        """Stratified assignment for a (usually small) row subset, through
-        the SAME scoring family the full discretization used: the host
-        numpy formula when the original predict ran on host (no mesh and
-        under ``HOST_BATCH_THRESHOLD`` rows), the jitted ``masked_assign``
-        otherwise. Matching matters for the incremental==full identity: the
-        two families' f32 roundings differ on near-ties. Device rows are
-        padded to the next power of two so cleaning passes reuse a handful
-        of compiled shapes."""
-        from .ops.stratified import HOST_BATCH_THRESHOLD, _np_masked_assign
-
-        full_rows = 2 * len(self._parent_idx)
-        if self._mesh is None and full_rows < HOST_BATCH_THRESHOLD:
-            strat._sync_host()
-            flat = _np_masked_assign(
-                np.asarray(X, np.float32), np.asarray(bins_eff),
-                strat.centers, strat.center_bin, strat.valid,
-            )
-            return strat.global_id[flat]
-
-        import jax.numpy as jnp
-
-        from .ops.kmeans import masked_assign
-
-        m = len(X)
-        M = max(1 << (m - 1).bit_length(), 64)
-        Xp = np.zeros((M, X.shape[1]), np.float32)
-        Xp[:m] = X
-        bp = np.full(M, -1, np.int32)
-        bp[:m] = bins_eff
-        strat._sync_host()
-        flat = np.asarray(
-            masked_assign(
-                jnp.asarray(Xp), jnp.asarray(bp),
-                jnp.asarray(strat.centers), jnp.asarray(strat.center_bin),
-                jnp.asarray(strat.valid), n_bins=strat.n_bins,
-            )
-        )[:m]
-        return strat.global_id[flat]
+        """Stratified assignment for a (usually small) row subset (engine:
+        :func:`msm_we_tpu.cleaning.assign_rows_subset`)."""
+        return _cleaning.assign_rows_subset(self, strat, X, bins_eff)
 
     def organize_aggregated_simple(self, max_passes=10, incremental=True):
-        """Aggregate-path cleaning: same SCC criterion applied to the
-        aggregate cluster bank. (The reference's ``organize_aggregated`` is
-        deprecated and raises -- ``_fluxmatrix.py:452-454``; this is the
-        working equivalent built on the shared cleaning driver.)
-
-        ``incremental`` (default) mirrors the stratified incremental pass:
-        survivors relabel through the old-id -> new-id map (removal cannot
-        change an argmin whose winner survives); only rows assigned to a
-        removed center re-score against the kept bank. ``incremental=False``
-        re-discretizes everything, as the reference would.
-        """
-
-        def remove_and_rediscretize(states_to_remove):
-            old_n = self.n_clusters
-            keep = np.setdiff1d(np.arange(old_n), states_to_remove)
-            relabel = np.full(old_n, -1, np.int64)
-            relabel[keep] = np.arange(len(keep))
-            self.removed_clusters = states_to_remove
-            self.clusters = _AggregateClustersShim(
-                self.clusters.cluster_centers_[keep]
-            )
-            self.n_clusters = len(keep)
-            if incremental and self._parent_idx is not None and len(keep) < old_n:
-                feats = self._featurize_all()
-
-                def upd(idx, rows_of):
-                    new_idx = relabel[idx]
-                    aff = np.flatnonzero(new_idx < 0)
-                    if len(aff):
-                        new_idx[aff] = self.clusters.predict(rows_of(aff))
-                    return new_idx
-
-                self._store_dtrajs(
-                    upd(self._parent_idx, lambda r: _feat_parent_rows(feats, r)),
-                    upd(self._child_idx, lambda r: feats["child"][r]),
-                )
-            elif incremental and self._parent_idx is not None:
-                pass  # nothing removed: ids unchanged
-            else:
-                self._discretize_all_aggregated()
-
-        self._organize_flux_cleaning(
-            remove_and_rediscretize, max_passes=max_passes,
-            host_flux=incremental,
+        """Aggregate-path cleaning (engine:
+        :func:`msm_we_tpu.cleaning.organize_aggregated_simple`; the
+        reference's ``organize_aggregated`` is deprecated and raises --
+        ``_fluxmatrix.py:452-454``)."""
+        return _cleaning.organize_aggregated_simple(
+            self, max_passes=max_passes, incremental=incremental
         )
-        self.removed_clusters = []
 
     # ------------------------------------------------------- cluster centers
     def get_cluster_centers(self):
         """Mean/min/max child-pcoord per cluster; returns the pcoord-sort
-        permutation (reference ``_clustering.py:1528-1599``).
+        permutation (engine: :func:`msm_we_tpu.structures.get_cluster_centers`;
+        reference ``_clustering.py:1528-1599``)."""
+        from .structures import get_cluster_centers
 
-        Basis/target rows get NaN centers, so the stable argsort pins them to
-        the last two positions -- the property that makes
-        ``indBasis = [n_clusters]`` correct after sorting.
-        """
-        n = self.n_clusters
-        centers = np.full((n + 2, self.pcoord_ndim), np.nan)
-        crange = np.full((n + 2, self.pcoord_ndim, 2), np.nan)
-
-        feats = self._featurize_all()
-        self._ensure_discretized()
-        child_idx = self._child_idx
-        p1 = feats["pcoord1"]
-
-        # Grouped mean/min/max in one pass per statistic (bincount for
-        # count/sum; a group sort + ufunc.reduceat for min/max -- ufunc.at
-        # is an unbuffered scalar loop, ~3 s at 2M rows where the sort-based
-        # grouping is ~0.3 s) instead of an O(n_clusters * N) masked python
-        # loop -- this runs inside every cleaning pass
-        in_range = np.flatnonzero((child_idx >= 0) & (child_idx < n))
-        idx = child_idx[in_range]
-        vals = p1[in_range]
-        good = ~np.isnan(vals)
-        counts = np.zeros((n, self.pcoord_ndim))
-        sums = np.zeros((n, self.pcoord_ndim))
-        mins = np.full((n, self.pcoord_ndim), np.inf)
-        maxs = np.full((n, self.pcoord_ndim), -np.inf)
-        for dim in range(self.pcoord_ndim):
-            g = np.flatnonzero(good[:, dim])
-            gi = idx[g]
-            gv = vals[g, dim]
-            counts[:, dim] = np.bincount(gi, minlength=n)
-            sums[:, dim] = np.bincount(gi, weights=gv, minlength=n)
-            if len(gi):
-                order_g = np.argsort(gi, kind="stable")
-                gis = gi[order_g]
-                gvs = gv[order_g]
-                starts = np.r_[0, np.flatnonzero(np.diff(gis)) + 1]
-                present = gis[starts]
-                mins[present, dim] = np.minimum.reduceat(gvs, starts)
-                maxs[present, dim] = np.maximum.reduceat(gvs, starts)
-        populated = counts > 0
-        centers[:n][populated] = sums[populated] / counts[populated]
-        crange[:n, :, 0][populated] = mins[populated]
-        crange[:n, :, 1][populated] = maxs[populated]
-        empty = np.flatnonzero(~populated.any(axis=1))
-        for cluster in empty:
-            log.warning(f"No trajectories in cluster {cluster}!")
-
-        order = np.argsort(centers[:, 0], kind="stable")
-        self.targetRMSD_centers = centers[order]
-        self.targetRMSD_minmax = crange[order]
-        return order
+        return get_cluster_centers(self)
 
     def update_sorted_cluster_centers(self):
         """Reference ``_clustering.py:1601-1611``."""
@@ -2669,68 +1258,13 @@ class modelWE:
 
     def update_cluster_structures(self, build_pcoord_cache=False):
         """Map each cluster to its member structures, weights, and provenance
-        (reference ``_clustering.py:1398-1526``).
+        (engine: :func:`msm_we_tpu.structures.update_cluster_structures`;
+        reference ``_clustering.py:1398-1526``)."""
+        from .structures import update_cluster_structures
 
-        Grouping is one stable argsort + split over the concatenated arrays
-        instead of the reference's per-segment python loop -- O(N log N)
-        array work, so it stays off the critical path even at millions of
-        segments (the restart driver calls this every restart).
-        """
-        assert self.clusters is not None, "Clusters have not been computed!"
-        self._ensure_discretized()
-
-        coords_parts, weights_parts, dtraj_parts = [], [], []
-        iter_parts, segidx_parts, westidx_parts, pcoord_parts = [], [], [], []
-        for iteration in range(1, self.maxIter - 1):
-            d = self._dataset.iter_data(iteration)
-            coords_parts.append(self._dataset._iter_frame_block(iteration, -1))
-            weights_parts.append(d["weights"])
-            dtraj_parts.append(np.asarray(self.dtrajs[iteration - 1]))
-            iter_parts.append(np.full(d["n_segs"], iteration))
-            segidx_parts.append(d["seg_idx"])
-            westidx_parts.append(d["west_idx"])
-            if build_pcoord_cache:
-                pcoord_parts.append(d["pcoord1"])
-
-        if not dtraj_parts:  # fewer than 3 usable iterations: nothing to map
-            self.cluster_structures = {}
-            self.cluster_structure_weights = {}
-            self.structure_iteration_segments = {}
-            self.pcoord_cache = {} if build_pcoord_cache else None
-            return
-
-        dtraj = np.concatenate(dtraj_parts)
-        order = np.argsort(dtraj, kind="stable")
-        sorted_clusters = dtraj[order]
-        uniq, starts = np.unique(sorted_clusters, return_index=True)
-        bounds = np.append(starts[1:], len(sorted_clusters))
-
-        coords = np.concatenate(coords_parts)[order]
-        weights = np.concatenate(weights_parts)[order]
-        iters = np.concatenate(iter_parts)[order]
-        segidx = np.concatenate(segidx_parts)[order]
-        westidx = np.concatenate(westidx_parts)[order]
-        pcoords = np.concatenate(pcoord_parts)[order] if build_pcoord_cache else None
-
-        cluster_structures = {}
-        cluster_structure_weights = {}
-        structure_iteration_segments = {}
-        pcoord_cache = {} if build_pcoord_cache else None
-        for c, a, b in zip(uniq, starts, bounds):
-            c = int(c)
-            cluster_structures[c] = list(coords[a:b])
-            cluster_structure_weights[c] = list(weights[a:b])
-            structure_iteration_segments[c] = [
-                [int(it), int(si), self.fileList[int(wi)]]
-                for it, si, wi in zip(iters[a:b], segidx[a:b], westidx[a:b])
-            ]
-            if build_pcoord_cache:
-                pcoord_cache[c] = list(pcoords[a:b])
-
-        self.cluster_structures = cluster_structures
-        self.cluster_structure_weights = cluster_structure_weights
-        self.structure_iteration_segments = structure_iteration_segments
-        self.pcoord_cache = pcoord_cache
+        return update_cluster_structures(
+            self, build_pcoord_cache=build_pcoord_cache
+        )
 
     # -------------------------------------------------------------- analysis
     def get_Tmatrix(self):
@@ -2836,197 +1370,15 @@ class modelWE:
         observables=("flux",),
     ):
         """Block-bootstrap confidence interval for ``JtargetSS`` over WE
-        iterations (an extension; the reference has only point estimates
-        plus block cross-validation).
-
-        WE iterations are the natural resampling unit: each contributes an
-        independent per-iteration flux matrix, and the build's estimate is
-        their mean. Replicates resample iterations with replacement
-        (``block_size > 1`` draws contiguous circular blocks, for runs whose
-        iteration-to-iteration fluxes are correlated), rebuild the flux
-        matrix, and run the same Tmatrix -> refined-steady-state -> target
-        flux chain as the point estimate. Per-iteration matrices are in the
-        current (cleaned) cluster numbering, a pure permutation of the
-        model's sorted numbering, so replicate fluxes are directly
-        comparable to ``self.JtargetSS``.
-
-        Replicates whose resampled matrix disconnects basis from target are
-        counted in ``n_failed`` and excluded from the percentiles.
-
-        Returns a dict: ``flux`` (point estimate), ``mean``, ``std``,
-        ``ci`` ((lo, hi) percentile interval at ``1 - alpha``),
-        ``fluxes`` (per-replicate values, NaN where failed), ``n_failed``.
-
-        ``observables`` may additionally include ``"pss"`` and/or
-        ``"committor"``: each surviving replicate's steady-state
-        distribution / forward committor is collected and per-state
-        percentile bands are added to the result (``pss_mean``/``pss_ci``
-        of shapes (n_states,) / (2, n_states), and likewise
-        ``committor_mean``/``committor_ci``). The committor adds one
-        absorbing-BC power iteration per replicate (reference
-        ``_analysis.py:527-606`` semantics via ``ops.linalg.committor``).
-        """
-        observables = tuple(observables)
-        unknown = set(observables) - {"flux", "pss", "committor"}
-        if unknown:
-            raise ValueError(
-                f"Unknown bootstrap observables {sorted(unknown)}; "
-                "supported: 'flux', 'pss', 'committor'"
-            )
-        self._ensure_discretized()
-        if iters_to_use is None:
-            params = getattr(self, "_fluxMatrixParams", None) or [0, 1, None, None]
-            if params[3] is not None:
-                iters_to_use = list(params[3])
-            else:
-                first = params[1] if params[1] is not None else 1
-                last = params[2] if params[2] is not None else self.maxIter
-                iters_to_use = list(
-                    range(max(first + 1, self.n_lag + 1), last)
-                )
-        iters = [int(i) for i in iters_to_use]
-        n_it = len(iters)
-        if n_it < 2:
-            raise ValueError(
-                f"Bootstrap needs at least 2 iterations, got {n_it}"
-            )
-        if self.n_lag != 0:
-            raise NotImplementedError(
-                "bootstrap_target_flux currently supports lag-0 models "
-                "(per-iteration matrices are lag-0)."
-            )
-        block_size = int(block_size)
-        if not 1 <= block_size <= n_it:
-            raise ValueError(f"block_size must be in [1, {n_it}]")
-
-        per_iter = np.stack([self.get_iter_fluxMatrix(i) for i in iters])
-        n_states = self.n_clusters + 2
-        lagtime = self.tau * (self.n_lag + 1)
-        # Per-iteration matrices carry basis/target at the override indices
-        ind_basis = np.array([self.n_clusters])
-        ind_targets = np.array([self.n_clusters + 1])
-
-        want_pss = "pss" in observables
-        want_q = "committor" in observables
-        # Per-iteration matrices are in the cleaned-but-unsorted (raw)
-        # numbering; the model's pSS/committor are pcoord-sorted. The scalar
-        # flux is permutation-invariant (basis/target stay at n, n+1 under
-        # the NaN-pinned stable sort), but per-state vectors must be
-        # reordered into the model's numbering before percentiles.
-        sort_idx = getattr(self, "pcoord_sort_indices", None)
-        if sort_idx is not None and len(sort_idx) != n_states:
-            # Stale: a re-clustering after the last organize left a sort
-            # index for a different state count. Flux is permutation-
-            # invariant, but per-state vectors would be mislabeled (or
-            # crash), so require a fresh organize for those observables.
-            if want_pss or want_q:
-                raise ValueError(
-                    f"pcoord_sort_indices has length {len(sort_idx)} but the "
-                    f"model now has {n_states} states -- re-run "
-                    "organize_fluxMatrix before bootstrapping per-state "
-                    "observables."
-                )
-            sort_idx = None
-        if sort_idx is None:
-            sort_idx = np.arange(n_states)
-
-        def _eval(F):
-            T = linalg.tmatrix_from_flux(F, ind_targets, ind_basis, n_states)
-            pSS, J = linalg.steady_state_refined(
-                T,
-                ind_targets,
-                ind_basis,
-                n_states,
-                lagtime,
-                flux_fractional_convergence=flux_fractional_convergence,
-                max_iters=max_iters,
-            )
-            q = (
-                linalg.committor(F, ind_targets, ind_basis, n_states)[sort_idx]
-                if want_q
-                else None
-            )
-            return J, np.ravel(pSS)[sort_idx], q
-
-        rng = np.random.default_rng(seed)
-        fluxes = np.full(n_boot, np.nan)
-        pss_boot = np.full((n_boot, n_states), np.nan) if want_pss else None
-        q_boot = np.full((n_boot, n_states), np.nan) if want_q else None
-        n_failed = 0
-        n_blocks = -(-n_it // block_size)
-        # Degenerate resamples legitimately trigger per-replicate solver
-        # retries / zero-flux warnings; hundreds of those drown the log.
-        # Silence the package logger for the loop and summarize after.
-        import logging as _logging
-
-        prev_level = log.level
-        log.setLevel(_logging.CRITICAL)
-        try:
-            for b in range(n_boot):
-                if block_size == 1:
-                    picks = rng.integers(0, n_it, n_it)
-                else:
-                    starts = rng.integers(0, n_it, n_blocks)
-                    picks = (
-                        starts[:, None] + np.arange(block_size)[None, :]
-                    ).reshape(-1)[:n_it] % n_it
-                try:
-                    J, pSS_b, q_b = _eval(per_iter[picks].mean(axis=0))
-                except (ValueError, AssertionError):
-                    n_failed += 1
-                    continue
-                fluxes[b] = J
-                if want_pss:
-                    pss_boot[b] = pSS_b
-                if want_q:
-                    q_boot[b] = q_b
-        finally:
-            log.setLevel(prev_level)
-        if n_failed:
-            log.warning(
-                f"{n_failed}/{n_boot} bootstrap replicates disconnected the "
-                "basis from the target and were excluded."
-            )
-
-        ok = fluxes[np.isfinite(fluxes)]
-        if not len(ok):
-            raise RuntimeError(
-                "Every bootstrap replicate disconnected basis from target; "
-                "the model has too little recycling data for error bars."
-            )
-        lo, hi = np.percentile(ok, [100 * alpha / 2, 100 * (1 - alpha / 2)])
-        point, point_pss, point_q = _eval(per_iter.mean(axis=0))
-        result = {
-            "flux": float(point),
-            "mean": float(ok.mean()),
-            "std": float(ok.std(ddof=1)) if len(ok) > 1 else 0.0,
-            "ci": (float(lo), float(hi)),
-            "alpha": alpha,
-            "fluxes": fluxes,
-            "n_failed": int(n_failed),
-            # Zero-flux replicates are legitimate bootstrap mass (a resample
-            # holding no recycling events), surfaced for interpretability
-            "n_zero_flux": int((ok == 0.0).sum()),
-            "block_size": block_size,
-            "n_iterations": n_it,
-            # Staleness stamp: consumers (plot_committor) compare this to
-            # the model's current sort index -- a same-size re-organize
-            # changes state identities without changing n_states
-            "sort_indices": np.asarray(sort_idx).copy(),
-        }
-        pcts = [100 * alpha / 2, 100 * (1 - alpha / 2)]
-        for name, boot, pt in (
-            ("pss", pss_boot, point_pss),
-            ("committor", q_boot, point_q),
-        ):
-            if boot is None:
-                continue
-            rows = boot[np.all(np.isfinite(boot), axis=1)]
-            result[name] = pt
-            result[f"{name}_mean"] = rows.mean(axis=0)
-            result[f"{name}_ci"] = np.percentile(rows, pcts, axis=0)
-        self.flux_bootstrap = result
-        return result
+        iterations (engine: :func:`msm_we_tpu.bootstrap.bootstrap_target_flux`;
+        an extension -- the reference has only point estimates plus block
+        cross-validation)."""
+        return _bootstrap.bootstrap_target_flux(
+            self, n_boot=n_boot, seed=seed, alpha=alpha,
+            block_size=block_size, iters_to_use=iters_to_use,
+            flux_fractional_convergence=flux_fractional_convergence,
+            max_iters=max_iters, observables=observables,
+        )
 
     def get_flux(self):
         """Net flux profile over pcoord-sorted states + overcorrection check
@@ -3411,60 +1763,8 @@ class modelWE:
 
     def _device_row_feats(self, need_parent=True):
         """Padded, P('data')-sharded device copies of the parent/child
-        feature arrays, shared by the sharded discretization and the fused
-        flux step (same layout). One upload per featurization: at 2M
-        segments the repeated ~475 MB feature upload through a remote
-        tunnel was ~3.5 s of the flux stage alone.
-
-        ``need_parent=False`` skips building the parent array (the
-        child-only dedup discretization never reads it — at 2M segments
-        the on-device parent gather allocates ~N_pad x d of HBM and a
-        dispatch for nothing); a later ``need_parent=True`` call fills it
-        in from the cached child upload.
-
-        The cache pins the feature dict it was built from; recomputed
-        features or a new mesh invalidate it.
-        """
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        feats = self._featurize_all()
-        mesh = self._mesh
-        data_size = mesh.shape["data"]
-        N = len(feats["weights"])
-        N_pad = -(-N // data_size) * data_size
-
-        cache = getattr(self, "_dev_feats_cache", None)
-        if cache is not None and cache[0] is feats and cache[1] == N_pad:
-            parent_dev, child_dev = cache[2]
-            if parent_dev is not None or not need_parent:
-                return cache[2]
-        else:
-            child_dev = None
-
-        sharding = NamedSharding(mesh, P("data"))
-
-        def pad_put(a):
-            out = np.zeros((N_pad, a.shape[1]), np.float32)
-            out[:N] = a
-            return jax.device_put(out, sharding)
-
-        if child_dev is None:
-            child_dev = pad_put(feats["child"])
-        if not need_parent:
-            parent_dev = None
-        elif isinstance(feats, FeatureSet) and feats.parent_is_lazy:
-            # Features born on device: parent rows are a device gather of
-            # the child upload (bit-copies by WE continuity) — skips the
-            # host gather and the redundant parent upload entirely
-            parent_dev = _device_parent_from_child(
-                child_dev, feats, N_pad, sharding
-            )
-        else:
-            parent_dev = pad_put(feats["parent"])
-        pair = (parent_dev, child_dev)
-        self._dev_feats_cache = (feats, N_pad, pair)
-        return pair
+        feature arrays (engine: :func:`msm_we_tpu.features.device_row_feats`)."""
+        return _device_row_feats_impl(self, need_parent=need_parent)
 
     # ---------------------------------------------------------- checkpointing
     def __getstate__(self):
@@ -3594,36 +1894,10 @@ class modelWE:
         self.cur_iter_coords = self._dataset._iter_frame_block(self.n_iter, 0)
 
     def get_iter_fluxMatrix(self, n_iter):
-        """Single-iteration flux matrix (reference ``_fluxmatrix.py:21-72``)."""
-        d = self._dataset.iter_data(n_iter)
-        self._ensure_discretized()
-        # NaN-zeroed weights from the feature cache (already materialized by
-        # the discretization above) -- iter_coord_pairs would re-read BOTH
-        # full coordinate frames just to recompute this vector
-        feats = self._featurize_all()
-        offs = feats["offsets"]
-        weights = feats["weights"][offs[n_iter - 1] : offs[n_iter]]
-        pairs = np.asarray(self.pair_dtrajs[n_iter - 1])
-        start_idx, end_idx = pairs[:, 0].copy(), pairs[:, 1].copy()
-        n_states = self.n_clusters + 2
-        end_idx = np.where(self.is_WE_target(d["pcoord1"]), self.n_clusters + 1, end_idx)
-        if self.clustering_method == "stratified":
-            # Same nominal-numbering routing as get_fluxMatrix: stratified
-            # predict short-circuits target-region parents to its own
-            # target index (n_total_clusters + 1), which pre-cleaning can be
-            # a dead regular-cluster slot in the nominal n_clusters + 2
-            # numbering -- route them to the nominal target row. Applied
-            # BEFORE start-in-basis: with overlapping bounds, basis wins
-            # (reference composition, _fluxmatrix.py:134-137)
-            start_idx = np.where(
-                self.is_WE_target(d["pcoord0"]), self.n_clusters + 1, start_idx
-            )
-        start_idx = np.where(self.is_WE_basis(d["pcoord0"]), self.n_clusters, start_idx)
-        end_idx = np.where(self.is_WE_basis(d["pcoord1"]), self.n_clusters, end_idx)
-        flat = start_idx.astype(np.int64) * n_states + end_idx.astype(np.int64)
-        return np.bincount(flat, weights=weights, minlength=n_states**2).reshape(
-            n_states, n_states
-        )
+        """Single-iteration flux matrix (engine:
+        :func:`msm_we_tpu.fluxmatrix.get_iter_flux_matrix`; reference
+        ``_fluxmatrix.py:21-72``)."""
+        return _fluxmatrix.get_iter_flux_matrix(self, n_iter)
 
     def get_transition_data(self, n_lag):
         """Populate ``coordPairList``/``transitionWeights``/``departureWeights``
