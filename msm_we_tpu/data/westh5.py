@@ -72,6 +72,9 @@ class WEDataset:
         # n_iter): each `h5[".../auxdata/coord"]` resolves a 4-level path
         # (~1,200 resolutions = 0.15 s of a warm 100k build)
         self._dset_cache = {}
+        # Optional whole-block read cache (enable_block_cache); None = off
+        self._block_cache = None
+        self._block_used = 0
 
     def _h5(self, file_idx):
         """Persistent read-only handle for ``file_list[file_idx]``.
@@ -103,6 +106,33 @@ class WEDataset:
                 pass
         self._open_handles = {}
 
+    def enable_block_cache(self, budget_bytes=None):
+        """Cache whole-iteration frame blocks read by :meth:`_iter_frame_block`
+        so back-to-back passes over the same frames (dimReduce's moment pass
+        followed by featurization) hit memory instead of re-reading HDF5.
+
+        Entries are handed over on hit (popped): each cached block serves
+        exactly one later consumer, which may then mutate it in place (the
+        featurizer's ``nan_to_num(copy=False)``), and peak memory stays
+        bounded by one pipeline's worth of blocks. Reads stop being cached
+        once ``budget_bytes`` (default 512 MB, env
+        ``MSM_WE_TPU_BLOCK_CACHE_MB``) is reached -- large datasets simply
+        keep the previous streaming behavior.
+        """
+        if budget_bytes is None:
+            import os
+
+            budget_bytes = (
+                int(os.environ.get("MSM_WE_TPU_BLOCK_CACHE_MB", 512)) << 20
+            )
+        self._block_cache = {}
+        self._block_budget = int(budget_bytes)
+        self._block_used = 0
+
+    def drop_block_cache(self):
+        self._block_cache = None
+        self._block_used = 0
+
     def _aux_dset(self, file_idx, n_iter):
         """Cached ``auxdata/<auxpath>`` Dataset for one (file, iteration)."""
         key = (file_idx, n_iter)
@@ -121,6 +151,8 @@ class WEDataset:
         state = self.__dict__.copy()
         state["_open_handles"] = {}  # h5py handles are process-local
         state["_dset_cache"] = {}
+        state["_block_cache"] = None  # never pickle raw coordinate blocks
+        state["_block_used"] = 0
         return state
 
     def __setstate__(self, state):
@@ -134,6 +166,9 @@ class WEDataset:
             self.pcoord_len = None
         if "_dset_cache" not in state:
             self._dset_cache = {}
+        if "_block_cache" not in state:
+            self._block_cache = None
+            self._block_used = 0
 
     # ------------------------------------------------------------------ scan
     def _scan(self):
@@ -428,10 +463,37 @@ class WEDataset:
             start_pcoord=start_pcoord, warped=warped, anc=anc,
         )
 
-    def _iter_frame_block(self, n_iter, frame):
+    def _iter_frame_block(self, n_iter, frame, consume=False):
         """One frame's coordinates for every segment of an iteration (NaN
         kept), reading only that frame from ``auxdata`` -- half the I/O of
-        :meth:`iter_coord_pairs` when only one endpoint is needed."""
+        :meth:`iter_coord_pairs` when only one endpoint is needed.
+
+        With :meth:`enable_block_cache` active, a block read once is kept
+        (within budget) for later readers of the same (iteration, frame).
+        Cached blocks are shared read-only views of the same array; a caller
+        that will mutate the block in place must pass ``consume=True``, which
+        takes the entry out of the cache (ownership transfer) -- and never
+        stores its own read."""
+        cache = getattr(self, "_block_cache", None)
+        key = (n_iter, frame)
+        if cache is not None and key in cache:
+            if consume:
+                block = cache.pop(key)
+                self._block_used -= block.nbytes
+            else:
+                block = cache[key]
+            return block
+        block = self._read_frame_block(n_iter, frame)
+        if (
+            cache is not None
+            and not consume
+            and self._block_used + block.nbytes <= self._block_budget
+        ):
+            cache[key] = block
+            self._block_used += block.nbytes
+        return block
+
+    def _read_frame_block(self, n_iter, frame):
         data = self.iter_data(n_iter)
         per_file = self._iter_index[n_iter]
         n = data["n_segs"]

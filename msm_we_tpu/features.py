@@ -351,7 +351,9 @@ def featurize_dedup(model, verify=True):
     p0s, p1s, ws, iter_of, nan_blocks = [], [], [], [], []
     offsets = [0]
     for iteration in range(1, model.maxIter):
-        child = ds._iter_frame_block(iteration, -1)
+        # consume=True: the nan_to_num below mutates the block in place, so
+        # take ownership of any cached entry instead of sharing it
+        child = ds._iter_frame_block(iteration, -1, consume=True)
         if verify and iteration == 1 and len(child) > 1:
             # Pre-flight fail-fast: a featurizer whose per-row output
             # depends on the rest of the batch (e.g. batch-mean

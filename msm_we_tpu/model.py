@@ -1670,6 +1670,11 @@ class modelWE:
             )
             with timer.stage("Loading coordinates"):
                 model.get_coordSet(_max_coord_iter)
+            # dimReduce's moment pass and the featurization inside the
+            # clustering stage read the same per-iteration frame blocks;
+            # cache them (within a memory budget) so the second pass hits
+            # host RAM instead of re-reading HDF5
+            model._dataset.enable_block_cache()
             with timer.stage("Dimensionality reduction"):
                 model.dimReduce(**step_kwargs.get("dimReduce", {}))
                 timer.set_note(f"method={model.dimReduceMethod}, ndim={model.ndim}")
@@ -1689,6 +1694,7 @@ class modelWE:
                     store_validation_model=cross_validation_groups > 0,
                     **cluster_kwargs,
                 )
+            model._dataset.drop_block_cache()
             _fm_iters = list(fluxmatrix_iters)
             if _fm_iters[1] == -1:
                 _fm_iters[1] = model.maxIter
@@ -1740,6 +1746,7 @@ class modelWE:
         next read). Call before another writer opens the same west.h5 files
         in this process -- WESTPA's data manager, augmentation scripts."""
         if self._dataset is not None:
+            self._dataset.drop_block_cache()
             self._dataset.close()
 
     # ---------------------------------------------------------------- meshes

@@ -40,6 +40,35 @@ from .kmeans import (
 
 __all__ = ["StratifiedKmeans"]
 
+
+def _compact_gather_impl(c, idx, v):
+    # Pad/invalid rows gather row 0 then zero out -- the exact layout
+    # compact_bank builds on the host (valid centers first, zeros after)
+    return jnp.where(v[:, None], c[idx], 0.0)
+
+
+_COMPACT_GATHER_CACHE = {}
+
+
+def _compact_gather(mesh):
+    """Jitted valid-row gather for :meth:`StratifiedKmeans.compact_bank_device`,
+    memoized per mesh; with a mesh the output lands pre-sharded over 'model'
+    (the layout every sharded assign program consumes)."""
+    key = mesh
+    fn = _COMPACT_GATHER_CACHE.get(key)
+    if fn is None:
+        if mesh is None:
+            fn = jax.jit(_compact_gather_impl)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            fn = jax.jit(
+                _compact_gather_impl,
+                out_shardings=NamedSharding(mesh, P("model")),
+            )
+        _COMPACT_GATHER_CACHE[key] = fn
+    return fn
+
 # Batches smaller than this run in plain numpy on the host: the streaming fill
 # loop sees many small ragged batches, where XLA compile time dwarfs compute.
 # Large batches (the real work) go through the jitted device kernels.
@@ -478,7 +507,8 @@ class StratifiedKmeans:
         bp = np.full(N_pad, -1, np.int32)
         bp[:N] = seg_bins
         # Compact bank: the sharded assign returns global ids directly
-        Cp, cbp, vp = self.compact_bank(pad_to=K_pad)
+        # (device-side gather when the fill scans left the state on device)
+        Cp, cbp, vp = self.compact_bank_device(pad_to=K_pad)
 
         out = np.asarray(self._sharded_assign(Xp, bp, Cp, cbp, vp))[:N]
         if is_basis is not None:
@@ -509,6 +539,41 @@ class StratifiedKmeans:
         centers[:n] = self.centers[rows]
         center_bin[:n] = self.center_bin[rows]
         valid[:n] = True
+        return centers, center_bin, valid
+
+    def compact_bank_device(self, pad_to=None):
+        """``compact_bank`` without the device-to-host sync.
+
+        When the authoritative center state is device-resident (a
+        ``minibatch_scan_run`` fill just ran), the compaction row selection
+        depends only on ``self.valid`` -- which the scans never change
+        (seeding and cleaning are host operations that sync first) -- so the
+        valid-row gather can run ON DEVICE and chain directly into the next
+        assignment program. Through a remote tunnel the host round trip this
+        removes (wait for the fill scans + pull the center bank) was ~0.1 s
+        of a warm 100k build, the single largest sync in the pipeline.
+
+        Returns ``(centers, center_bin, valid)`` where ``centers`` is a
+        device array (host numpy when no device state exists -- then this is
+        exactly :meth:`compact_bank`). ``center_bin``/``valid`` are host
+        numpy either way (they are host-derived metadata the callers pad
+        and pass through).
+        """
+        if self._dev_state is None:
+            return self.compact_bank(pad_to=pad_to)
+        rows = np.flatnonzero(self.valid)
+        n = len(rows)
+        K = n if pad_to is None else int(pad_to)
+        assert K >= n
+        center_bin = np.full(K, -2, np.int32)
+        valid = np.zeros(K, bool)
+        center_bin[:n] = self.center_bin[rows]
+        valid[:n] = True
+        idx = np.zeros(K, np.int32)
+        idx[:n] = rows
+        centers = _compact_gather(self.mesh)(
+            self._dev_state[0], jnp.asarray(idx), jnp.asarray(valid)
+        )
         return centers, center_bin, valid
 
     def device_args(self):
