@@ -227,7 +227,8 @@ def _run_job_retrying(problem, n_procs, local_devices, port, timeout,
                 raise
 
 
-def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300):
+def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300,
+                        awkward=False):
     """Spawn ``n_procs`` real OS processes running :func:`run_worker` over a
     shared-nothing shard split, and assert the global flux matrix equals the
     single-process result exactly.
@@ -236,11 +237,31 @@ def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300):
     ``n_procs * local_devices`` devices -- the same backend, mesh shape and
     collectives, so with the dyadic test weights the comparison is bitwise.
     Returns the (n_states, n_states) flux matrix.
+
+    ``awkward=True`` runs the boundary-stress variant instead of the
+    divisible shapes: ragged row count padded with inert rows (the facade's
+    padding contract), a WE-bin count not divisible by the model axis, and
+    a center bank padded across shard boundaries.
     """
-    from ..testing import tiny_stratified_problem
+    from ..testing import pad_stratified_problem, tiny_stratified_problem
 
     n_global = n_procs * local_devices
-    problem = tiny_stratified_problem(n_rows=32 * n_global, seed=3)
+    if awkward:
+        model_parallel = 2 if local_devices % 2 == 0 else 1
+        data_size = n_global // model_parallel
+        n_bins = model_parallel + 1  # does not divide the model axis
+        raw_rows = 16 * data_size + 7  # ragged final shard before padding
+        raw = tiny_stratified_problem(
+            n_rows=raw_rows, n_bins=n_bins, k=3, seed=3
+        )
+        K = n_bins * 3
+        K_pad = -(-K // model_parallel) * model_parallel
+        # Rows must split evenly over processes AND over the data axis;
+        # a multiple of n_global satisfies both
+        N_pad = -(-raw_rows // n_global) * n_global
+        problem = pad_stratified_problem(raw, N_pad, K_pad)
+    else:
+        problem = tiny_stratified_problem(n_rows=32 * n_global, seed=3)
 
     fm_multi = _run_job_retrying(
         problem, n_procs, local_devices, port, timeout
