@@ -16,6 +16,9 @@ device chunks (``modelWE._StreamingReducer``).
 """
 from __future__ import annotations
 
+import threading
+import time
+
 import h5py
 import numpy as np
 
@@ -75,6 +78,15 @@ class WEDataset:
         # Optional whole-block read cache (enable_block_cache); None = off
         self._block_cache = None
         self._block_used = 0
+        # Prefetch machinery (start_prefetch): a daemon reader thread fills
+        # the iter_data/block caches ahead of the consumer. h5py serializes
+        # actual HDF5 calls internally; this lock only guards OUR dict
+        # caches and lazy handle creation (RLock: _read_frame_block ->
+        # iter_data nests)
+        self._io_lock = threading.RLock()
+        self._prefetch_thread = None
+        self._prefetch_stop = None
+        self._block_consumed = set()
 
     def _h5(self, file_idx):
         """Persistent read-only handle for ``file_list[file_idx]``.
@@ -89,22 +101,25 @@ class WEDataset:
         instead conflicts with every default-locking open of the same file
         in this process, which is worse.)
         """
-        h5 = self._open_handles.get(file_idx)
-        if h5 is None or not h5.id.valid:
-            h5 = h5py.File(self.file_list[file_idx], "r")
-            self._open_handles[file_idx] = h5
-        return h5
+        with self._io_lock:
+            h5 = self._open_handles.get(file_idx)
+            if h5 is None or not h5.id.valid:
+                h5 = h5py.File(self.file_list[file_idx], "r")
+                self._open_handles[file_idx] = h5
+            return h5
 
     def close(self):
         """Close any cached file handles (call before re-writing the files,
         e.g. augmentation scripts opening them in append mode)."""
-        self._dset_cache = {}
-        for h5 in self._open_handles.values():
-            try:
-                h5.close()
-            except Exception:
-                pass
-        self._open_handles = {}
+        self.stop_prefetch()
+        with self._io_lock:
+            self._dset_cache = {}
+            for h5 in self._open_handles.values():
+                try:
+                    h5.close()
+                except Exception:
+                    pass
+            self._open_handles = {}
 
     def enable_block_cache(self, budget_bytes=None):
         """Cache whole-iteration frame blocks read by :meth:`_iter_frame_block`
@@ -125,27 +140,119 @@ class WEDataset:
             budget_bytes = (
                 int(os.environ.get("MSM_WE_TPU_BLOCK_CACHE_MB", 512)) << 20
             )
-        self._block_cache = {}
-        self._block_budget = int(budget_bytes)
-        self._block_used = 0
+        with self._io_lock:
+            self._block_cache = {}
+            self._block_budget = int(budget_bytes)
+            self._block_used = 0
+            self._block_consumed = set()
 
     def drop_block_cache(self):
-        self._block_cache = None
-        self._block_used = 0
+        self.stop_prefetch()
+        with self._io_lock:
+            self._block_cache = None
+            self._block_used = 0
+            self._block_consumed = set()
+
+    def start_prefetch(self, last_iter, frames=(-1,)):
+        """Read ahead on a daemon thread: per-iteration index data
+        (:meth:`iter_data`) for iterations ``1..last_iter`` plus the frame
+        blocks the dedup featurizer consumes (``1..last_iter-1``), landing
+        in the (budget-bounded) caches before the pipeline asks for them.
+
+        h5py serializes HDF5 calls through its own global lock, so the
+        reads interleave safely with the consumer thread's; the win is that
+        they overlap the consumer's *numpy/device* work (featurization,
+        moment accumulation, fill dispatches) instead of serializing whole
+        build stages behind ~500 small h5py calls. When the block budget
+        fills, the reader idles until the consumer pops entries
+        (``consume=True`` hand-over), bounding memory; blocks the consumer
+        already took are never re-read. No-op if a prefetch is running."""
+        if self._prefetch_thread is not None and self._prefetch_thread.is_alive():
+            return
+        if self._block_cache is None:
+            self.enable_block_cache()
+        stop = threading.Event()
+
+        def run():
+            try:
+                for i in range(1, last_iter + 1):
+                    if stop.is_set():
+                        return
+                    self.iter_data(i)
+                    if i >= last_iter:
+                        continue
+                    for f in frames:
+                        key = (i, f)
+                        with self._io_lock:
+                            cache = self._block_cache
+                            if (
+                                cache is None
+                                or key in cache
+                                or key in self._block_consumed
+                            ):
+                                continue
+                        # Backpressure: wait for a consumer pop instead of
+                        # reading into a full cache (the read would be
+                        # discarded and re-done by the consumer anyway)
+                        est = self._block_nbytes_estimate()
+                        while not stop.is_set():
+                            with self._io_lock:
+                                if self._block_cache is None:
+                                    return
+                                if self._block_used + est <= self._block_budget:
+                                    break
+                            time.sleep(0.002)
+                        if stop.is_set():
+                            return
+                        block = self._read_frame_block(i, f)
+                        with self._io_lock:
+                            cache = self._block_cache
+                            if (
+                                cache is not None
+                                and key not in cache
+                                and key not in self._block_consumed
+                                and self._block_used + block.nbytes
+                                <= self._block_budget
+                            ):
+                                cache[key] = block
+                                self._block_used += block.nbytes
+            except Exception as e:  # reader failures surface at consume time
+                log.debug(f"prefetch thread stopped early: {e}")
+
+        self._prefetch_stop = stop
+        self._prefetch_thread = threading.Thread(
+            target=run, name="westh5-prefetch", daemon=True
+        )
+        self._prefetch_thread.start()
+
+    def stop_prefetch(self):
+        t, stop = self._prefetch_thread, self._prefetch_stop
+        if stop is not None:
+            stop.set()
+        if t is not None and t.is_alive():
+            t.join(timeout=10)
+        self._prefetch_thread = None
+        self._prefetch_stop = None
+
+    def _block_nbytes_estimate(self):
+        """Upper-bound size of one frame block (for prefetch backpressure)."""
+        n_atoms, coord_ndim = self.n_atoms_coord_ndim()
+        return int(self.max_segs) * int(n_atoms) * int(coord_ndim) * 8
 
     def _aux_dset(self, file_idx, n_iter):
         """Cached ``auxdata/<auxpath>`` Dataset for one (file, iteration)."""
         key = (file_idx, n_iter)
-        dset = self._dset_cache.get(key)
-        if dset is None or not dset.id.valid:
-            dset = self._h5(file_idx)[
-                f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"
-            ]
-            assert dset.shape[1] > 1, (
-                "Augmented coords need at least start & end frames"
-            )
-            self._dset_cache[key] = dset
-        return dset
+        with self._io_lock:
+            dset = self._dset_cache.get(key)
+            if dset is None or not dset.id.valid:
+                dset = self._h5(file_idx)[
+                    f"{_iter_name(n_iter)}/auxdata/{self.auxpath}"
+                ]
+                assert dset.shape[1] > 1, (
+                    "Augmented coords need at least start & end frames"
+                )
+                self._dset_cache[key] = dset
+            return dset
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -153,6 +260,10 @@ class WEDataset:
         state["_dset_cache"] = {}
         state["_block_cache"] = None  # never pickle raw coordinate blocks
         state["_block_used"] = 0
+        state["_block_consumed"] = set()
+        state["_io_lock"] = None  # locks/threads are process-local
+        state["_prefetch_thread"] = None
+        state["_prefetch_stop"] = None
         return state
 
     def __setstate__(self, state):
@@ -169,6 +280,12 @@ class WEDataset:
         if "_block_cache" not in state:
             self._block_cache = None
             self._block_used = 0
+        if not isinstance(getattr(self, "_io_lock", None), type(threading.RLock())):
+            self._io_lock = threading.RLock()
+        self._prefetch_thread = None
+        self._prefetch_stop = None
+        if not hasattr(self, "_block_consumed") or self._block_consumed is None:
+            self._block_consumed = set()
 
     # ------------------------------------------------------------------ scan
     def _scan(self):
@@ -228,7 +345,14 @@ class WEDataset:
             return self._iter_data[n_iter]
         if n_iter not in self._iter_index:
             raise KeyError(f"Iteration {n_iter} not present/usable")
+        with self._io_lock:
+            return self._iter_data_uncached(n_iter)
 
+    def _iter_data_uncached(self, n_iter):
+        # Re-check under the lock: the prefetch thread may have landed it
+        # between the lock-free fast path above and acquisition
+        if n_iter in self._iter_data:
+            return self._iter_data[n_iter]
         weights, parents, p0, p1, west_idx, seg_idx = [], [], [], [], [], []
         for file_idx, _n in self._iter_index[n_iter]:
             h5 = self._h5(file_idx)
@@ -474,23 +598,32 @@ class WEDataset:
         that will mutate the block in place must pass ``consume=True``, which
         takes the entry out of the cache (ownership transfer) -- and never
         stores its own read."""
-        cache = getattr(self, "_block_cache", None)
         key = (n_iter, frame)
-        if cache is not None and key in cache:
-            if consume:
-                block = cache.pop(key)
-                self._block_used -= block.nbytes
-            else:
-                block = cache[key]
-            return block
+        with self._io_lock:
+            cache = getattr(self, "_block_cache", None)
+            if cache is not None and key in cache:
+                if consume:
+                    block = cache.pop(key)
+                    self._block_used -= block.nbytes
+                    self._block_consumed.add(key)
+                else:
+                    block = cache[key]
+                return block
+            if consume and cache is not None:
+                # Mark before reading: the prefetch thread must not re-read
+                # a block the consumer is already fetching for itself
+                self._block_consumed.add(key)
         block = self._read_frame_block(n_iter, frame)
-        if (
-            cache is not None
-            and not consume
-            and self._block_used + block.nbytes <= self._block_budget
-        ):
-            cache[key] = block
-            self._block_used += block.nbytes
+        with self._io_lock:
+            cache = getattr(self, "_block_cache", None)
+            if (
+                cache is not None
+                and not consume
+                and key not in cache
+                and self._block_used + block.nbytes <= self._block_budget
+            ):
+                cache[key] = block
+                self._block_used += block.nbytes
         return block
 
     def _read_frame_block(self, n_iter, frame):

@@ -122,20 +122,31 @@ def sharded_pair_discretize(model, strat, parent_bins, child_bins):
         assign1 = build_sharded_single_assign(
             mesh, n_states, n_bins=strat.n_bins
         )
-        cid = assign1(
+        cid_dev = assign1(
             fc_dev, pad_rows(cbins, -1),
             pad_rows(basis_c, False), pad_rows(target_c, False),
             centersC, center_binC, validC,
         )
-        cid = np.asarray(cid)[:N].astype(np.int32)
-        pid = cid[s]  # fancy indexing: already a fresh array
+        try:
+            # Start the id download streaming while the host scores the
+            # disagreeing rows below: the blocking asarray then finds the
+            # bytes already (mostly) landed instead of paying the full
+            # device-execute + tunnel-transfer wait serially after predict
+            cid_dev.copy_to_host_async()
+        except Exception:
+            pass
+        direct_ids = None
         if len(direct):
-            pid[direct] = strat.predict(
+            direct_ids = strat.predict(
                 _feat_parent_rows(feats, direct),
                 parent_bins[direct],  # raw bins: predict remaps
                 is_basis=basis_p[direct],
                 is_target=target_p[direct],
             )
+        cid = np.asarray(cid_dev)[:N].astype(np.int32)
+        pid = cid[s]  # fancy indexing: already a fresh array
+        if direct_ids is not None:
+            pid[direct] = direct_ids
         return np.ascontiguousarray(pid), cid
 
     assign = build_sharded_pair_assign(

@@ -1016,6 +1016,11 @@ class modelWE:
         self._run_streaming_batches(strat, feats, batches, delegated,
                                     bin_mapper, all_filled, iters_to_use,
                                     scan_small_batches=scan_small_batches)
+        # The fill loop may leave the bank device-resident; start streaming
+        # it to host now so the next host consumer (the discretization
+        # fallback rows' predict) finds it already materialized instead of
+        # paying two blocking tunnel round trips mid-flux-stage
+        strat.start_host_sync()
 
         # Never-filled bins delegate to the nearest filled bin
         true_unfilled = np.setdiff1d(
@@ -1668,13 +1673,15 @@ class modelWE:
             _max_coord_iter = (
                 model.maxIter if max_coord_iter == -1 else max_coord_iter
             )
+            # Read ahead on a daemon thread: per-iteration index data and
+            # the frame blocks the featurizer consumes land in the
+            # (budget-bounded) caches while the pipeline below does numpy
+            # and device work, instead of each stage serializing behind
+            # hundreds of small h5py calls. Also serves dimReduce's moment
+            # pass + the clustering featurization from one read.
+            model._dataset.start_prefetch(_max_coord_iter)
             with timer.stage("Loading coordinates"):
                 model.get_coordSet(_max_coord_iter)
-            # dimReduce's moment pass and the featurization inside the
-            # clustering stage read the same per-iteration frame blocks;
-            # cache them (within a memory budget) so the second pass hits
-            # host RAM instead of re-reading HDF5
-            model._dataset.enable_block_cache()
             with timer.stage("Dimensionality reduction"):
                 model.dimReduce(**step_kwargs.get("dimReduce", {}))
                 timer.set_note(f"method={model.dimReduceMethod}, ndim={model.ndim}")

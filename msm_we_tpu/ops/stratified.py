@@ -199,12 +199,29 @@ class StratifiedKmeans:
     def _sync_host(self):
         """Materialize device-resident centers/counts back to host numpy."""
         if self._dev_state is not None:
+            # Start BOTH transfers before blocking on either: through a
+            # remote tunnel each blocking pull costs a full round trip
+            # (~30 ms) regardless of size, and the two arrays are tiny
+            self.start_host_sync()
             c, n = self._dev_state
             # np.array (copy): asarray of a device array is read-only, and
             # the host paths mutate these in place
             self.centers = np.array(c)
             self.counts = np.array(n)
             self._dev_state = None
+
+    def start_host_sync(self):
+        """Begin streaming the device-resident bank to host WITHOUT
+        blocking. Call when a fill loop finishes: by the time a host
+        consumer hits :meth:`_sync_host` (e.g. the discretization fallback
+        rows' ``predict``), the transfer has already completed and the sync
+        is free instead of two blocking device round trips."""
+        if self._dev_state is not None:
+            for a in self._dev_state:
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # non-jax arrays under test doubles
+                    pass
 
     def _device_state(self):
         if self._dev_state is None:

@@ -259,6 +259,11 @@ def _deeptime_estimators():
     try:
         from deeptime.decomposition import TICA, VAMP
 
+        if TICA is object or VAMP is object:
+            # The reference-pickle loaders (tests/ntl9_pickles.py,
+            # test_reference_differential.py) stub deeptime into
+            # sys.modules for unpickling; that stub is not an estimator
+            raise ImportError("deeptime in sys.modules is a test stub")
         return TICA, VAMP, "deeptime"
     except ImportError:
         from _deeptime_oracle import TICA, VAMP
