@@ -34,6 +34,7 @@ import numpy as np
 __all__ = [
     "fused_assign_flux",
     "fused_transform_assign",
+    "fused_transform_assign_child",
     "pallas_available",
 ]
 
@@ -467,6 +468,158 @@ def fused_transform_assign(
         interpret=interpret, precision=precision,
     )
     return np.asarray(pidx)[:N], np.asarray(cidx)[:N], np.asarray(fm)
+
+
+def _transform_assign_child_kernel(
+    raw_ref, bin_ref, basis_ref, target_ref,
+    proj_ref, cT_ref, c2adj_ref, centerbin_ref, valid_ref,
+    idx_ref, feat_ref,
+    *, n_states, precision, emit_features,
+):
+    """Child-only tier of :func:`_transform_assign_kernel`: raw coords ->
+    features -> masked nearest center -> overrides, ids out. The (tile, K)
+    score block lives and dies in VMEM (the in-tile argmin epilogue VERDICT
+    round-3 item 4 asks to measure); with ``emit_features`` the (tile, F)
+    feature block is also written out so the dedup parent gather can reuse
+    it (the production dedup contract, ``features.featurize_dedup``)."""
+    proj = proj_ref[:]
+    cT = cT_ref[:]
+    c2adj = c2adj_ref[:][:, 0]
+    center_bin = centerbin_ref[:][:, 0]
+    valid = valid_ref[:][:, 0]
+    K = cT.shape[1]
+
+    g = jnp.dot(raw_ref[:], proj, preferred_element_type=jnp.float32,
+                precision=precision)
+    if emit_features:
+        feat_ref[:] = g
+    scores = c2adj[None, :] - 2.0 * jnp.dot(
+        g, cT, preferred_element_type=jnp.float32, precision=precision
+    )
+    seg_bin = bin_ref[:][:, 0]
+    ok = (valid[None, :] > 0) & (center_bin[None, :] == seg_bin[:, None])
+    scores = jnp.where(ok, scores, _BIG)
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    minval = jnp.min(scores, axis=1, keepdims=True)
+    idx = jnp.min(jnp.where(scores == minval, iota, K), axis=1)
+
+    idx = jnp.where(target_ref[:][:, 0] > 0, n_states - 1, idx)
+    idx = jnp.where(basis_ref[:][:, 0] > 0, n_states - 2, idx)
+    idx_ref[:] = idx[:, None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_states", "tile", "interpret", "precision", "emit_features"
+    ),
+)
+def _transform_assign_child_call(
+    raw, bins, basis, target, proj, cT, c2adj, center_bin, valid,
+    n_states, tile, interpret, precision, emit_features,
+):
+    import jax.experimental.pallas as pl
+
+    N, D = raw.shape
+    F = proj.shape[1]
+    K = cT.shape[1]
+    grid = (N // tile,)
+
+    seg1 = pl.BlockSpec((tile, 1), lambda i: (i, 0))
+    raw_spec = pl.BlockSpec((tile, D), lambda i: (i, 0))
+    # Without emit_features the dummy output is a single (tile, F) block
+    # every grid step aliases (never written by the kernel)
+    feat_spec = pl.BlockSpec(
+        (tile, F), (lambda i: (i, 0)) if emit_features else (lambda i: (0, 0))
+    )
+    proj_spec = pl.BlockSpec((D, F), lambda i: (0, 0))
+    cT_spec = pl.BlockSpec((F, K), lambda i: (0, 0))
+    bank1 = pl.BlockSpec((K, 1), lambda i: (0, 0))
+
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    idx, feats = pl.pallas_call(
+        partial(
+            _transform_assign_child_kernel,
+            n_states=n_states,
+            precision=precision,
+            emit_features=emit_features,
+        ),
+        grid=grid,
+        in_specs=[raw_spec, seg1, seg1, seg1,
+                  proj_spec, cT_spec, bank1, bank1, bank1],
+        out_specs=[seg1, feat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N if emit_features else tile, F),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(raw, bins, basis, target, proj, cT, c2adj, center_bin, valid)
+    return idx[:, 0], (feats if emit_features else None)
+
+
+def fused_transform_assign_child(
+    raw, bins, basis, target, mean, proj, centers, center_bin, valid,
+    n_states, tile=512, interpret=None, precision=None, emit_features=False,
+):
+    """Child-only whole-hot-step assignment: raw coordinates -> PCA
+    transform -> stratified assignment -> basis/target overrides, with the
+    (N, K) score matrix never written to HBM (in-tile argmin epilogue).
+
+    This is the dedup-tier shape: under WE continuity only child rows are
+    scored on device (``discretization.sharded_pair_discretize`` fast path /
+    the bench dedup tier); parent ids derive from a host or XLA gather.
+    ``emit_features=True`` additionally writes the (N, F) feature block so
+    a downstream parent-row gather + parent assignment can consume it.
+
+    Host-facing wrapper (pads rows to ``tile``, dims to 128). Measured
+    verdict at bench shapes (102,400 x 900 -> 30, K=250, v5e): see
+    docs/performance.md "Pallas in-tile argmin epilogue".
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+
+    raw = np.asarray(raw, np.float32)
+    N, D = raw.shape
+    F = proj.shape[1]
+    K = centers.shape[0]
+
+    N_pad = _round_up(max(N, tile), tile)
+    D_pad = _round_up(D, 128)
+    F_pad = _round_up(F, 128)
+    K_pad = _round_up(K, 128)
+
+    proj = np.asarray(proj, np.float32)
+    centers = np.asarray(centers, np.float32)
+    bias = np.asarray(mean, np.float32) @ proj  # (F,)
+    c2adj = (centers * centers).sum(1) + 2.0 * centers @ bias
+
+    idx, feats = _transform_assign_child_call(
+        jnp.asarray(_pad2(raw, N_pad, D_pad)),
+        jnp.asarray(_col(np.asarray(bins), N_pad, fill=-1)),
+        jnp.asarray(_col(np.asarray(basis, np.int32), N_pad)),
+        jnp.asarray(_col(np.asarray(target, np.int32), N_pad)),
+        jnp.asarray(_pad2(proj, D_pad, F_pad)),
+        jnp.asarray(_pad2(centers, K_pad, F_pad).T.copy()),
+        jnp.asarray(_col(c2adj, K_pad, fill=0.0, dtype=np.float32)),
+        jnp.asarray(_col(np.asarray(center_bin), K_pad, fill=-2)),
+        jnp.asarray(_col(np.asarray(valid, np.int32), K_pad)),
+        n_states=n_states, tile=tile, interpret=interpret,
+        precision=precision, emit_features=emit_features,
+    )
+    out_idx = np.asarray(idx)[:N]
+    if emit_features:
+        return out_idx, np.asarray(feats)[:N, :F]
+    return out_idx, None
 
 
 def fused_assign_flux(

