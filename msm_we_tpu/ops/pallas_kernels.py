@@ -580,8 +580,12 @@ def fused_transform_assign_child(
     a downstream parent-row gather + parent assignment can consume it.
 
     Host-facing wrapper (pads rows to ``tile``, dims to 128). Measured
-    verdict at bench shapes (102,400 x 900 -> 30, K=250, v5e): see
-    docs/performance.md "Pallas in-tile argmin epilogue".
+    verdict at bench shapes (102,400 x 900 -> 30, K=250, v5e): XLA child-ids
+    1.11 ms vs this kernel 32.7 ms at tile=256 (tile>=512 and
+    ``emit_features`` fail Mosaic compilation) -- the Mosaic lowering of the
+    (tile, 900) x (900, F) HIGHEST-precision transform GEMM dominates, so
+    the XLA assignment stays production; details in docs/performance.md
+    ("Child-only fused transform+assign", Rejected list).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
