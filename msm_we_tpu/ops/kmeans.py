@@ -252,6 +252,39 @@ def seed_bin(key, X, w, k):
     return jnp.concatenate([cb, wsum[:, None]], axis=1)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def seed_bins_batched(seeds, Xs, ws, k):
+    """:func:`seed_bin` vmapped over every bin seeding in one batch: ONE
+    compile, ONE dispatch, and ONE (B, k, d+1) download for all B bins.
+
+    The per-bin route compiled a fresh ``seed_bin`` program for every
+    distinct power-of-2 member count; through a remote-compile tunnel that
+    measured ~4-40 s *per seeded bin* on a 10M-segment build (12 bins,
+    ~509 s of a 553 s clustering stage -- see docs/performance.md). Here
+    all bins share one (B, P, d) zero-weight-padded shape, so the whole WE
+    binning seeds with a single program. Keys derive from per-bin integer
+    ``seeds`` inside the program (no per-bin host PRNGKey round trips).
+
+    Padded rows (weight 0) are inert in every stage: k-means++ assigns
+    them zero selection probability, Lloyd and the final weight sums add
+    exact zeros. Like ``seed_bin``, results are the *device* seeding
+    numerics family; the RNG realization additionally depends on the
+    shared padded length P (``jax.random.choice`` draws over P rows), so
+    centers differ from the per-bin-padded route -- both are valid
+    clusterings of the same family.
+    """
+
+    def one(seed, Xb, wb):
+        key = jax.random.PRNGKey(seed)
+        init = kmeans_plusplus(key, Xb, wb, k)
+        cb = lloyd(Xb, wb, init, n_iter=5)
+        idx, _ = assign_flat(Xb, cb, jnp.ones(k, bool))
+        wsum = jax.ops.segment_sum(wb, idx, num_segments=k)
+        return jnp.concatenate([cb, wsum[:, None]], axis=1)
+
+    return jax.vmap(one)(seeds, Xs, ws)
+
+
 @partial(jax.jit, static_argnames=("n_bins", "window"))
 def masked_minibatch_scan(centers, counts, X_all, eff_bin, w_all, init_mask,
                           starts, lengths, center_bin, valid,

@@ -36,6 +36,7 @@ from .kmeans import (
     masked_assign,
     masked_minibatch_step,
     seed_bin,
+    seed_bins_batched,
 )
 
 __all__ = ["StratifiedKmeans"]
@@ -295,7 +296,13 @@ class StratifiedKmeans:
         initialized_before = self.initialized.copy()
         seeded = False
 
-        # Initialize any new bins that now have enough members
+        # Initialize any new bins that now have enough members. Host-family
+        # seeds (small batches) run inline; device-family seeds are
+        # collected and run as ONE batched program -- per-bin seed_bin
+        # dispatches compiled a fresh program per distinct member count
+        # (remote-compile tunnel: ~4-40 s each, ~509 s of a 10M-segment
+        # build's clustering stage; see docs/performance.md)
+        device_seeds = []
         for b in unique_bins:
             if self.initialized[b]:
                 continue
@@ -313,18 +320,32 @@ class StratifiedKmeans:
                 self.centers[rows] = cb
                 self.counts[rows] = wsum
             else:
-                Xb_np, wb_np, _ = _pad_pow2(X[members], w[members])
-                key = jax.random.PRNGKey(self.seed + int(b))
-                # One dispatch + one download per seeded bin (seed_bin
-                # stacks centers and weight sums into a single result)
-                packed = np.asarray(
-                    seed_bin(key, jnp.asarray(Xb_np), jnp.asarray(wb_np), self.k)
-                )
-                self.centers[rows] = packed[:, :-1]
-                self.counts[rows] = packed[:, -1]
+                device_seeds.append((int(b), members))
             self.valid[rows] = True
             self.initialized[b] = True
             seeded = True
+        if device_seeds:
+            # Shared zero-weight-padded shape: all bins seed under one
+            # compile/dispatch/download (padded rows are inert throughout)
+            P = 1 << int(np.ceil(np.log2(max(len(m) for _, m in device_seeds))))
+            Xs = np.zeros((len(device_seeds), P, X.shape[1]), np.float32)
+            ws = np.zeros((len(device_seeds), P), np.float32)
+            for i, (_b, m) in enumerate(device_seeds):
+                Xs[i, : len(m)] = X[m]
+                ws[i, : len(m)] = w[m]
+            seeds_arr = np.asarray(
+                [self.seed + b for b, _m in device_seeds], np.uint32
+            )
+            packed = np.asarray(
+                seed_bins_batched(
+                    jnp.asarray(seeds_arr), jnp.asarray(Xs), jnp.asarray(ws),
+                    self.k,
+                )
+            )
+            for i, (b, _m) in enumerate(device_seeds):
+                rows = slice(b * self.k, (b + 1) * self.k)
+                self.centers[rows] = packed[i, :, :-1]
+                self.counts[rows] = packed[i, :, -1]
 
         # Minibatch update for all previously-initialized bins' members in
         # one scatter (bins seeded above already consumed this batch).

@@ -209,6 +209,84 @@ def test_seed_bin_fusion_matches_separate_calls():
     assert np.array_equal(packed[:, -1], np.asarray(wsum))
 
 
+def test_seed_bins_batched_matches_per_bin_seed_bin():
+    """The batched (vmapped) seeding program must reproduce per-bin
+    seed_bin calls bitwise at the same padded shape -- it exists only to
+    collapse B compiles/dispatches/downloads into one (a fresh seed_bin
+    compile per distinct member count measured ~4-40 s per bin through
+    the remote-compile tunnel on a 10M-segment build)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msm_we_tpu.ops.kmeans import seed_bin, seed_bins_batched
+
+    rng = np.random.default_rng(5)
+    B, P, d, k = 4, 512, 3, 7
+    Xs = rng.normal(size=(B, P, d)).astype(np.float32)
+    ws = rng.random((B, P)).astype(np.float32)
+    ws[:, 400:] = 0.0  # zero-weight padding rows must stay inert
+    seeds = np.arange(10, 10 + B, dtype=np.uint32)
+
+    batched = np.asarray(
+        seed_bins_batched(jnp.asarray(seeds), jnp.asarray(Xs), jnp.asarray(ws), k)
+    )
+    per_bin = np.stack(
+        [
+            np.asarray(
+                seed_bin(
+                    jax.random.PRNGKey(int(s)),
+                    jnp.asarray(Xs[i]),
+                    jnp.asarray(ws[i]),
+                    k,
+                )
+            )
+            for i, s in enumerate(seeds)
+        ]
+    )
+    assert np.array_equal(batched, per_bin)
+    # Weight sums account exactly for the live rows of each bin
+    np.testing.assert_allclose(
+        batched[:, :, -1].sum(axis=1), ws.sum(axis=1), rtol=1e-6
+    )
+
+
+def test_partial_fit_batched_seeding_state_is_valid():
+    """partial_fit with several device-family seeding bins (>= threshold
+    members each, unequal counts -> one shared padded shape) must leave a
+    fully seeded, self-consistent bank: every bin initialized, k valid
+    centers per bin, counts summing to each bin's total weight, and
+    predictions routed to the right bins."""
+    from msm_we_tpu.ops.stratified import StratifiedKmeans
+
+    n_bins, k, d = 3, 4, 2
+    rng = np.random.default_rng(9)
+    counts = [HOST_BATCH_THRESHOLD + 100, HOST_BATCH_THRESHOLD + 700,
+              2 * HOST_BATCH_THRESHOLD]
+    X = np.concatenate(
+        [rng.normal(loc=3.0 * b, size=(n, d)).astype(np.float32)
+         for b, n in enumerate(counts)]
+    )
+    seg_bins = np.concatenate(
+        [np.full(n, b, np.int64) for b, n in enumerate(counts)]
+    )
+    w = rng.uniform(0.5, 1.5, len(X)).astype(np.float32)
+
+    strat = StratifiedKmeans(n_bins=n_bins, k_per_bin=k, n_features=d, seed=3)
+    updated = strat.partial_fit(X, seg_bins, weights=w)
+
+    assert updated == {0, 1, 2}
+    assert strat.initialized.all()
+    assert strat.valid.all()
+    assert strat.n_total_clusters == n_bins * k
+    for b, n in enumerate(counts):
+        rows = slice(b * k, (b + 1) * k)
+        np.testing.assert_allclose(
+            strat.counts[rows].sum(), w[seg_bins == b].sum(), rtol=1e-4
+        )
+        # Centers live near their bin's data lobe, not another bin's
+        assert np.all(np.abs(strat.centers[rows] - 3.0 * b) < 2.5)
+
+
 def test_mid_stream_seeding_splits_runs():
     """A bin first filled mid-stream forces its batch through partial_fit
     (seeding), with scan runs on both sides; the final state must equal
