@@ -87,6 +87,7 @@ class WEDataset:
         self._prefetch_thread = None
         self._prefetch_stop = None
         self._block_consumed = set()
+        self._block_shared = set()
 
     def _h5(self, file_idx):
         """Persistent read-only handle for ``file_list[file_idx]``.
@@ -126,11 +127,13 @@ class WEDataset:
         so back-to-back passes over the same frames (dimReduce's moment pass
         followed by featurization) hit memory instead of re-reading HDF5.
 
-        Entries are handed over on hit (popped): each cached block serves
-        exactly one later consumer, which may then mutate it in place (the
-        featurizer's ``nan_to_num(copy=False)``), and peak memory stays
-        bounded by one pipeline's worth of blocks. Reads stop being cached
-        once ``budget_bytes`` (default 512 MB, env
+        Plain hits return a shared read-only view of the cached array; a
+        consumer that will mutate the block in place (the featurizer's
+        ``nan_to_num(copy=False)``) must pass ``consume=True`` to
+        :meth:`_iter_frame_block`, which pops the entry (ownership
+        transfer) so no other holder aliases it. Consumed pops are what
+        bound peak memory to one pipeline's worth of blocks. Reads stop
+        being cached once ``budget_bytes`` (default 512 MB, env
         ``MSM_WE_TPU_BLOCK_CACHE_MB``) is reached -- large datasets simply
         keep the previous streaming behavior.
         """
@@ -145,6 +148,7 @@ class WEDataset:
             self._block_budget = int(budget_bytes)
             self._block_used = 0
             self._block_consumed = set()
+            self._block_shared = set()
 
     def drop_block_cache(self):
         self.stop_prefetch()
@@ -152,6 +156,7 @@ class WEDataset:
             self._block_cache = None
             self._block_used = 0
             self._block_consumed = set()
+            self._block_shared = set()
 
     def start_prefetch(self, last_iter, frames=(-1,)):
         """Read ahead on a daemon thread: per-iteration index data
@@ -195,6 +200,13 @@ class WEDataset:
                         # reading into a full cache (the read would be
                         # discarded and re-done by the consumer anyway)
                         est = self._block_nbytes_estimate()
+                        if est > self._block_budget:
+                            # A block that can never fit (even into an empty
+                            # cache) must not stall the loop: skip caching it
+                            # and keep prefetching iter_data for the
+                            # remaining iterations -- the consumer streams
+                            # such blocks itself, as before the cache existed
+                            continue
                         while not stop.is_set():
                             with self._io_lock:
                                 if self._block_cache is None:
@@ -235,9 +247,19 @@ class WEDataset:
         self._prefetch_stop = None
 
     def _block_nbytes_estimate(self):
-        """Upper-bound size of one frame block (for prefetch backpressure)."""
+        """Upper-bound size of one frame block (for prefetch backpressure).
+
+        Uses the auxdata dataset's real itemsize (memoized): assuming 8
+        bytes/element would double the estimate for the common f32 case and
+        make the prefetcher refuse blocks that actually fit the budget."""
         n_atoms, coord_ndim = self.n_atoms_coord_ndim()
-        return int(self.max_segs) * int(n_atoms) * int(coord_ndim) * 8
+        itemsize = getattr(self, "_coord_itemsize", None)
+        if itemsize is None:
+            first = next(iter(self._iter_index))
+            file_idx, _ = self._iter_index[first][0]
+            itemsize = int(self._aux_dset(file_idx, first).dtype.itemsize)
+            self._coord_itemsize = itemsize
+        return int(self.max_segs) * int(n_atoms) * int(coord_ndim) * itemsize
 
     def _aux_dset(self, file_idx, n_iter):
         """Cached ``auxdata/<auxpath>`` Dataset for one (file, iteration)."""
@@ -261,6 +283,7 @@ class WEDataset:
         state["_block_cache"] = None  # never pickle raw coordinate blocks
         state["_block_used"] = 0
         state["_block_consumed"] = set()
+        state["_block_shared"] = set()
         state["_io_lock"] = None  # locks/threads are process-local
         state["_prefetch_thread"] = None
         state["_prefetch_stop"] = None
@@ -286,6 +309,8 @@ class WEDataset:
         self._prefetch_stop = None
         if not hasattr(self, "_block_consumed") or self._block_consumed is None:
             self._block_consumed = set()
+        if not hasattr(self, "_block_shared") or self._block_shared is None:
+            self._block_shared = set()
 
     # ------------------------------------------------------------------ scan
     def _scan(self):
@@ -606,8 +631,14 @@ class WEDataset:
                     block = cache.pop(key)
                     self._block_used -= block.nbytes
                     self._block_consumed.add(key)
+                    if key in self._block_shared:
+                        # An earlier plain hit handed out a view of this
+                        # array; the consumer is about to mutate it in
+                        # place, so it must get its own copy
+                        block = block.copy()
                 else:
                     block = cache[key]
+                    self._block_shared.add(key)
                 return block
             if consume and cache is not None:
                 # Mark before reading: the prefetch thread must not re-read

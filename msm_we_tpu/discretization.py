@@ -238,7 +238,11 @@ def run_streaming_batches(model, strat, feats, batches, delegated,
         if model._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            X_dev = model._device_row_feats()[1]
+            # Clustering only reads child features; need_parent=False keeps
+            # the dedup fast path's invariant (sharded_pair_discretize skips
+            # the on-device parent gather -- building it here would cache a
+            # pair that already paid for it)
+            X_dev = model._device_row_feats(need_parent=False)[1]
             n_pad = X_dev.shape[0]
             sh = NamedSharding(model._mesh, P("data"))
 

@@ -1650,6 +1650,71 @@ class modelWE:
         timer = StageTimer()
         model.stage_timings = timer
 
+        try:
+            self._run_build_pipeline(
+                model,
+                timer,
+                file_paths=file_paths,
+                ref_struct=ref_struct,
+                modelName=modelName,
+                basis_pcoord_bounds=basis_pcoord_bounds,
+                target_pcoord_bounds=target_pcoord_bounds,
+                dimreduce_method=dimreduce_method,
+                tau=tau,
+                n_clusters=n_clusters,
+                streaming=streaming,
+                stratified=stratified,
+                fluxmatrix_iters=fluxmatrix_iters,
+                fluxmatrix_iters_to_use=fluxmatrix_iters_to_use,
+                cross_validation_groups=cross_validation_groups,
+                cross_validation_blocks=cross_validation_blocks,
+                allow_validation_failure=allow_validation_failure,
+                show_live_display=show_live_display,
+                step_kwargs=step_kwargs,
+                max_coord_iter=max_coord_iter,
+                profile_dir=profile_dir,
+                device_pipeline=device_pipeline,
+                dedup_coordinates=dedup_coordinates,
+            )
+        finally:
+            # Release cached read handles even when a stage raises: WESTPA
+            # reopens the same west.h5 read-write after the plugin builds a
+            # model, and an in-process 'r' handle makes that reopen fail
+            # (HDF5 flag conflict). Later model reads lazily reopen.
+            model.close_files()
+
+        log.info("\n" + timer.report())
+        return model
+
+    def _run_build_pipeline(
+        self,
+        model,
+        timer,
+        *,
+        file_paths,
+        ref_struct,
+        modelName,
+        basis_pcoord_bounds,
+        target_pcoord_bounds,
+        dimreduce_method,
+        tau,
+        n_clusters,
+        streaming,
+        stratified,
+        fluxmatrix_iters,
+        fluxmatrix_iters_to_use,
+        cross_validation_groups,
+        cross_validation_blocks,
+        allow_validation_failure,
+        show_live_display,
+        step_kwargs,
+        max_coord_iter,
+        profile_dir,
+        device_pipeline,
+        dedup_coordinates,
+    ):
+        from .tracing import live_stage_display, profile_trace
+
         with profile_trace(profile_dir), live_stage_display(
             timer, enabled=show_live_display
         ):
@@ -1678,30 +1743,41 @@ class modelWE:
             # (budget-bounded) caches while the pipeline below does numpy
             # and device work, instead of each stage serializing behind
             # hundreds of small h5py calls. Also serves dimReduce's moment
-            # pass + the clustering featurization from one read.
+            # pass + the clustering featurization from one read. The finally
+            # guarantees the reader thread stops and its blocks are released
+            # even when a stage raises (otherwise the daemon keeps issuing
+            # h5 reads and pins the read handles close_files exists to free).
             model._dataset.start_prefetch(_max_coord_iter)
-            with timer.stage("Loading coordinates"):
-                model.get_coordSet(_max_coord_iter)
-            with timer.stage("Dimensionality reduction"):
-                model.dimReduce(**step_kwargs.get("dimReduce", {}))
-                timer.set_note(f"method={model.dimReduceMethod}, ndim={model.ndim}")
-            with timer.stage("Clustering"):
-                cluster_kwargs = dict(step_kwargs.get("clustering", {}))
-                if device_pipeline and stratified and cross_validation_groups == 0:
-                    # The flux stage's combined device program materializes
-                    # dtrajs as a byproduct -- skip the standalone
-                    # discretization dispatch+sync here. (With validation
-                    # on, post_cluster_model must snapshot materialized
-                    # dtrajs, so keep the eager path.)
-                    cluster_kwargs.setdefault("defer_discretization", True)
-                model.cluster_coordinates(
-                    n_clusters=n_clusters,
-                    streaming=streaming,
-                    stratified=stratified,
-                    store_validation_model=cross_validation_groups > 0,
-                    **cluster_kwargs,
-                )
-            model._dataset.drop_block_cache()
+            try:
+                with timer.stage("Loading coordinates"):
+                    model.get_coordSet(_max_coord_iter)
+                with timer.stage("Dimensionality reduction"):
+                    model.dimReduce(**step_kwargs.get("dimReduce", {}))
+                    timer.set_note(
+                        f"method={model.dimReduceMethod}, ndim={model.ndim}"
+                    )
+                with timer.stage("Clustering"):
+                    cluster_kwargs = dict(step_kwargs.get("clustering", {}))
+                    if (
+                        device_pipeline
+                        and stratified
+                        and cross_validation_groups == 0
+                    ):
+                        # The flux stage's combined device program materializes
+                        # dtrajs as a byproduct -- skip the standalone
+                        # discretization dispatch+sync here. (With validation
+                        # on, post_cluster_model must snapshot materialized
+                        # dtrajs, so keep the eager path.)
+                        cluster_kwargs.setdefault("defer_discretization", True)
+                    model.cluster_coordinates(
+                        n_clusters=n_clusters,
+                        streaming=streaming,
+                        stratified=stratified,
+                        store_validation_model=cross_validation_groups > 0,
+                        **cluster_kwargs,
+                    )
+            finally:
+                model._dataset.drop_block_cache()
             _fm_iters = list(fluxmatrix_iters)
             if _fm_iters[1] == -1:
                 _fm_iters[1] = model.maxIter
@@ -1739,14 +1815,6 @@ class modelWE:
                         log.error(e)
                         if not allow_validation_failure:
                             raise
-
-        log.info("\n" + timer.report())
-        # Release cached read handles: WESTPA reopens the same west.h5
-        # read-write after the plugin builds a model, and an in-process 'r'
-        # handle makes that reopen fail (HDF5 flag conflict). Later model
-        # reads lazily reopen.
-        model.close_files()
-        return model
 
     def close_files(self):
         """Close any cached read-only h5 handles (they reopen lazily on the

@@ -59,6 +59,16 @@ def _write_shards(problem, n_procs, workdir):
     return paths, bank_path
 
 
+def _model_parallel(local_devices):
+    """Model-axis size for a dryrun worker's mesh, from its per-process
+    device count. Single source of truth: every job in a comparison
+    (multi-process AND the single-process reference) must receive the SAME
+    value -- deriving it independently per job diverges for odd
+    per-process device counts (2 procs x 3 devices -> (6,1) vs the
+    reference's 6 devices -> (3,2)), breaking the bitwise-mesh premise."""
+    return 2 if local_devices % 2 == 0 else 1
+
+
 def run_worker(
     rank,
     n_procs,
@@ -67,6 +77,7 @@ def run_worker(
     bank_path,
     out_path,
     local_devices=2,
+    model_parallel=None,
 ):
     """Per-process worker: init jax.distributed, ingest own shard, run the
     sharded step, write the (replicated) flux matrix from process 0."""
@@ -107,7 +118,8 @@ def run_worker(
     # data row (e.g. 2 procs x 1 device -> mesh (1, 2)), where
     # make_array_from_process_local_data requires every process to hold
     # every row -- a contract violation that crashes
-    model_parallel = 2 if local_devices % 2 == 0 else 1
+    if model_parallel is None:
+        model_parallel = _model_parallel(local_devices)
     mesh = make_mesh(jax.devices(), model_parallel=model_parallel)
     data_sharding = NamedSharding(mesh, P("data"))
     model_sharding = NamedSharding(mesh, P("model"))
@@ -143,16 +155,23 @@ def run_worker(
 
 
 def _worker_main():
-    (rank, n_procs, coordinator, shard, bank, out, local_devices) = sys.argv[1:8]
+    (
+        rank, n_procs, coordinator, shard, bank, out, local_devices,
+        model_parallel,
+    ) = sys.argv[1:9]
     run_worker(
         int(rank), int(n_procs), coordinator, shard, bank, out,
         local_devices=int(local_devices),
+        model_parallel=int(model_parallel),
     )
 
 
-def _run_job(problem, n_procs, local_devices, port, timeout):
+def _run_job(problem, n_procs, local_devices, port, timeout,
+             model_parallel=None):
     """Write shards, spawn ``n_procs`` worker processes, return the flux
     matrix written by rank 0."""
+    if model_parallel is None:
+        model_parallel = _model_parallel(local_devices)
     with tempfile.TemporaryDirectory(prefix="msm_we_tpu_dist_") as workdir:
         shards, bank_path = _write_shards(problem, n_procs, workdir)
         out_path = os.path.join(workdir, "fm.npy")
@@ -166,6 +185,7 @@ def _run_job(problem, n_procs, local_devices, port, timeout):
                 sys.executable, "-m", "msm_we_tpu.parallel.distributed",
                 str(rank), str(n_procs), f"localhost:{port}",
                 shards[rank], bank_path, out_path, str(local_devices),
+                str(model_parallel),
             ]
             procs.append(
                 subprocess.Popen(
@@ -210,7 +230,7 @@ _PORT_RACE_MARKERS = (
 
 
 def _run_job_retrying(problem, n_procs, local_devices, port, timeout,
-                      attempts=3):
+                      attempts=3, model_parallel=None):
     """Run a job, retrying with a fresh ephemeral port ONLY when the
     failure looks like a coordinator bind/connect race (a concurrent
     process stole the picked port between _free_port() and the workers'
@@ -219,7 +239,8 @@ def _run_job_retrying(problem, n_procs, local_devices, port, timeout,
     for attempt in range(attempts):
         use_port = port if (port is not None and attempt == 0) else _free_port()
         try:
-            return _run_job(problem, n_procs, local_devices, use_port, timeout)
+            return _run_job(problem, n_procs, local_devices, use_port, timeout,
+                            model_parallel=model_parallel)
         except RuntimeError as e:
             text = str(e).lower()
             is_port_race = any(m in text for m in _PORT_RACE_MARKERS)
@@ -246,8 +267,11 @@ def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300,
     from ..testing import pad_stratified_problem, tiny_stratified_problem
 
     n_global = n_procs * local_devices
+    # One derivation for every job in the comparison: the single-process
+    # reference holds n_global devices but must build the SAME (data, model)
+    # mesh shape as the multi-process workers (see _model_parallel)
+    model_parallel = _model_parallel(local_devices)
     if awkward:
-        model_parallel = 2 if local_devices % 2 == 0 else 1
         data_size = n_global // model_parallel
         n_bins = model_parallel + 1  # does not divide the model axis
         raw_rows = 16 * data_size + 7  # ragged final shard before padding
@@ -264,10 +288,12 @@ def launch_local_dryrun(n_procs=2, local_devices=2, port=None, timeout=300,
         problem = tiny_stratified_problem(n_rows=32 * n_global, seed=3)
 
     fm_multi = _run_job_retrying(
-        problem, n_procs, local_devices, port, timeout
+        problem, n_procs, local_devices, port, timeout,
+        model_parallel=model_parallel,
     )
     fm_single = _run_job_retrying(
-        problem, 1, n_global, port + 1 if port is not None else None, timeout
+        problem, 1, n_global, port + 1 if port is not None else None, timeout,
+        model_parallel=model_parallel,
     )
 
     np.testing.assert_array_equal(fm_multi, fm_single)

@@ -16,6 +16,7 @@ Used by ``tests/test_ntl9_cleaning_acceptance.py`` -- the real-data
 hard part 5).
 """
 import importlib
+import importlib.util
 import os
 import pickle
 import sys
@@ -40,6 +41,23 @@ def _stub_module(name, **attrs):
     return m
 
 
+def _missing(name):
+    """True when ``name`` is neither imported nor installed.
+
+    Stubs must only fill genuine absences: registering a stub for a
+    package that *is* installed but merely not yet imported would shadow
+    the real package for every later test in the session (e.g. the
+    TICA/VAMP deeptime cross-check silently downgrading to its local
+    oracle because ``sys.modules['deeptime']`` is our TICA=object stub).
+    """
+    if name in sys.modules:
+        return False
+    try:
+        return importlib.util.find_spec(name) is None
+    except (ImportError, ValueError):
+        return True
+
+
 def _install_reference_package():
     """Register the reference tree as importable ``msm_we`` with stubbed
     third-party leaves (same machinery as test_reference_differential)."""
@@ -56,9 +74,9 @@ def _install_reference_package():
             sput = _stub_module("scipy.sparse.sputils")
     if not hasattr(sput, "isdense"):
         sput.isdense = lambda m: isinstance(m, np.ndarray)
-    if "mdtraj" not in sys.modules:
+    if _missing("mdtraj"):
         _stub_module("mdtraj", load=lambda *a, **k: None)
-    if "ray" not in sys.modules:
+    if _missing("ray"):
         _stub_module(
             "ray",
             remote=lambda f=None, **k: (f if f is not None else (lambda g: g)),
@@ -67,7 +85,7 @@ def _install_reference_package():
             init=lambda *a, **k: None,
             is_initialized=lambda: False,
         )
-    if "westpa" not in sys.modules:
+    if _missing("westpa"):
         class _RectMapper:
             def __init__(self, *a, **k):
                 pass
@@ -90,12 +108,12 @@ def _install_reference_package():
             FuncBinMapper=_FuncMapper,
         )
         west.analysis, west.core, wc.binning = wa, wc, wb
-    if "deeptime" not in sys.modules:
+    if _missing("deeptime"):
         dt = _stub_module("deeptime")
         dt.decomposition = _stub_module(
             "deeptime.decomposition", TICA=object, VAMP=object
         )
-    if "pyemma" not in sys.modules:
+    if _missing("pyemma"):
         _stub_module("pyemma")
     importlib.import_module("msm_we.msm_we")
     importlib.import_module("msm_we.stratified_clustering")
