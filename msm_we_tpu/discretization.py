@@ -128,25 +128,48 @@ def sharded_pair_discretize(model, strat, parent_bins, child_bins):
             centersC, center_binC, validC,
         )
         try:
-            # Start the id download streaming while the host scores the
+            # Start the id download streaming while the host prepares the
             # disagreeing rows below: the blocking asarray then finds the
             # bytes already (mostly) landed instead of paying the full
-            # device-execute + tunnel-transfer wait serially after predict
+            # device-execute + tunnel-transfer wait serially afterwards
             cid_dev.copy_to_host_async()
         except Exception:
             pass
-        direct_ids = None
-        if len(direct):
-            direct_ids = strat.predict(
-                _feat_parent_rows(feats, direct),
-                parent_bins[direct],  # raw bins: predict remaps
-                is_basis=basis_p[direct],
-                is_target=target_p[direct],
+        direct_dev = None
+        n2 = len(direct)
+        if n2:
+            # Score the fallback/disagreeing parent rows with the SAME
+            # device program in a second small async dispatch (chaining on
+            # the device-resident bank). Routing them through host
+            # strat.predict here forced a _sync_host that blocked on the
+            # whole fill-scan chain mid-stage (~45 ms of a warm 100k build
+            # through the remote tunnel); device scoring is
+            # bitwise-identical to host predict (pinned by
+            # tests/test_coverage_round3.py), so this only removes a
+            # blocking round trip. Rows pad to the pow2/data-multiple
+            # grid so recurring builds reuse a logarithmic set of
+            # compiled shapes.
+            n2_pad = 1 << max(0, n2 - 1).bit_length()
+            n2_pad = -(-n2_pad // data_size) * data_size
+            Xd = np.zeros((n2_pad, fc_dev.shape[1]), np.float32)
+            Xd[:n2] = _feat_parent_rows(feats, direct)
+            bd = np.full(n2_pad, -1, np.int32)
+            bd[:n2] = pbins[direct]
+            basis_d = np.zeros(n2_pad, bool)
+            basis_d[:n2] = basis_p[direct]
+            target_d = np.zeros(n2_pad, bool)
+            target_d[:n2] = target_p[direct]
+            direct_dev = assign1(
+                Xd, bd, basis_d, target_d, centersC, center_binC, validC
             )
+            try:
+                direct_dev.copy_to_host_async()
+            except Exception:
+                pass
         cid = np.asarray(cid_dev)[:N].astype(np.int32)
         pid = cid[s]  # fancy indexing: already a fresh array
-        if direct_ids is not None:
-            pid[direct] = direct_ids
+        if direct_dev is not None:
+            pid[direct] = np.asarray(direct_dev)[:n2].astype(np.int32)
         return np.ascontiguousarray(pid), cid
 
     assign = build_sharded_pair_assign(
