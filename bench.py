@@ -328,10 +328,13 @@ def baseline_per_frame_seconds(p, sample=2000):
     return (elapsed + feat_time) / sample * n * 2
 
 
-def run_end_to_end():
+def run_end_to_end(n_warm=5):
     """h5 -> JtargetSS via build_analyze_model(device_pipeline=True) on a
-    100k-segment dataset (the north-star shape). Returns the warm-compile
-    wall-clock and the per-stage breakdown of the warm run."""
+    100k-segment dataset (the north-star shape). Runs ``n_warm`` warm
+    builds after one compile run and returns (summary, JtargetSS):
+    summary carries min/median/max wall-clock and per-stage medians --
+    single warm measurements through the remote tunnel historically swung
+    1.1-2.9 s under transient congestion (docs/performance.md)."""
     from msm_we_tpu.binning import RectilinearBinMapper
     from msm_we_tpu.data import generate_west_h5
     from msm_we_tpu.model import modelWE
@@ -387,83 +390,200 @@ def run_end_to_end():
         return time.perf_counter() - t0, model
 
     _cold, _m = build()  # compiles
-    # Two warm builds, report the better: single warm measurements through
-    # the remote tunnel swing 1.1-2.9 s with transient congestion (isolated
-    # profiles confirm the fast number is the real steady-state cost)
-    warm_a, model_a = build()
-    warm_b, model_b = build()
-    warm_s, model = min((warm_a, model_a), (warm_b, model_b), key=lambda t: t[0])
+    runs = [build() for _ in range(n_warm)]
+    times = sorted(t for t, _m in runs)
+    # Per-stage medians across the warm runs (stage names are identical
+    # across builds -- same pipeline, same config)
+    stage_samples = {}
+    for _t, m in runs:
+        for name, secs, _note in m.stage_timings.stages:
+            stage_samples.setdefault(name, []).append(secs)
     stages = {
-        name: round(secs, 3) for name, secs, _note in model.stage_timings.stages
+        name: round(float(np.median(v)), 3) for name, v in stage_samples.items()
     }
-    return warm_s, stages, float(model.JtargetSS)
+    summary = {
+        "end_to_end_s": round(times[0], 2),  # min: steady-state cost
+        "end_to_end_median_s": round(float(np.median(times)), 2),
+        "end_to_end_max_s": round(times[-1], 2),
+        "end_to_end_n_warm": n_warm,
+        "end_to_end_stages_median": stages,
+    }
+    return summary, float(runs[0][1].JtargetSS)
 
 
+# The probe writes progress lines to a file (not a pipe): on timeout the
+# parent still sees how far it got -- "no output" (import/init hang) vs
+# "platform=tpu reached, exec hung" are different failure modes and the
+# attempt log records which one happened.
 _PROBE_SNIPPET = """
-import numpy as np
+import sys, time
+t0 = time.time()
+log = open(sys.argv[1], "w")
+def mark(s):
+    log.write(f"{s} t={time.time()-t0:.1f}\\n"); log.flush()
+mark("start")
 import jax
+mark("import_done")
+d = jax.devices()[0]
+mark(f"platform={d.platform}")
+import numpy as np
 x = jax.device_put(np.ones((8, 8), np.float32))
 np.asarray(jax.jit(lambda a: a + 1.0)(x))
-print(jax.default_backend())
+mark("exec_ok")
+mark(f"backend={jax.default_backend()}")
 """
 
 
-def _device_reachable(timeout=240):
-    """Probe the default backend in a killable subprocess.
+def _read_marks(log_path):
+    try:
+        with open(log_path) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return []
 
-    The remote-tunnel backend can hang indefinitely on init when the far
-    side is down; a hung bench leaves the driver with no artifact at all,
-    while a CPU-fallback run still records a well-formed (clearly flagged)
-    JSON line. Returns the backend name, or None if unreachable.
+
+def _probe_once(timeout, exec_timeout=None):
+    """One killable-subprocess probe of the default backend.
+
+    Two-stage deadline: the device LISTING is near-instant when the tunnel
+    is up (measured 0.1 s), but the first jitted EXEC pays tunnel handshake
+    + remote compile (measured 275 s for a trivial kernel). So ``timeout``
+    bounds reaching the ``platform=`` mark; once the probe reports an
+    accelerator platform, the deadline extends to ``exec_timeout`` -- slow
+    progress is not a hang. Returns (backend_or_None, attempt_record).
+
+    The remote-tunnel backend can also hang indefinitely on init when the
+    far side is down; a hung bench leaves the driver with no artifact at
+    all, while a CPU-fallback run still records a well-formed (clearly
+    flagged) JSON line.
     """
     import signal
     import subprocess
     import sys
+    import tempfile
 
+    if exec_timeout is None:
+        exec_timeout = max(timeout, 60)
+    with tempfile.NamedTemporaryFile(
+        mode="r", suffix=".probelog", delete=False
+    ) as tf:
+        log_path = tf.name
+    t0 = time.perf_counter()
     # Popen + killpg rather than subprocess.run: run() only kills the
-    # direct child on timeout and then blocks in communicate() until pipe
-    # EOF, so a hung grandchild (backend helper holding inherited stdout)
-    # would wedge the bench anyway. A fresh session lets us kill the whole
-    # tree.
+    # direct child on timeout and would then block until pipe EOF, so a
+    # hung grandchild (backend helper holding inherited fds) would wedge
+    # the bench anyway. A fresh session lets us kill the whole tree.
     proc = subprocess.Popen(
-        [sys.executable, "-c", _PROBE_SNIPPET],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        [sys.executable, "-c", _PROBE_SNIPPET, log_path],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
         start_new_session=True,
     )
+    deadline = t0 + timeout
+    extended = False
+    timed_out = False
+    while proc.poll() is None:
+        if not extended:
+            for m in _read_marks(log_path):
+                if m.startswith("platform=") and not m.startswith("platform=cpu"):
+                    deadline = t0 + exec_timeout
+                    extended = True
+                    break
+        if time.perf_counter() >= deadline:
+            timed_out = True
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except Exception:
+                proc.kill()
+            break
+        time.sleep(min(0.25, max(deadline - time.perf_counter(), 0.01)))
     try:
-        stdout, _ = proc.communicate(timeout=timeout)
-    except subprocess.TimeoutExpired:
-        try:
-            os.killpg(proc.pid, signal.SIGKILL)
-        except Exception:
-            proc.kill()
-        try:
-            proc.communicate(timeout=10)
-        except Exception:
-            pass
-        return None
-    if proc.returncode == 0:
-        lines = stdout.decode().strip().splitlines()
-        if lines:
-            return lines[-1]
-    return None
+        _, stderr = proc.communicate(timeout=10)
+    except Exception:
+        stderr = b""
+    duration = time.perf_counter() - t0
+    marks = _read_marks(log_path)
+    try:
+        os.unlink(log_path)
+    except OSError:
+        pass
+    progress = marks[-1] if marks else "no output"
+    rec = {
+        "duration_s": round(duration, 1),
+        "progress": progress,
+        "deadline_extended": extended,
+    }
+    if timed_out:
+        rec["outcome"] = "timeout"
+        return None, rec
+    if proc.returncode != 0:
+        rec["outcome"] = f"exit {proc.returncode}"
+        rec["stderr_tail"] = stderr.decode(errors="replace").strip()[-300:]
+        return None, rec
+    backend = None
+    for m in marks:
+        if m.startswith("backend="):
+            backend = m.split("=", 1)[1].split()[0]
+    rec["outcome"] = f"ok:{backend}"
+    return backend, rec
+
+
+def _device_reachable():
+    """Probe the default backend, retrying across tunnel flaps.
+
+    The round-4 postmortem (VERDICT.md weak #1): the tunnel flaps between
+    <90 s init and >9 min hangs within a single hour, and a single 240 s
+    probe attempt turned the whole round's evidence into a CPU artifact.
+    Up to ``MSM_WE_TPU_BENCH_PROBE_ATTEMPTS`` (default 5) attempts with
+    escalating sleeps (~18 min worst-case window) before giving up.
+
+    Returns (backend_or_None, attempt_log).
+    """
+    import sys
+
+    attempts = int(os.environ.get("MSM_WE_TPU_BENCH_PROBE_ATTEMPTS", "5"))
+    timeout = float(os.environ.get("MSM_WE_TPU_BENCH_PROBE_TIMEOUT", "120"))
+    # First-exec over the tunnel measured 275 s healthy and >600 s under
+    # remote-compile contention; 900 s covers both while still bounding a
+    # genuinely hung exec
+    exec_timeout = float(
+        os.environ.get("MSM_WE_TPU_BENCH_PROBE_EXEC_TIMEOUT", "900")
+    )
+    budget = float(os.environ.get("MSM_WE_TPU_BENCH_PROBE_BUDGET", "2400"))
+    sleeps = [15, 30, 60, 90, 120]
+    log = []
+    t_start = time.perf_counter()
+    for i in range(max(attempts, 1)):
+        backend, rec = _probe_once(timeout, exec_timeout)
+        rec["attempt"] = i + 1
+        log.append(rec)
+        print(
+            f"probe attempt {i + 1}/{attempts}: {rec['outcome']} "
+            f"({rec['duration_s']} s, {rec['progress']})",
+            file=sys.stderr, flush=True,
+        )
+        if backend is not None:
+            return backend, log
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget:
+            log.append({"outcome": f"probe budget exhausted ({budget} s)"})
+            break
+        if i < attempts - 1:
+            time.sleep(sleeps[min(i, len(sleeps) - 1)])
+    return None, log
 
 
 def main():
     import sys
 
-    probed = _device_reachable()
+    probed, probe_log = _device_reachable()
     device_fallback = None
     if probed is None:
         device_fallback = (
-            "default backend unreachable (init probe timed out or failed); "
-            "measured on CPU fallback"
+            "default backend unreachable (all init probe attempts timed "
+            "out or failed -- see probe_attempts); measured on CPU fallback"
         )
         os.environ["JAX_PLATFORMS"] = "cpu"
     elif probed == "cpu":
-        # No accelerator at all: the full 102k x 900 problem takes minutes
-        # per step on host CPU -- same degraded-measurement case as an
-        # unreachable backend, and the JSON must say so
         device_fallback = "no accelerator backend; measured on CPU"
 
     import jax
@@ -476,14 +596,14 @@ def main():
         # stderr: stdout carries exactly one JSON line (module contract)
         print(f"WARNING: {device_fallback}", file=sys.stderr, flush=True)
 
-    # Fallback mode shrinks the hot-step problem: the full 102k x 900
-    # shapes at Precision.HIGHEST take minutes per step on host CPU
-    p = (
-        make_problem(n_segments=8192, n_raw_features=180)
-        if device_fallback
-        else make_problem()
-    )
+    # The problem keeps the full TPU shape even on CPU fallback (round-4
+    # lesson: shrinking n_segments 102k -> 8k made `value` non-comparable
+    # across rounds). Fallback instead cuts repetitions: fewer in-jit steps
+    # and fewer trials, so the measurement stays O(minutes) on host CPU.
+    p = make_problem()
     n_segments = len(p["raw_parent"])
+    n_trials = 7 if not device_fallback else 2
+    n_warm_e2e = 5 if not device_fallback else 3
 
     # Timing methodology (round-3 correction): on a remote-tunnel backend,
     # `block_until_ready` returns without waiting (measured: 30 fused steps
@@ -494,7 +614,7 @@ def main():
     # so XLA cannot collapse the loop), force completion by materializing
     # the output (np.asarray round-trips the result buffer), and subtract
     # the same-shaped no-op dispatch+transfer baseline measured separately.
-    inner_reps = 25
+    inner_reps = 25 if not device_fallback else 2
 
     @jax.jit
     def _noop(fmp):
@@ -516,7 +636,7 @@ def main():
         # few percent across sessions where the min over 3 swung the
         # recorded SoL fractions (0.37 vs 0.32 for the dedup tier)
         times = []
-        for _ in range(7):
+        for _ in range(n_trials):
             t0 = time.perf_counter()
             out = step(*args)
             np.asarray(out[0])
@@ -576,7 +696,8 @@ def main():
         sol_fraction = None
         bound = None
 
-    end_to_end_s, stages, j_e2e = run_end_to_end()
+    e2e, j_e2e = run_end_to_end(n_warm=n_warm_e2e)
+    end_to_end_s = e2e["end_to_end_s"]
 
     result = {
         "metric": "PCA-transform + stratified-assign + fluxmatrix + steady-state throughput",
@@ -602,12 +723,12 @@ def main():
         "pct_peak": round(pct_peak, 2) if pct_peak is not None else None,
         "sol_fraction": round(sol_fraction, 3) if sol_fraction is not None else None,
         "roofline_bound": bound,
-        "end_to_end_s": round(end_to_end_s, 2),
-        "end_to_end_stages": stages,
+        **e2e,
         "end_to_end_JtargetSS": j_e2e,
         "north_star_met": bool(end_to_end_s < 10.0),
         "backend": jax.default_backend(),
         "device_fallback": device_fallback,
+        "probe_attempts": probe_log,
         "JtargetSS": float(flux),
         "ss_residual": float(ss_residual),
     }

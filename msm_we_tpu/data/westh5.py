@@ -230,13 +230,27 @@ class WEDataset:
                             # remaining iterations -- the consumer streams
                             # such blocks itself, as before the cache existed
                             continue
+                        skip = False
                         while not stop.is_set():
                             with self._io_lock:
                                 if self._block_cache is None:
                                     return
+                                # Re-check the key while waiting: the
+                                # consumer may have read it directly (or
+                                # consumed it) in the meantime -- keep
+                                # moving rather than spinning on a block
+                                # nobody needs anymore
+                                if (
+                                    key in self._block_cache
+                                    or key in self._block_consumed
+                                ):
+                                    skip = True
+                                    break
                                 if self._block_used + est <= self._block_budget:
                                     break
                             time.sleep(0.002)
+                        if skip:
+                            continue
                         if stop.is_set():
                             return
                         block = self._read_frame_block(i, f)
@@ -304,21 +318,25 @@ class WEDataset:
 
     def _aux_full(self, file_idx, n_iter):
         """Full-extent read of one iteration's ``auxdata/<auxpath>`` block
-        through the low-level API (dtype memoized per file)."""
+        through the low-level API.
+
+        The read dtype is the one resolved for THIS (file, iteration) at
+        ``_aux_dset`` cache-insert time -- a per-file memo would silently
+        down-convert later iterations written with a wider dtype (f64 after
+        f32, the mixed-dtype case ``_read_frame_block``'s multi-file path
+        explicitly promotes for)."""
         dset = self._aux_dset(file_idx, n_iter)
-        itemsize = getattr(self, "_coord_itemsize", None)
-        dtype = getattr(self, "_aux_dtype_memo", {}).get(file_idx)
-        if dtype is None:
+        dtype = getattr(self, "_aux_dtype_memo", {}).get((file_idx, n_iter))
+        if dtype is None:  # dset predates the memo (e.g. legacy pickle)
             dtype = dset.dtype
-            if not hasattr(self, "_aux_dtype_memo"):
-                self._aux_dtype_memo = {}
-            self._aux_dtype_memo[file_idx] = dtype
-            if itemsize is None:
-                self._coord_itemsize = int(dtype.itemsize)
         return _ll_read_full(dset.id, dtype)
 
     def _aux_dset(self, file_idx, n_iter):
-        """Cached ``auxdata/<auxpath>`` Dataset for one (file, iteration)."""
+        """Cached ``auxdata/<auxpath>`` Dataset for one (file, iteration).
+
+        The numpy dtype is resolved once here, at insert time (reconstructing
+        it from HDF5 type metadata costs ~0.12 ms per call), keyed by the
+        same (file, iteration) pair so mixed-dtype files stay exact."""
         key = (file_idx, n_iter)
         with self._io_lock:
             dset = self._dset_cache.get(key)
@@ -330,6 +348,11 @@ class WEDataset:
                     "Augmented coords need at least start & end frames"
                 )
                 self._dset_cache[key] = dset
+                if not hasattr(self, "_aux_dtype_memo"):
+                    self._aux_dtype_memo = {}
+                self._aux_dtype_memo[key] = dset.dtype
+                if getattr(self, "_coord_itemsize", None) is None:
+                    self._coord_itemsize = int(dset.dtype.itemsize)
             return dset
 
     def __getstate__(self):
@@ -678,7 +701,7 @@ class WEDataset:
             start_pcoord=start_pcoord, warped=warped, anc=anc,
         )
 
-    def _iter_frame_block(self, n_iter, frame, consume=False):
+    def _iter_frame_block(self, n_iter, frame, consume=False, transient=False):
         """One frame's coordinates for every segment of an iteration (NaN
         kept), reading only that frame from ``auxdata`` -- half the I/O of
         :meth:`iter_coord_pairs` when only one endpoint is needed.
@@ -688,7 +711,16 @@ class WEDataset:
         Cached blocks are shared read-only views of the same array; a caller
         that will mutate the block in place must pass ``consume=True``, which
         takes the entry out of the cache (ownership transfer) -- and never
-        stores its own read."""
+        stores its own read.
+
+        ``transient=True`` is for callers that only *gather-copy* from the
+        block (``iter_frame_subset``, continuity checks): a miss is read
+        WITHOUT storing (continuity touches frame 0 of every usable
+        iteration; caching those filled the budget with blocks the
+        featurizer never consumes, starving phase-2 prefetch), and a hit is
+        returned WITHOUT the ``_block_shared`` mark (fancy indexing copies,
+        so a later ``consume=True`` owner may still mutate the original).
+        """
         key = (n_iter, frame)
         with self._io_lock:
             cache = getattr(self, "_block_cache", None)
@@ -704,7 +736,8 @@ class WEDataset:
                         block = block.copy()
                 else:
                     block = cache[key]
-                    self._block_shared.add(key)
+                    if not transient:
+                        self._block_shared.add(key)
                 return block
             if consume and cache is not None:
                 # Mark before reading: the prefetch thread must not re-read
@@ -716,6 +749,7 @@ class WEDataset:
             if (
                 cache is not None
                 and not consume
+                and not transient
                 and key not in cache
                 and self._block_used + block.nbytes <= self._block_budget
             ):
@@ -782,8 +816,9 @@ class WEDataset:
             cached = cache is not None and key in cache
         if cached or self._block_nbytes_estimate() <= 32 << 20:
             # Fancy indexing copies, so mutating the result never reaches
-            # the (shared) cached block
-            return self._iter_frame_block(n_iter, frame)[rows]
+            # the (shared) cached block; transient: don't pollute the block
+            # cache with frame-0 blocks the featurizer never consumes
+            return self._iter_frame_block(n_iter, frame, transient=True)[rows]
         n_atoms, coord_ndim = self.n_atoms_coord_ndim()
         out = np.full((len(rows), n_atoms, coord_ndim), np.nan)
         for file_idx, _n in self._iter_index[n_iter]:

@@ -450,7 +450,14 @@ def build_sharded_single_assign(mesh, n_states, n_bins=None):
     2N and downloads half the bytes. The scoring call is the same
     ``_local_masked_min`` at the same (N_pad, K_pad) shapes as the pair
     program's child set, so the ids are bitwise-identical to that
-    program's child column.
+    program's child column. The fast path also reuses this builder at
+    smaller padded row shapes for the disagreeing-row dispatch; id
+    equality with host ``strat.predict`` across several such shapes is
+    pinned by ``tests/test_round5_regressions.py`` (synthetic data keeps
+    distances well-separated, so tile-order tie-breaks do not bite; a
+    pathological exact-tie dataset could still diverge between shapes,
+    matching sklearn's own tie behavior being undefined across BLAS
+    builds).
     """
     model_size = mesh.shape["model"]
 

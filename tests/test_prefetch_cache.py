@@ -199,3 +199,80 @@ def test_build_with_zero_budget_matches_default(h5path, monkeypatch):
         assert np.array_equal(m_default._features[k], m_tiny._features[k]), k
     assert np.array_equal(m_default.pSS, m_tiny.pSS)
     assert m_default.JtargetSS == m_tiny.JtargetSS
+
+
+def test_subset_reads_are_transient(h5path):
+    """ADVICE r4 (medium): continuity/subset reads must not populate the
+    block cache -- frame-0 blocks cached during check_continuity occupied
+    the 512 MB budget for the whole build (the featurizer never consumes
+    frame 0) and starved phase-2 prefetch."""
+    ds = WEDataset([h5path])
+    ds.enable_block_cache()
+    out = ds.iter_frame_subset(2, [0, 1, 3], 0)
+    assert out.shape[0] == 3
+    assert ds._block_cache == {} and ds._block_used == 0
+
+    # A transient HIT must not mark the block shared (fancy indexing
+    # copies), so a later consume=True owner still gets the original
+    # array without a defensive copy
+    first = np.array(ds._iter_frame_block(2, -1))  # populates the cache
+    assert (2, -1) in ds._block_cache
+    sub = ds.iter_frame_subset(2, [1, 2], -1)
+    sub[:] = -999.0  # mutating the gathered copy never reaches the cache
+    assert np.array_equal(np.asarray(ds._block_cache[(2, -1)]), first)
+    ds.close()
+
+
+def test_continuity_check_leaves_cache_empty(h5path):
+    ds = WEDataset([h5path])
+    ds.enable_block_cache()
+    assert ds._check_continuity_uncached(
+        sample_per_iter=4, full_iters=2, seed=0, last_iter=None
+    ) is True
+    assert ds._block_cache == {} and ds._block_used == 0
+    ds.close()
+
+
+def test_aux_full_respects_per_iteration_dtype(tmp_path):
+    """ADVICE r4 (low): a per-file dtype memo silently down-converted later
+    iterations written with a wider dtype. The full-block low-level read
+    must use each iteration's own on-disk dtype."""
+    import h5py
+
+    src = str(tmp_path / "mixed.h5")
+    generate_west_h5(src, n_iterations=6, n_segments=4, seed=5)
+    # Rewrite iteration 3's auxdata as f64 with values that do not survive
+    # an f32 round-trip
+    with h5py.File(src, "r+") as h5:
+        g = h5["iterations/iter_00000003/auxdata"]
+        name = list(g)[0]
+        data = g[name][:].astype(np.float64)
+        data += 1e-12  # sub-f32-resolution perturbation
+        del g[name]
+        g.create_dataset(name, data=data)
+    ds = WEDataset([src])
+    # Read iteration 1 first so the (old) per-file memo would have locked f32
+    b1 = ds._read_frame_block(1, -1)
+    b3 = ds._aux_full(0, 3)
+    assert b3.dtype == np.float64
+    with h5py.File(src, "r") as h5:
+        raw = h5["iterations/iter_00000003/auxdata/" + name][:]
+    np.testing.assert_array_equal(b3, raw)
+    assert np.isfinite(np.asarray(b1, dtype=np.float64)).any()
+    ds.close()
+
+
+def test_iter_frame_subset_fast_path_matches_selective(h5path, monkeypatch):
+    """VERDICT r4 item 7: the 32 MB-threshold whole-block fast path must
+    return the same rows (as an independent copy) as the row-selective
+    HDF5 read path."""
+    ds = WEDataset([h5path])
+    rows = [3, 0, 3, 7]  # repeats: split walkers share a parent
+    fast = ds.iter_frame_subset(2, rows, -1)
+    # Force the selective path by making every block look > 32 MB
+    monkeypatch.setattr(
+        ds, "_block_nbytes_estimate", lambda: (33 << 20)
+    )
+    selective = ds.iter_frame_subset(2, rows, -1)
+    np.testing.assert_array_equal(fast, selective)
+    ds.close()

@@ -1,0 +1,182 @@
+"""Round-5 regression pins (VERDICT r4 item 7 + ADVICE r4 low items).
+
+1. The dedup fast path in ``sharded_pair_discretize`` scores
+   disagreeing/fallback parent rows with a SECOND device dispatch at a
+   padded row shape ``n2_pad`` that differs from the main (N_pad, K_pad)
+   program shape. ADVICE r4: the bitwise-identity-to-``strat.predict``
+   guarantee was only ever exercised at one shape. These tests force
+   non-empty direct sets of several sizes (several distinct ``n2_pad``
+   programs) and pin the device-scored fallback rows against host
+   ``strat.predict`` on every row.
+
+Reference behavior being preserved: ``StratifiedClusters.predict``
+(``stratified_clustering.py:152-203``) -- every parent row gets the same
+cluster id regardless of which dispatch scored it.
+"""
+import numpy as np
+import pytest
+
+from msm_we_tpu.binning import RectilinearBinMapper
+from msm_we_tpu.data import generate_west_h5
+from msm_we_tpu.model import modelWE
+
+
+@pytest.fixture(scope="module")
+def mesh_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("r5") / "west.h5"
+    generate_west_h5(str(path), n_iterations=60, n_segments=100, seed=11)
+    model = modelWE()
+    model.initialize(
+        [str(path)],
+        {"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        "synth",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dim_reduce_method="pca",
+        tau=1.0,
+        _suppress_boundary_warning=True,
+    )
+    import jax
+
+    from msm_we_tpu.parallel import make_mesh
+
+    model.enable_mesh(make_mesh(jax.devices()[:4]))
+    model.get_iterations()
+    model.get_coordSet(model.maxIter)
+    model.dimReduce()
+    model.cluster_coordinates(
+        n_clusters=3, stratified=True,
+        user_bin_mapper=RectilinearBinMapper([np.linspace(0, 10, 11)]),
+    )
+    return model
+
+
+def _host_oracle(model, feats, parent_bins, child_bins):
+    masks = model._pc_masks()
+    return model._strat.predict(
+        np.concatenate([feats["parent"], feats["child"]]),
+        np.concatenate([parent_bins, child_bins]),
+        is_basis=np.concatenate([masks["basis_p"], masks["basis_c"]]),
+        is_target=np.concatenate([masks["target_p"], masks["target_c"]]),
+    )
+
+
+@pytest.mark.parametrize("n_forced", [1, 5, 37, 130])
+def test_fast_path_fallback_rows_match_host_predict(
+    mesh_model, n_forced, monkeypatch
+):
+    """Force ``n_forced`` extra disagreeing rows into the fast path's
+    direct set (several distinct padded dispatch shapes) and require the
+    final ids to equal host ``strat.predict`` row-for-row."""
+    model = mesh_model
+    strat = model._strat
+    feats = model._featurize_all()
+    parent_bins, child_bins = model._raw_we_bins()
+    n = len(parent_bins)
+
+    # Materialize the parent features FIRST: parent_rows() then serves the
+    # true array independent of the recipe, so perturbing the recipe below
+    # only affects the agree/disagree routing, not the features scored
+    _ = feats["parent"]
+    src = feats._parent_src
+    assert src is not None, "dedup recipe must be active for the fast path"
+
+    pbins = strat.we_remap[parent_bins].astype(np.int32)
+    cbins = strat.we_remap[child_bins].astype(np.int32)
+
+    rng = np.random.default_rng(n_forced)
+    forced = rng.choice(n, size=n_forced, replace=False)
+    src_mod = src.copy()
+    for i in forced:
+        # Redirect the recipe to a child row in a DIFFERENT WE bin: the
+        # metadata check then routes row i through the direct dispatch
+        j = int(np.flatnonzero(cbins != pbins[i])[0])
+        src_mod[i] = j
+
+    import msm_we_tpu.parallel.sharded as sharded_mod
+
+    real_builder = sharded_mod.build_sharded_single_assign
+    calls = []
+
+    def counting_builder(*a, **kw):
+        fn = real_builder(*a, **kw)
+
+        def wrapped(*args):
+            calls.append(int(args[0].shape[0]))
+            return fn(*args)
+
+        return wrapped
+
+    monkeypatch.setattr(
+        sharded_mod, "build_sharded_single_assign", counting_builder
+    )
+    orig_src = feats._parent_src
+    try:
+        feats._parent_src = src_mod
+        pidx, cidx = model._sharded_pair_discretize(
+            strat, parent_bins, child_bins
+        )
+    finally:
+        feats._parent_src = orig_src
+
+    # The fast path ran: one full-N child dispatch + one padded direct
+    # dispatch whose row count covers the forced set
+    assert len(calls) == 2, calls
+    assert calls[1] >= n_forced
+    assert calls[1] < calls[0]
+
+    both = _host_oracle(model, feats, parent_bins, child_bins)
+    np.testing.assert_array_equal(cidx, both[n:])
+    np.testing.assert_array_equal(pidx, both[:n])
+    # And specifically the forced rows were device-scored, not gathered
+    np.testing.assert_array_equal(pidx[forced], both[:n][forced])
+
+
+def test_fast_path_distinct_pad_shapes(mesh_model, monkeypatch):
+    """The direct-dispatch row pad is a pow2/data-multiple grid; different
+    direct-set sizes must produce different padded shapes (this is what
+    makes the multi-shape parity above meaningful)."""
+    model = mesh_model
+    feats = model._featurize_all()
+    _ = feats["parent"]
+    src = feats._parent_src
+    strat = model._strat
+    parent_bins, child_bins = model._raw_we_bins()
+    pbins = strat.we_remap[parent_bins].astype(np.int32)
+    cbins = strat.we_remap[child_bins].astype(np.int32)
+
+    import msm_we_tpu.parallel.sharded as sharded_mod
+
+    real_builder = sharded_mod.build_sharded_single_assign
+    shapes = []
+
+    def counting_builder(*a, **kw):
+        fn = real_builder(*a, **kw)
+
+        def wrapped(*args):
+            shapes.append(int(args[0].shape[0]))
+            return fn(*args)
+
+        return wrapped
+
+    monkeypatch.setattr(
+        sharded_mod, "build_sharded_single_assign", counting_builder
+    )
+    seen = set()
+    orig_src = feats._parent_src
+    try:
+        # Sizes chosen so that (natural_direct + forced) lands in different
+        # pow2 pad buckets for any natural direct-set size <= 1022
+        for n_forced in (2, 600):
+            rng = np.random.default_rng(n_forced)
+            forced = rng.choice(len(src), size=n_forced, replace=False)
+            src_mod = src.copy()
+            for i in forced:
+                src_mod[i] = int(np.flatnonzero(cbins != pbins[i])[0])
+            feats._parent_src = src_mod
+            shapes.clear()
+            model._sharded_pair_discretize(strat, parent_bins, child_bins)
+            seen.add(shapes[-1])
+    finally:
+        feats._parent_src = orig_src
+    assert len(seen) == 2, seen

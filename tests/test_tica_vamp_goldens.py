@@ -316,3 +316,50 @@ def test_vamp_cross_check_deeptime(ou_pairs):
         dt_model.singular_values[: len(model.scales_)],
         rtol=1e-8,
     )
+
+
+def test_committed_deeptime_goldens(ou_pairs):
+    """Assert against STATIC goldens generated by the actual deeptime
+    library (``scripts/gen_deeptime_goldens.py``) when they are committed.
+
+    This environment cannot produce them: it has no network egress and
+    ``pip download deeptime`` finds no distribution (attempt recorded in
+    PARITY.md), so until someone runs the generator on a deeptime-equipped
+    machine this test documents the constraint by skipping with that
+    reason. The live cross-check above (deeptime when importable, else the
+    from-the-algorithm oracle) always runs regardless."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "deeptime_ar1.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip(
+            "tests/goldens/deeptime_ar1.npz not committed (deeptime is not "
+            "installable in this environment -- run "
+            "scripts/gen_deeptime_goldens.py on a machine with deeptime)"
+        )
+    g = np.load(path)
+    X0, Xt, _R = ou_pairs
+    assert int(g["fixture_seed"]) == 42 and int(g["n_steps"]) == 200_000
+
+    model = _accumulate(X0, Xt).finalize(method="tica", var_cutoff=1.0)
+    np.testing.assert_allclose(
+        np.sort(np.abs(model.scales_))[::-1],
+        np.sort(np.abs(g["tica_singular_values"]))[::-1][: len(model.scales_)],
+        rtol=1e-8,
+    )
+    ours = model.transform(X0[:500])
+    theirs = g["tica_projection"][:, : ours.shape[1]]
+    for j in range(ours.shape[1]):
+        sign = np.sign(np.dot(ours[:, j], theirs[:, j]) or 1.0)
+        np.testing.assert_allclose(
+            ours[:, j], sign * theirs[:, j], rtol=1e-6, atol=1e-7
+        )
+
+    v = _accumulate(X0, Xt).finalize(method="vamp", var_cutoff=1.0)
+    np.testing.assert_allclose(
+        v.scales_,
+        g["vamp_singular_values"][: len(v.scales_)],
+        rtol=1e-8,
+    )
