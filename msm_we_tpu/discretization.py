@@ -213,6 +213,26 @@ def run_streaming_batches(model, strat, feats, batches, delegated,
     use_weights = model.use_weights_in_clustering
     offsets = feats["offsets"]
 
+    # Stage-internal breakdown (VERDICT r4 item 3: the 10M clustering
+    # stage was a 9.7 s black box). Accumulates wall-clock per region into
+    # ``model._cluster_profile``; cost is a few perf_counter calls. With
+    # MSM_WE_TPU_PROFILE_CLUSTERING=1 each device dispatch is additionally
+    # blocked on (``block_until_ready``) so device time lands in the
+    # region that queued it -- observer-effect mode: it serializes the
+    # overlap the production path exploits, so only use it to attribute.
+    import os
+    import time as _time
+
+    prof = model.__dict__.setdefault("_cluster_profile", {})
+    prof.update(
+        scan_context_s=0.0, scan_dispatch_s=0.0, scan_dispatches=0,
+        scan_rows=0, partial_fit_s=0.0, partial_fits=0, partial_fit_rows=0,
+        classify_s=0.0,
+    )
+    blocking = os.environ.get("MSM_WE_TPU_PROFILE_CLUSTERING", "") == "1"
+    prof["blocking_profile"] = blocking
+    _t0 = _time.perf_counter()
+
     # Scan windows address contiguous row ranges; with a non-ascending
     # iteration list a batch's rows are not contiguous, so keep the
     # per-batch path (user-supplied custom orderings are tiny anyway)
@@ -238,6 +258,7 @@ def run_streaming_batches(model, strat, feats, batches, delegated,
             sim_init[ub[seeds]] = True
         else:
             plan.append(True)
+    prof["classify_s"] = _time.perf_counter() - _t0
 
     scan_ctx = None
 
@@ -250,6 +271,7 @@ def run_streaming_batches(model, strat, feats, batches, delegated,
         nonlocal scan_ctx
         if scan_ctx is not None:
             return scan_ctx
+        _tc = _time.perf_counter()
         import jax
         import jax.numpy as jnp
 
@@ -286,7 +308,14 @@ def run_streaming_batches(model, strat, feats, batches, delegated,
                 if use_weights
                 else None
             )
+        if blocking:
+            import jax as _jax
+
+            _jax.block_until_ready(
+                [a for a in (X_dev, eff_dev, w_dev) if a is not None]
+            )
         scan_ctx = (X_dev, eff_dev, w_dev)
+        prof["scan_context_s"] += _time.perf_counter() - _tc
         return scan_ctx
 
     i = 0
@@ -311,9 +340,15 @@ def run_streaming_batches(model, strat, feats, batches, delegated,
                     ],
                     np.int64,
                 )
+                _td = _time.perf_counter()
                 strat.minibatch_scan_run(
                     X_dev, eff_dev, w_dev, starts, lengths
                 )
+                if blocking:
+                    strat.block_on_bank()
+                prof["scan_dispatch_s"] += _time.perf_counter() - _td
+                prof["scan_dispatches"] += 1
+                prof["scan_rows"] += int(lengths.sum())
                 for b in range(i, j + 1):
                     ub = batches[b][2]
                     all_filled.update(
@@ -322,9 +357,13 @@ def run_streaming_batches(model, strat, feats, batches, delegated,
                 i = j + 1
                 continue
         rows, bins = batches[i][:2]
+        _tp = _time.perf_counter()
         X = feats["child"][rows]
         w = feats["weights"][rows] if use_weights else None
         updated = strat.partial_fit(X, bins, weights=w)
+        prof["partial_fit_s"] += _time.perf_counter() - _tp
+        prof["partial_fits"] += 1
+        prof["partial_fit_rows"] += len(rows)
         all_filled.update(updated)
         i += 1
 

@@ -977,7 +977,15 @@ class modelWE:
         self._raw_bins_cache = None
 
         iters_to_use = self._resolve_iters(iters_to_use, first_cluster_iter)
+        # Stage-internal breakdown (see discretization.run_streaming_batches
+        # for the fill-loop counters; MSM_WE_TPU_PROFILE_CLUSTERING=1 makes
+        # dispatch timings blocking for attribution)
+        import time as _time
+
+        self._cluster_profile = _prof = {}
+        _t0 = _time.perf_counter()
         feats = self._featurize_all()
+        _prof["featurize_s"] = round(_time.perf_counter() - _t0, 4)
 
         strat = StratifiedKmeans(
             n_bins=bin_mapper.nbins,
@@ -1008,18 +1016,23 @@ class modelWE:
 
         # Pass 1: build the batch plan (accumulate iterations until all seen
         # bins are filled; engine: discretization.build_batch_plan)
+        _t0 = _time.perf_counter()
         batches, delegated = _discretization.build_batch_plan(
             bin_mapper, iters_to_use, n_clusters,
             kept_rows_all, kept_bins_all, offsets,
         )
+        _prof["batch_plan_s"] = round(_time.perf_counter() - _t0, 4)
 
+        _t0 = _time.perf_counter()
         self._run_streaming_batches(strat, feats, batches, delegated,
                                     bin_mapper, all_filled, iters_to_use,
                                     scan_small_batches=scan_small_batches)
+        _prof["fill_total_s"] = round(_time.perf_counter() - _t0, 4)
         # The fill loop may leave the bank device-resident; start streaming
         # it to host now so the next host consumer (the discretization
         # fallback rows' predict) finds it already materialized instead of
         # paying two blocking tunnel round trips mid-flux-stage
+        _t0 = _time.perf_counter()
         strat.start_host_sync()
 
         # Never-filled bins delegate to the nearest filled bin
@@ -1030,6 +1043,7 @@ class modelWE:
             remap = find_nearest_bin(bin_mapper, int(ub), sorted(all_filled))
             strat.set_remap(int(ub), remap)
             log.debug(f"Remapped {ub} to {remap}")
+        _prof["sync_remap_s"] = round(_time.perf_counter() - _t0, 4)
 
         self._strat = strat
         if getattr(self, "_mesh", None) is not None:

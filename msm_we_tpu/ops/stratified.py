@@ -229,6 +229,20 @@ class StratifiedKmeans:
             self._dev_state = (jnp.asarray(self.centers), jnp.asarray(self.counts))
         return self._dev_state
 
+    def block_on_bank(self):
+        """Block until the device-resident bank state has finished
+        computing. Profiling helper (MSM_WE_TPU_PROFILE_CLUSTERING=1):
+        attributes async fill-dispatch device time to the dispatch site.
+        Production paths never call this -- they rely on the async
+        overlap."""
+        if self._dev_state is not None:
+            import jax
+
+            try:
+                jax.block_until_ready(self._dev_state)
+            except Exception:  # non-jax arrays under test doubles
+                pass
+
     def _refresh_ids(self):
         """Recompute consecutive global ids after any validity change."""
         counts_per_bin = self.valid.reshape(self.n_bins, self.k).sum(axis=1)

@@ -54,8 +54,16 @@ def main(argv=None):
                     help="warm builds after the compile build")
     ap.add_argument("--block-cache-mb", type=int, default=None,
                     help="override MSM_WE_TPU_BLOCK_CACHE_MB")
+    ap.add_argument("--profile-clustering", action="store_true",
+                    help="blocking per-region clustering breakdown "
+                         "(observer effect: serializes dispatch overlap)")
+    ap.add_argument("--n-bins", type=int, default=12,
+                    help="WE bins for the rectilinear mapper (wide-binning "
+                         "configs: 128+)")
     args = ap.parse_args(argv)
 
+    if args.profile_clustering:
+        os.environ["MSM_WE_TPU_PROFILE_CLUSTERING"] = "1"
     if args.block_cache_mb is not None:
         os.environ["MSM_WE_TPU_BLOCK_CACHE_MB"] = str(args.block_cache_mb)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -83,7 +91,7 @@ def main(argv=None):
         gen_s = round(time.perf_counter() - t0, 1)
 
     def build():
-        mapper = RectilinearBinMapper([np.linspace(0, 10, 13)])
+        mapper = RectilinearBinMapper([np.linspace(0, 10, args.n_bins + 1)])
         model = modelWE()
         t0 = time.perf_counter()
         model.build_analyze_model(
@@ -128,6 +136,12 @@ def main(argv=None):
         "warm_s": warms,
         "warm_best_s": min(warms) if warms else None,
         "stages_last": stages,
+        "n_we_bins": args.n_bins,
+        "n_centers_nominal": args.n_bins * args.n_clusters,
+        "cluster_profile": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in getattr(model, "_cluster_profile", {}).items()
+        },
         "peak_host_rss_gb": round(peak_rss_gb(), 2),
         "block_cache_mb": int(
             os.environ.get("MSM_WE_TPU_BLOCK_CACHE_MB", 512)
