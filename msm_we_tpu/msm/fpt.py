@@ -22,6 +22,57 @@ from ..utils import Interval
 __all__ = ["DirectFPT", "MatrixFPT", "MarkovFPT", "NonMarkovFPT"]
 
 
+def _device_fpt_pdfs(tmatrix, lag_list, ini_state, target):
+    """F-matrix recursion on the accelerator (opt-in ``engine="device"``).
+
+    The recursion ``F(t) = T^step @ (F(t_prev) - diag(F(t_prev)))``
+    (Suarez et al. 2016 Eq. 3; reference ``fpt.py:776-802``) as ONE jitted
+    program: a squaring scan builds the bit basis ``S[j] = T^(2^j)``, then
+    a ``lax.scan`` over lags assembles each step's power from its bits
+    (``max_bits`` masked matmuls per lag -- uniform shape, so one compile
+    serves every lag schedule with the same ``(n, n_lags, max_bits)``) and
+    advances F. At ~1k states the host loop is O(seconds) of sequential
+    f64 GEMMs; on a TPU the same schedule is tens of ms in f32 (the MXU
+    tier -- parity to the f64 host engine is ~1e-5 relative, documented,
+    which is far below the statistical noise of any haMSM-derived
+    distribution). Returns ``(n_ini, n_lags)`` pdf readouts.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    lag_list = np.asarray(lag_list, dtype=np.int64)
+    steps = np.diff(np.concatenate([[0], lag_list]))
+    max_bits = max(max(int(s).bit_length() for s in steps), 1)
+    bits = np.stack(
+        [[(int(s) >> j) & 1 for j in range(max_bits)] for s in steps]
+    ).astype(bool)
+    ini = jnp.asarray(np.asarray(ini_state, dtype=np.int32))
+
+    @jax.jit
+    def run(T, bits_arr):
+        eye = jnp.eye(T.shape[0], dtype=T.dtype)
+
+        def sq(carry, _):
+            return carry @ carry, carry
+
+        _, S = lax.scan(sq, T, None, length=max_bits)  # S[j] = T^(2^j)
+
+        def step_fn(prevF, bit_row):
+            def body(j, M):
+                return jnp.where(bit_row[j], M @ S[j], M)
+
+            M = lax.fori_loop(0, max_bits, body, eye)
+            F = M @ (prevF - jnp.diag(jnp.diag(prevF)))
+            return F, F[ini, target]
+
+        _, pdfs = lax.scan(step_fn, T, bits_arr)
+        return pdfs
+
+    out = run(jnp.asarray(tmatrix, jnp.float32), jnp.asarray(bits))
+    return np.asarray(out).T.astype(np.float64)
+
+
 def _membership(points, state, discrete):
     """Vectorized membership of an array of snapshots in a macrostate.
 
@@ -329,6 +380,7 @@ class MatrixFPT:
         dt=1.0,
         clean_recycling=False,
         logscale=False,
+        engine="host",
     ):
         """Distribution of first-passage times from a transition matrix.
 
@@ -338,6 +390,11 @@ class MatrixFPT:
         ``[initial, final]``. The recursion is independent of the initial
         state, so it is computed once and read out for every initial state
         (the reference recomputes it per initial state).
+
+        ``engine="device"`` runs the recursion as one jitted accelerator
+        program (:func:`_device_fpt_pdfs`) -- an f32 serving tier, opt-in
+        because the default host engine is f64 (parity ~1e-5 relative at
+        ~1k states; measured numbers in docs/performance.md).
 
         Returns an array of ``[time, density]`` rows, density normalized to 1.
         """
@@ -367,14 +424,21 @@ class MatrixFPT:
             lag_list = np.arange(0, max_n_lags, dtype=int)
 
         # F-matrix recursion, once for all initial states
-        list_of_pdfs = np.empty((len(ini_state), len(lag_list)), dtype=np.float64)
-        prevF = tmatrix.copy()
-        for time_index, time in enumerate(lag_list):
-            step = time if time_index == 0 else time - lag_list[time_index - 1]
-            t_step = np.linalg.matrix_power(tmatrix, step)
-            F = t_step @ (prevF - np.diag(np.diag(prevF)))
-            list_of_pdfs[:, time_index] = F[ini_state, target]
-            prevF = F
+        if engine == "device":
+            list_of_pdfs = _device_fpt_pdfs(tmatrix, lag_list, ini_state, target)
+        elif engine == "host":
+            list_of_pdfs = np.empty(
+                (len(ini_state), len(lag_list)), dtype=np.float64
+            )
+            prevF = tmatrix.copy()
+            for time_index, time in enumerate(lag_list):
+                step = time if time_index == 0 else time - lag_list[time_index - 1]
+                t_step = np.linalg.matrix_power(tmatrix, step)
+                F = t_step @ (prevF - np.diag(np.diag(prevF)))
+                list_of_pdfs[:, time_index] = F[ini_state, target]
+                prevF = F
+        else:
+            raise ValueError(f"engine must be 'host' or 'device', got {engine!r}")
 
         initial_distrib = np.asarray(initial_distrib, dtype=float)
         density = (initial_distrib[:, None] * list_of_pdfs).sum(axis=0) / initial_distrib.sum()

@@ -105,3 +105,43 @@ def test_fpt_distribution_log():
         [1.00000000e012, 0.00000000e000],
     ]
     assert np.allclose(fpt_distribution, result)
+
+
+def _random_metastable(n, seed=0):
+    rng = np.random.default_rng(seed)
+    T = rng.random((n, n)) * 0.05 + np.diag(rng.random(n) * 10 + 1)
+    return T / T.sum(axis=1, keepdims=True)
+
+
+def test_fpt_distribution_device_engine_matches_host():
+    """engine="device" (one jitted bit-basis recursion, f32 tier) must
+    match the f64 host engine to f32-roundoff at every readout."""
+    T = _random_metastable(60, seed=3)
+    ini, fin, w = [0, 7, 11], [40, 41], [0.5, 0.3, 0.2]
+    host = MatrixFPT.fpt_distribution(T, ini, fin, w, max_n_lags=25)
+    dev = MatrixFPT.fpt_distribution(
+        T, ini, fin, w, max_n_lags=25, engine="device"
+    )
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=1e-7)
+
+
+def test_fpt_distribution_device_engine_logscale():
+    T = _random_metastable(40, seed=9)
+    kwargs = dict(
+        min_power=1, max_power=3, max_n_lags=12, clean_recycling=True,
+        logscale=True,
+    )
+    host = MatrixFPT.fpt_distribution(T, [0, 2], [30], [0.7, 0.3], **kwargs)
+    dev = MatrixFPT.fpt_distribution(
+        T, [0, 2], [30], [0.7, 0.3], engine="device", **kwargs
+    )
+    np.testing.assert_allclose(dev, host, rtol=5e-4, atol=1e-7)
+
+
+def test_fpt_distribution_engine_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="engine"):
+        MatrixFPT.fpt_distribution(
+            _seeded_matrix(), [0], [4], [0.5], max_n_lags=5, engine="gpu"
+        )
