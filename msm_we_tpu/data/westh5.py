@@ -767,10 +767,15 @@ class WEDataset:
             # (which also silently upcast f32 coords to f64, doubling every
             # downstream featurization pass)
             dset = self._aux_dset(per_file[0][0], n_iter)
-            if dset.shape[1] <= 4 and dset.nbytes <= 256 << 20:
-                # Few stored frames (the lag-0 WE norm is 2): one contiguous
-                # full read + numpy slice beats HDF5's strided single-frame
-                # hyperslab selection (measured 2.3x at bench shapes)
+            if dset.shape[1] <= 4 and dset.nbytes <= (4 << 20):
+                # Few stored frames (the lag-0 WE norm is 2) and a small
+                # block: one contiguous full read + numpy slice beats HDF5's
+                # strided single-frame hyperslab (measured 0.023 vs 0.027 ms
+                # at 192 KB). Above ~4 MB the ratio flips -- at 19.2 MB
+                # blocks (100k-segment iterations) the strided read is 2.2x
+                # faster (8.0 vs 17.9 ms) AND skips the ascontiguousarray
+                # copy of the full-read slice, so large iterations take the
+                # strided path.
                 block = np.ascontiguousarray(
                     self._aux_full(per_file[0][0], n_iter)[:, frame]
                 )
@@ -806,15 +811,26 @@ class WEDataset:
         block cache when present) plus a numpy gather: HDF5's point/fancy
         selection machinery costs ~0.2 ms per call regardless of row count
         (99 recycled-row reads + the dedup verify sample = ~35 ms of a warm
-        100k build), while the full contiguous read of a WE iteration is
-        ~0.1 ms. Large blocks keep the row-selective read."""
+        100k build), while the full contiguous read of a small WE iteration
+        is ~0.023 ms. LARGE uncached blocks with SPARSE rows take the
+        row-selective read: at 100k-segment iterations (9.6 MB/frame) a
+        selective 100-row read is 0.62 ms (~5 us/row) vs 8-18 ms for the
+        whole block -- the old 32 MB whole-block cutoff cost ~1.6 s of a
+        10M-segment featurize stage (cProfile, 391 subset calls). Dense
+        row sets keep the whole-block read: HDF5 fancy selection of ~all
+        rows is pathological (~10x the contiguous read of the same
+        bytes)."""
         data = self.iter_data(n_iter)
         rows = np.asarray(rows, dtype=np.int64)
         key = (n_iter, frame)
         with self._io_lock:
             cache = getattr(self, "_block_cache", None)
             cached = cache is not None and key in cache
-        if cached or self._block_nbytes_estimate() <= 32 << 20:
+        if (
+            cached
+            or self._block_nbytes_estimate() <= 2 << 20
+            or len(rows) * 16 >= data["n_segs"]
+        ):
             # Fancy indexing copies, so mutating the result never reaches
             # the (shared) cached block; transient: don't pollute the block
             # cache with frame-0 blocks the featurizer never consumes
