@@ -49,21 +49,29 @@ def _device_fpt_pdfs(tmatrix, lag_list, ini_state, target):
     ).astype(bool)
     ini = jnp.asarray(np.asarray(ini_state, dtype=np.int32))
 
+    # Precision.HIGHEST: the TPU default runs MXU matmuls on bf16 inputs,
+    # which compounds across the ~n_lags sequential F updates (measured
+    # 3.5% relative drift at 1k states x 100 lags vs 2e-4 with HIGHEST)
+    prec = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=prec)
+
     @jax.jit
     def run(T, bits_arr):
         eye = jnp.eye(T.shape[0], dtype=T.dtype)
 
         def sq(carry, _):
-            return carry @ carry, carry
+            return mm(carry, carry), carry
 
         _, S = lax.scan(sq, T, None, length=max_bits)  # S[j] = T^(2^j)
 
         def step_fn(prevF, bit_row):
             def body(j, M):
-                return jnp.where(bit_row[j], M @ S[j], M)
+                return jnp.where(bit_row[j], mm(M, S[j]), M)
 
             M = lax.fori_loop(0, max_bits, body, eye)
-            F = M @ (prevF - jnp.diag(jnp.diag(prevF)))
+            F = mm(M, prevF - jnp.diag(jnp.diag(prevF)))
             return F, F[ini, target]
 
         _, pdfs = lax.scan(step_fn, T, bits_arr)
