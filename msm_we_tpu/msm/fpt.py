@@ -81,6 +81,97 @@ def _device_fpt_pdfs(tmatrix, lag_list, ini_state, target):
     return np.asarray(out).T.astype(np.float64)
 
 
+class _DeviceVectorPowers:
+    """``v0 @ T^step`` on the accelerator via a lazily-extended bit basis.
+
+    Built for :meth:`MatrixFPT.adaptive_fpt_distribution`'s device engine:
+    the adaptive sweep probes geometrically growing step counts, and the
+    host route pays O(log step) full n^3 GEMMs per probe
+    (``np.linalg.matrix_power``). Here the basis ``S[j] = T^(2^j)`` is
+    squared out ON DEVICE only as far as the largest step yet probed (the
+    n^3 work is ~log2(max step) GEMMs TOTAL), and each probe folds the
+    initial VECTOR through the step's set bits inside one jitted dispatch
+    (n^2 vector-matrix products). All matmuls run at
+    ``Precision.HIGHEST`` (TPU-default bf16 drifts; see
+    :func:`_device_fpt_pdfs`).
+    """
+
+    #: The fold program's bit capacity is rounded up to a multiple of this,
+    #: so a whole adaptive sweep compiles at most ~3 fold programs instead
+    #: of one per basis size (each remote compile cost ~10 s through the
+    #: tunnel and dominated the sweep: 81 s -> ~15 s at 2,500 states).
+    #: Slots past the built basis carry the identity and bit=0 (the fold's
+    #: `where` discards their products; vector-matrix n^2 waste is trivial).
+    CAP_QUANTUM = 16
+
+    def __init__(self, tmatrix, v0):
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self._prec = jax.lax.Precision.HIGHEST
+        self._sq = jax.jit(
+            lambda m: jnp.matmul(m, m, precision=self._prec)
+        )
+        self._basis = [jnp.asarray(np.asarray(tmatrix), jnp.float32)]
+        self._v0 = jnp.asarray(np.asarray(v0), jnp.float32)
+        self._folds = {}  # capacity -> compiled fold
+        self._stack = None
+        self._stack_n = 0
+
+    def _ensure_bits(self, n_bits):
+        while len(self._basis) < n_bits:
+            self._basis.append(self._sq(self._basis[-1]))
+
+    def _fold_fn(self, cap):
+        fold = self._folds.get(cap)
+        if fold is None:
+            import jax
+            from jax import lax
+
+            jnp = self._jnp
+            prec = self._prec
+
+            @jax.jit
+            def fold(v, S, bits):
+                def body(j, u):
+                    return jnp.where(
+                        bits[j], jnp.matmul(u, S[j], precision=prec), u
+                    )
+
+                return lax.fori_loop(0, S.shape[0], body, v)
+
+            self._folds[cap] = fold
+        return fold
+
+    def _stacked(self, cap):
+        if self._stack is None or self._stack.shape[0] != cap or (
+            self._stack_n != len(self._basis)
+        ):
+            jnp = self._jnp
+            eye = jnp.eye(self._basis[0].shape[0], dtype=jnp.float32)
+            pads = [eye] * (cap - len(self._basis))
+            self._stack = jnp.stack(self._basis + pads)
+            self._stack_n = len(self._basis)
+        return self._stack
+
+    def __call__(self, step):
+        jnp = self._jnp
+        step = int(step)
+        if step <= 0:
+            return np.asarray(self._v0, dtype=np.float64)
+        n_bits = step.bit_length()
+        self._ensure_bits(n_bits)
+        q = self.CAP_QUANTUM
+        cap = -(-len(self._basis) // q) * q
+        S = self._stacked(cap)
+        bits = np.zeros(cap, dtype=bool)
+        for j in range(n_bits):
+            bits[j] = (step >> j) & 1
+        out = self._fold_fn(cap)(self._v0, S, jnp.asarray(bits))
+        return np.asarray(out).astype(np.float64)
+
+
 def _membership(points, state, discrete):
     """Vectorized membership of an array of snapshots in a macrostate.
 
@@ -517,15 +608,37 @@ class MatrixFPT:
         max_time=np.inf,
         explicit_renormalization=False,
         verbose=False,
+        engine="host",
     ):
         """Adaptive FPT distribution: coarse multiplicative time sweep, refined
         once probability starts arriving at the target.
 
         Reference semantics: ``msm_we/fpt.py:589-774``. Returns
         ``(fpt_distribution, all_probabilities, last_step_index, times)``.
+
+        ``engine="device"`` (opt-in, f32 tier; requires
+        ``explicit_renormalization=False``) replaces the per-step
+        ``matrix_power`` -- O(log step) full n^3 GEMMs PER STEP on the host
+        -- with a lazily-extended on-device bit basis ``S[j] = T^(2^j)``:
+        the n^3 work collapses to ONE basis build (~log2(max step) GEMMs
+        total), and each probe step is a single dispatch folding the
+        initial VECTOR through the step's set bits (n^2 vector-matrix
+        products). Host 334.6 s -> device ~2 s at 2,500 states (measured,
+        docs/performance.md). The adaptive schedule is data-dependent, so
+        f32 arrivals near ``relevant_thresh`` can pick a slightly
+        different refinement point than the f64 host engine -- both are
+        valid samplings of the same distribution.
         """
         Tmatrix = np.asarray(Tmatrix, dtype=float)
         n_states = len(Tmatrix)
+        if engine not in ("host", "device"):
+            raise ValueError(f"engine must be 'host' or 'device', got {engine!r}")
+        if engine == "device" and explicit_renormalization:
+            raise ValueError(
+                "engine='device' folds the initial vector through matrix "
+                "powers and cannot renormalize the matrix power itself; "
+                "use the host engine for explicit_renormalization"
+            )
 
         all_probabilities = np.full((max_steps + 1, n_states), np.nan)
         initial_probability = np.zeros(n_states)
@@ -546,18 +659,24 @@ class MatrixFPT:
         steps = [1]
         i = 0
 
+        if engine == "device":
+            prob_at = _DeviceVectorPowers(non_recycling, initial_probability)
+        else:
+            def prob_at(step):
+                matrix_next = np.linalg.matrix_power(non_recycling, step)
+                if explicit_renormalization:
+                    matrix_next = matrix_next / matrix_next.sum(axis=1)
+                p = initial_probability @ matrix_next
+                if explicit_renormalization:
+                    p /= p.sum()
+                return p
+
         for i in range(max_steps - 1):
             this_step = int(get_next_step(last_step))
             if this_step <= last_step:
                 this_step = int(last_step + 1)
 
-            matrix_next = np.linalg.matrix_power(non_recycling, this_step)
-            if explicit_renormalization:
-                matrix_next = matrix_next / matrix_next.sum(axis=1)
-
-            probability = initial_probability @ matrix_next
-            if explicit_renormalization:
-                probability /= probability.sum()
+            probability = prob_at(this_step)
 
             arrived = probability[np.asarray(target_states)].sum()
 

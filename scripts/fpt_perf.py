@@ -69,10 +69,16 @@ def main(argv=None):
     )
 
     t0 = time.perf_counter()
-    probs, _all, _i, _times = MatrixFPT.adaptive_fpt_distribution(
+    probs, _all, _i, times_h = MatrixFPT.adaptive_fpt_distribution(
         T, ini, w, fin, max_steps=400, max_time=1e7
     )
     adaptive_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    probs_d, _alld, _id, times_d = MatrixFPT.adaptive_fpt_distribution(
+        T, ini, w, fin, max_steps=400, max_time=1e7, engine="device"
+    )
+    adaptive_dev_s = time.perf_counter() - t0
 
     import jax
 
@@ -87,7 +93,13 @@ def main(argv=None):
         "speedup": round(min(host_times) / min(dev_times), 1),
         "max_rel_diff": err,
         "adaptive_host_s": round(adaptive_s, 3),
+        "adaptive_device_s": round(adaptive_dev_s, 3),
+        "adaptive_speedup": round(adaptive_s / max(adaptive_dev_s, 1e-9), 1),
+        "adaptive_schedule_equal": bool(
+            len(times_h) == len(times_d) and np.array_equal(times_h, times_d)
+        ),
         "adaptive_mass_captured": float(np.nansum(probs)),
+        "adaptive_mass_captured_device": float(np.nansum(probs_d)),
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

@@ -145,3 +145,51 @@ def test_fpt_distribution_engine_validation():
         MatrixFPT.fpt_distribution(
             _seeded_matrix(), [0], [4], [0.5], max_n_lags=5, engine="gpu"
         )
+
+
+def test_device_vector_powers_match_matrix_power():
+    from msm_we_tpu.msm.fpt import _DeviceVectorPowers
+
+    T = _random_metastable(50, seed=4)
+    # Absorbing targets, as the adaptive sweep builds them
+    T[48:, :] = 0.0
+    T[48, 48] = T[49, 49] = 1.0
+    v0 = np.zeros(50)
+    v0[:3] = [0.5, 0.3, 0.2]
+    probs = _DeviceVectorPowers(T, v0)
+    for step in (0, 1, 2, 5, 17, 64, 1000, 12345):
+        want = v0 @ np.linalg.matrix_power(T, step)
+        got = probs(step)
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-7), step
+
+
+def test_adaptive_fpt_device_engine_matches_host():
+    T = _random_metastable(40, seed=6)
+    args = (T, [0, 1], [0.6, 0.4], [38, 39])
+    kwargs = dict(max_steps=300, max_time=1e6)
+    h_probs, h_all, h_i, h_times = MatrixFPT.adaptive_fpt_distribution(
+        *args, **kwargs
+    )
+    d_probs, d_all, d_i, d_times = MatrixFPT.adaptive_fpt_distribution(
+        *args, engine="device", **kwargs
+    )
+    # The schedule is data-dependent; on this well-separated fixture the
+    # f32 arrivals pick the same refinement point, so schedules (and thus
+    # the sampled distribution) must coincide
+    np.testing.assert_array_equal(d_times, h_times)
+    np.testing.assert_allclose(d_probs, h_probs, rtol=1e-3, atol=1e-6)
+    assert d_i == h_i
+    np.testing.assert_allclose(
+        np.nansum(d_all[-1]), np.nansum(h_all[-1]), rtol=1e-4
+    )
+
+
+def test_adaptive_fpt_device_engine_rejects_renormalization():
+    import pytest
+
+    T = _random_metastable(10, seed=1)
+    with pytest.raises(ValueError, match="renormaliz"):
+        MatrixFPT.adaptive_fpt_distribution(
+            T, [0], [1.0], [9], engine="device",
+            explicit_renormalization=True,
+        )
