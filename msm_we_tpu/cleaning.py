@@ -157,12 +157,27 @@ def organize_stratified(model, max_passes=10, incremental=True):
             model._incremental_rediscretize(
                 strat, old_remap, old_global, old_total
             )
+        elif model._mesh is not None and model._parent_idx is None:
+            # Deferred device build: the pass needs no host assignments at
+            # all -- the bank surgery above is the whole re-discretization
+            # (the next flux recompute re-assigns against the updated bank
+            # on device, and the pcoord sort takes the device stats route
+            # at scale). dtrajs stay deferred; any later host consumer
+            # materializes them against the FINAL bank via
+            # ``_ensure_discretized`` -- paying the (N,) download once
+            # per build instead of once per pass.
+            model.dtrajs = None
+            model.pair_dtrajs = None
         else:
             model.launch_discretization()
 
     organize_flux_cleaning(
         model, remove_and_rediscretize, max_passes=max_passes,
-        host_flux=incremental,
+        # Forcing the host bincount is only a win when the updated
+        # assignments are already in hand (the incremental path); a
+        # deferred device build must stay free to device-route the
+        # per-pass flux recompute (big-N: no id download per pass)
+        host_flux=incremental and model._parent_idx is not None,
     )
     model.cluster_mapping = {x: x for x in range(model.n_clusters + 2)}
 

@@ -55,6 +55,44 @@ def launch_discretization(model, progress_bar=None):
     model._store_dtrajs(both_idx[:n], both_idx[n:])
 
 
+def device_child_assign(model, strat):
+    """Child-row cluster ids as a DEVICE-RESIDENT array (no download).
+
+    The same dispatch the dedup fast path issues (predict-order overrides,
+    bitwise-identical to host ``strat.predict``), returned without the
+    host transfer: consumers that only need device-side reductions over
+    the ids (``structures.get_cluster_centers``'s device stats route, the
+    device flux program's byproduct path) chain on it directly. Returns
+    ``(cid_dev, N)`` where rows ``[N:]`` are padding (their ids are
+    unspecified -- mask them in any reduction).
+    """
+    from .parallel.sharded import build_sharded_single_assign
+
+    mesh = model._mesh
+    _pb, child_bins = model._raw_we_bins()
+    N = len(child_bins)
+    cbins = strat.we_remap[child_bins].astype(np.int32)
+    strat.check_live_bins(cbins)
+    masks = model._pc_masks()
+    data_size = mesh.shape["data"]
+    model_size = mesh.shape["model"]
+    N_pad = -(-N // data_size) * data_size
+    K_pad = -(-strat.n_total_clusters // model_size) * model_size
+    n_states = strat.n_total_clusters + 2
+
+    _fp, fc_dev = model._device_row_feats(need_parent=False)
+    centersC, center_binC, validC = strat.compact_bank_device(pad_to=K_pad)
+    assign1 = build_sharded_single_assign(mesh, n_states, n_bins=strat.n_bins)
+    cid_dev = assign1(
+        fc_dev,
+        _pad_rows_to(cbins, N_pad, -1),
+        _pad_rows_to(masks["basis_c"], N_pad, False),
+        _pad_rows_to(masks["target_c"], N_pad, False),
+        centersC, center_binC, validC,
+    )
+    return cid_dev, N
+
+
 def sharded_pair_discretize(model, strat, parent_bins, child_bins):
     """One sharded dispatch assigning parent AND child rows, reading the
     shared device-resident feature arrays (``modelWE._device_row_feats``) --

@@ -10,6 +10,8 @@ of a Ray fan-out over iterations, with an optional shard_map program
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ._logging import log
@@ -79,19 +81,31 @@ def get_flux_matrix(
         and model._device_f64_weights_ok(feats["weights"])
     )
     if use_device_flux and not getattr(model, "_force_device_flux", False):
-        # Single-process meshes: the predict ids land on the host either
-        # way (deferred discretization runs ONE ids-only sharded
-        # program; otherwise they are already stored), and the host f64
-        # bincount below then beats the device flux program outright --
-        # measured 2 ms vs 60-73 ms at 100k segments (TPU f64 is
-        # emulated double-double and the scatter is all adds; see
-        # docs/performance.md "Flux accumulation routing"). The fused
-        # scatter+psum program (device_flux_lag0) remains the
-        # multi-process path, where each process holds only its own id
-        # shard and the in-mesh psum replaces a cross-host gather.
+        # Single-process meshes at SMALL row counts: the predict ids land
+        # on the host either way (deferred discretization runs ONE
+        # ids-only sharded program; otherwise they are already stored),
+        # and the host f64 bincount below then beats the device flux
+        # program outright -- measured 2 ms vs 60-73 ms at 100k segments
+        # (TPU f64 is emulated double-double and the scatter is all
+        # adds; see docs/performance.md "Flux accumulation routing").
+        #
+        # At LARGE row counts with still-deferred ids the tradeoff flips:
+        # the host route's real cost is the (N,) id download -- 20 MB of
+        # int16 at 10M segments through an ~11 MB/s tunnel, the single
+        # biggest flux-stage term -- while the fused device program
+        # downloads only the (n_states, n_states) matrix. Ids that are
+        # ALREADY materialized keep the host bincount (the download is
+        # sunk). Threshold env-tunable for tests and local-PCIe deploys
+        # (where the download is ~ms and host f64 always wins).
         import jax
 
-        if jax.process_count() == 1:
+        n_rows = int(feats["offsets"][-1])
+        big = n_rows >= int(
+            os.environ.get("MSM_WE_TPU_DEVICE_FLUX_MIN_ROWS", "2000000")
+        )
+        if jax.process_count() == 1 and (
+            model._parent_idx is not None or not big
+        ):
             model._ensure_discretized()
             use_device_flux = False
     if use_device_flux:
@@ -369,7 +383,19 @@ def device_flux_lag0(model, iters_to_use):
     # True)): dtrajs don't exist yet, so run the combined program that
     # emits the packed flux AND the predict-order ids in ONE
     # dispatch+sync -- the two score GEMMs run once for both outputs.
-    if model._parent_idx is None and strat is not None:
+    # EXCEPT at big single-process row counts: there the (2N) id download
+    # is exactly the cost the device flux route exists to avoid (20 MB of
+    # int16 at 10M segments through an ~11 MB/s tunnel, per cleaning
+    # pass) -- dtrajs stay deferred and any later host consumer
+    # materializes them once against the final bank.
+    import jax as _jax
+
+    _want_ids = not (
+        _jax.process_count() == 1
+        and N >= int(os.environ.get("MSM_WE_TPU_DEVICE_FLUX_MIN_ROWS",
+                                    "2000000"))
+    )
+    if model._parent_idx is None and strat is not None and _want_ids:
         from .parallel.sharded import (
             build_sharded_step_packed_with_ids, flux_pack_capacity,
             unpack_packed_flux,

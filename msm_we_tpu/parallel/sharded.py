@@ -609,3 +609,56 @@ def steady_state_from_flux(
 
     flux = jnp.sum(jnp.where(target_mask[None, :], T, 0.0) * p[:, None])
     return T, p, flux, residual
+
+
+@lru_cache(maxsize=64)
+def build_sharded_cluster_stats(mesh, k_max, ndim):
+    """Per-cluster child-pcoord count/sum/min/max WITHOUT downloading ids.
+
+    The cleaning loop's pcoord sort (``structures.get_cluster_centers``,
+    reference ``_clustering.py:1528-1599``) is the one per-pass consumer
+    that forced the full (N,) assignment download on big builds (20 MB at
+    10M segments through an ~11 MB/s tunnel). This program reads the
+    device-resident child ids and pcoords and downloads only four
+    ``(k_max + 1, ndim)`` tables.
+
+    ``k_max`` is the NOMINAL bank width (constant across cleaning passes,
+    so ONE compile serves the whole build); the live cluster count is a
+    runtime scalar. Bucket ``k_max`` is the trash row: padded rows,
+    basis/target overrides, and anything >= the live count land there.
+    Sums/counts are f32 scatter-adds (pcoord-mean precision ~sqrt(N)*eps
+    relative -- documented serving tier; the host f64 path remains the
+    default below ``MSM_WE_TPU_DEVICE_STATS_MIN_ROWS`` rows). NaN pcoords
+    are excluded per dimension, matching the host path's ``good`` mask.
+    """
+
+    def body(cid, p1, n_live):
+        cid = cid.astype(jnp.int32)
+        in_range = (cid >= 0) & (cid < n_live)
+        bucket = jnp.where(in_range, cid, k_max)
+        good = (~jnp.isnan(p1)) & in_range[:, None]
+        gf = good.astype(jnp.float32)
+        v0 = jnp.where(good, p1, 0.0)
+        counts = jnp.zeros((k_max + 1, ndim), jnp.int32).at[bucket].add(
+            good.astype(jnp.int32)
+        )
+        sums = jnp.zeros((k_max + 1, ndim), jnp.float32).at[bucket].add(v0 * gf)
+        vmin = jnp.full((k_max + 1, ndim), jnp.inf, jnp.float32).at[bucket].min(
+            jnp.where(good, p1, jnp.inf)
+        )
+        vmax = jnp.full((k_max + 1, ndim), -jnp.inf, jnp.float32).at[
+            bucket
+        ].max(jnp.where(good, p1, -jnp.inf))
+        counts = jax.lax.psum(counts, "data")
+        sums = jax.lax.psum(sums, "data")
+        vmin = jax.lax.pmin(vmin, "data")
+        vmax = jax.lax.pmax(vmax, "data")
+        return counts, sums, vmin, vmax
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return jax.jit(sharded)

@@ -278,3 +278,117 @@ def test_wide_binning_exercises_width(wide_models):
     # Cleaning at width kept a connected model and a positive target flux
     assert host.fluxMatrix.shape[0] >= 100
     assert host.JtargetSS > 0
+
+
+# ------------------------------------------------- device-resident cleaning
+# At 10M segments the flux/cleaning stages' dominant cost was the (N,)
+# assignment download (20 MB int16 through an ~11 MB/s tunnel, paid once in
+# the flux stage and again via get_cluster_centers in every cleaning pass).
+# The device route keeps ids resident: flux via the fused psum program,
+# per-cluster pcoord stats via build_sharded_cluster_stats, dtrajs deferred
+# until a host consumer asks. Reference behavior preserved:
+# organize_stratified/_clustering.py:920-1142 + get_cluster_centers
+# :1528-1599.
+
+
+def test_device_cluster_stats_program_matches_numpy():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from msm_we_tpu.parallel import make_mesh
+    from msm_we_tpu.parallel.sharded import build_sharded_cluster_stats
+
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(2)
+    k_max, ndim, n_live, N = 24, 2, 17, 4096
+    cid = rng.integers(-1, k_max + 2, N).astype(np.int16)  # includes trash
+    p1 = rng.normal(size=(N, ndim)).astype(np.float32)
+    p1[rng.random((N, ndim)) < 0.05] = np.nan  # per-dim NaN exclusion
+
+    stats = build_sharded_cluster_stats(mesh, k_max, ndim)
+    sh = NamedSharding(mesh, P("data"))
+    counts, sums, vmin, vmax = stats(
+        jax.device_put(cid, sh), jax.device_put(p1, sh), np.int32(n_live)
+    )
+    counts, sums = np.asarray(counts), np.asarray(sums)
+    vmin, vmax = np.asarray(vmin), np.asarray(vmax)
+
+    in_range = (cid >= 0) & (cid < n_live)
+    for c in range(n_live):
+        for d in range(ndim):
+            rows = in_range & (cid == c) & ~np.isnan(p1[:, d])
+            assert counts[c, d] == rows.sum()
+            if rows.any():
+                np.testing.assert_allclose(
+                    sums[c, d], p1[rows, d].sum(), rtol=1e-5, atol=1e-5
+                )
+                assert vmin[c, d] == p1[rows, d].min()
+                assert vmax[c, d] == p1[rows, d].max()
+            else:
+                assert vmin[c, d] == np.inf and vmax[c, d] == -np.inf
+    # ids >= n_live (and < 0) all land in the trash bucket
+    assert counts[n_live:k_max].sum() == 0
+
+
+@pytest.fixture(scope="module")
+def clean_h5(tmp_path_factory):
+    path = tmp_path_factory.mktemp("devclean") / "west.h5"
+    generate_west_h5(str(path), n_iterations=30, n_segments=60, seed=9)
+    return str(path)
+
+
+def _pipeline_build(path, device_pipeline):
+    model = modelWE()
+    model.build_analyze_model(
+        file_paths=[path],
+        ref_struct={"coords": None, "nAtoms": 4, "coord_ndim": 3},
+        modelName="x",
+        basis_pcoord_bounds=[[9.0, 10.0]],
+        target_pcoord_bounds=[[0.0, 1.0]],
+        dimreduce_method="pca",
+        tau=1.0,
+        n_clusters=4,
+        cross_validation_groups=0,
+        show_live_display=False,
+        device_pipeline=device_pipeline,
+        step_kwargs={
+            "clustering": {
+                "user_bin_mapper": RectilinearBinMapper(np.linspace(0, 10, 7)[None].tolist())
+            }
+        },
+    )
+    return model
+
+
+def test_device_resident_cleaning_full_parity(clean_h5, monkeypatch):
+    """With the routing thresholds forced to 0, a deferred device build must
+    complete flux+cleaning WITHOUT ever materializing host dtrajs, and match
+    the host build on every analysis output; materializing afterwards must
+    reproduce the host dtrajs exactly."""
+    monkeypatch.setenv("MSM_WE_TPU_DEVICE_FLUX_MIN_ROWS", "0")
+    monkeypatch.setenv("MSM_WE_TPU_DEVICE_STATS_MIN_ROWS", "0")
+    md = _pipeline_build(clean_h5, device_pipeline=True)
+    assert md._child_idx is None, "ids were materialized on the device route"
+    mh = _pipeline_build(clean_h5, device_pipeline=False)
+
+    np.testing.assert_allclose(md.fluxMatrix, mh.fluxMatrix, rtol=1e-12)
+    np.testing.assert_allclose(md.pSS, mh.pSS, rtol=1e-9, atol=1e-18)
+    assert md.JtargetSS == pytest.approx(mh.JtargetSS, rel=1e-9)
+    # f32 device stats vs f64 host stats: means to f32 tolerance, and the
+    # pcoord sort order must coincide on this well-separated data
+    np.testing.assert_allclose(
+        md.targetRMSD_centers, mh.targetRMSD_centers, rtol=1e-5, atol=1e-6
+    )
+    md._ensure_discretized()
+    for i, (a, b) in enumerate(zip(md.dtrajs, mh.dtrajs)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"dtrajs iter {i}"
+        )
+
+
+def test_default_thresholds_keep_host_route_small(clean_h5):
+    """Without env overrides, small builds keep the exact host routes (ids
+    materialized in the flux stage, f64 stats) -- the measured-fastest
+    configuration below the thresholds."""
+    md = _pipeline_build(clean_h5, device_pipeline=True)
+    assert md._child_idx is not None
