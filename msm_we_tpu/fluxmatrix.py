@@ -89,19 +89,23 @@ def get_flux_matrix(
         # (TPU f64 is emulated double-double and the scatter is all
         # adds; see docs/performance.md "Flux accumulation routing").
         #
-        # At LARGE row counts with still-deferred ids the tradeoff flips:
-        # the host route's real cost is the (N,) id download -- 20 MB of
-        # int16 at 10M segments through an ~11 MB/s tunnel, the single
-        # biggest flux-stage term -- while the fused device program
-        # downloads only the (n_states, n_states) matrix. Ids that are
-        # ALREADY materialized keep the host bincount (the download is
-        # sunk). Threshold env-tunable for tests and local-PCIe deploys
-        # (where the download is ~ms and host f64 always wins).
+        # A device-resident big-N route exists behind
+        # MSM_WE_TPU_DEVICE_FLUX_MIN_ROWS but is DISABLED by default:
+        # measured at 10.1M segments, the fused program's f64-emulated
+        # scatter costs ~5.4 s PER CALL, while the host route pays the
+        # (N,) id download once (~7.5 s incl. dispatch through the
+        # tunnel; raw bytes 1.8 s) and then ~0.3-1.0 s per bincount --
+        # cleaning recomputes the flux 2-3x per build, so the host
+        # hybrid wins everywhere measured (docs/performance.md
+        # "Device-resident cleaning: negative result"). The knob stays
+        # for multi-process meshes (no global ids on one host) and
+        # future scatter-free accumulators.
         import jax
 
         n_rows = int(feats["offsets"][-1])
         big = n_rows >= int(
-            os.environ.get("MSM_WE_TPU_DEVICE_FLUX_MIN_ROWS", "2000000")
+            os.environ.get("MSM_WE_TPU_DEVICE_FLUX_MIN_ROWS",
+                           str(10**18))
         )
         if jax.process_count() == 1 and (
             model._parent_idx is not None or not big
@@ -393,7 +397,7 @@ def device_flux_lag0(model, iters_to_use):
     _want_ids = not (
         _jax.process_count() == 1
         and N >= int(os.environ.get("MSM_WE_TPU_DEVICE_FLUX_MIN_ROWS",
-                                    "2000000"))
+                                    str(10**18)))
     )
     if model._parent_idx is None and strat is not None and _want_ids:
         from .parallel.sharded import (

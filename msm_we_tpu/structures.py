@@ -30,7 +30,13 @@ def _device_stats_route(model):
         return False
     feats = model._featurize_all()
     n_rows = int(feats["offsets"][-1])
-    return n_rows >= int(os.environ.get(DEVICE_STATS_MIN_ROWS_ENV, "1000000"))
+    # Disabled by default alongside the device flux route (see
+    # fluxmatrix.get_flux_matrix): with host-materialized ids the f64
+    # host stats are free. Active when the device-resident regime is
+    # opted into (multi-process, or the env knobs).
+    return n_rows >= int(
+        os.environ.get(DEVICE_STATS_MIN_ROWS_ENV, str(10**18))
+    )
 
 
 def get_cluster_centers(model):
