@@ -364,19 +364,51 @@ def device_flux_lag0(model, iters_to_use):
     # no device gather) pads with invalid rows
     fp_dev, fc_dev = model._device_row_feats()
     centersC, center_binC, validC = bank(K_pad)
+
+    # Call-invariant row arrays (masks, selection-folded f64 weights) are
+    # uploaded ONCE per (feature set, iteration window, N_pad) and reused
+    # across cleaning passes: re-uploading them cost ~100 MB (~1.5-2 s
+    # through the tunnel) PER get_fluxMatrix call on a 10M build. The
+    # bins arrays are NOT cached -- strat.we_remap changes when cleaning
+    # empties a bin.
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    row_sh = NamedSharding(mesh, _P("data"))
+    wkey = (id(type(feats)), N_pad, tuple(iters_to_use))
+    cache = getattr(model, "_device_flux_row_cache", None)
+    if cache is None or cache[0] is not feats or cache[1] != wkey:
+        with _scoped_x64():
+            # Inside the x64 scope: device_put of float64 outside it
+            # silently downcasts to f32, defeating the f64 accumulation
+            # contract the program traces under
+            w_dev = _jax.device_put(pad_rows(w, 0.0), row_sh)
+        cache = (
+            feats,
+            wkey,
+            {
+                "w": w_dev,
+                "basis_p": _jax.device_put(pad_rows(basis_p, False), row_sh),
+                "basis_c": _jax.device_put(pad_rows(basis_c, False), row_sh),
+                "target_c": _jax.device_put(pad_rows(target_c, False), row_sh),
+                "target_p": _jax.device_put(pad_rows(target_p, False), row_sh),
+            },
+        )
+        model._device_flux_row_cache = cache
+    rows = cache[2]
     args = (
         fp_dev,
         fc_dev,
         pad_rows(pbins, -1),
         pad_rows(cbins, -1),
-        pad_rows(basis_p, False),
-        pad_rows(basis_c, False),
-        pad_rows(target_c, False),
-        pad_rows(w, 0.0),
+        rows["basis_p"],
+        rows["basis_c"],
+        rows["target_c"],
+        rows["w"],
         centersC,
         center_binC,
         validC,
-        pad_rows(target_p, False),
+        rows["target_p"],
     )
 
     # build_sharded_step is memoized on (mesh, n_states, ...), so a

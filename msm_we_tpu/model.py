@@ -1854,6 +1854,7 @@ class modelWE:
         self._mesh = mesh if mesh is not None else make_mesh()
         self._dev_feats_cache = None  # device arrays are mesh-specific
         self._device_p1_cache = None
+        self._device_flux_row_cache = None
         if self._strat is not None:
             self._strat.use_mesh(self._mesh)
         return self._mesh
@@ -1871,6 +1872,7 @@ class modelWE:
         state["_mesh"] = None
         state["_dev_feats_cache"] = None  # device arrays are process-local
         state["_device_p1_cache"] = None
+        state["_device_flux_row_cache"] = None
         state["_pc_masks_cache"] = None  # derived; rebuilt on demand
         state.pop("_flux_step_cache", None)  # legacy pickles
         return state

@@ -392,3 +392,26 @@ def test_default_thresholds_keep_host_route_small(clean_h5):
     configuration below the thresholds."""
     md = _pipeline_build(clean_h5, device_pipeline=True)
     assert md._child_idx is not None
+
+
+def test_device_flux_row_cache_reused_and_f64(mesh_model):
+    """device_flux_lag0's call-invariant row uploads (masks + selection-
+    folded f64 weights) must be cached across calls (cleaning recomputes
+    the flux 2-3x per build; re-uploading cost ~1.5-2 s/call at 10M) and
+    the cached weights must stay float64 -- device_put outside the x64
+    scope silently downcasts."""
+    from msm_we_tpu import fluxmatrix
+
+    model = mesh_model
+    iters = list(range(2, model.maxIter))
+    fm1 = fluxmatrix.device_flux_lag0(model, iters)
+    cache1 = model._device_flux_row_cache
+    assert cache1 is not None
+    assert cache1[2]["w"].dtype == np.float64
+    fm2 = fluxmatrix.device_flux_lag0(model, iters)
+    assert model._device_flux_row_cache is cache1, "cache was rebuilt"
+    np.testing.assert_array_equal(np.asarray(fm1), np.asarray(fm2))
+    # A different iteration window must invalidate (weights fold the
+    # selection)
+    fluxmatrix.device_flux_lag0(model, iters[:-1])
+    assert model._device_flux_row_cache is not cache1
