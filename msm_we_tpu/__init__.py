@@ -8,7 +8,7 @@ analysis, first-passage-time engines, WE bin/allocation optimization, and
 WESTPA plugin drivers.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from . import utils  # noqa: F401
 from ._logging import log  # noqa: F401
