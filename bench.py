@@ -523,6 +523,13 @@ def _probe_once(timeout, exec_timeout=None):
     for m in marks:
         if m.startswith("backend="):
             backend = m.split("=", 1)[1].split()[0]
+    if backend is None:
+        # Clean exit but no backend mark (truncated/unwritable log): a
+        # FAILED attempt -- "ok:None" here would log success while the
+        # retry loop (correctly) kept retrying, corrupting the evidence
+        # trail probe_attempts exists to provide
+        rec["outcome"] = "exit 0 without backend mark"
+        return None, rec
     rec["outcome"] = f"ok:{backend}"
     return backend, rec
 
@@ -644,6 +651,7 @@ def main():
         per_step = max(min(times) - rtt, 1e-9) / inner_reps
         return per_step, out
 
+    t_tiers0 = time.perf_counter()
     step, args = device_pipeline(p, inner_reps=inner_reps)
     # Device-resident inputs: the pipeline holds features on device, so input
     # transfer is not part of the per-build cost being measured
@@ -652,34 +660,56 @@ def main():
 
     frames_per_sec = n_segments / device_time
 
-    # Fast-math serving tier (explicit bf16 matmuls; assignments may flip
-    # on near-ties -- documented opt-in, never the default). Reuses the
-    # already device-resident inputs: a second device_put would duplicate
-    # ~740 MB of raw coordinates on the device.
-    step_fast, _ = device_pipeline(p, inner_reps=inner_reps, fast_math=True)
-    device_time_fast, _out_f = measure_step(step_fast, args)
-    frames_per_sec_fast = n_segments / device_time_fast
+    # On CPU fallback the full-shape hot step can be very slow; the value
+    # metric (primary tier, full shape, cross-round comparable) always
+    # runs, but the secondary tiers are skipped when the primary already
+    # ate a third of the fallback budget -- a bench that overruns the
+    # driver's timeout leaves NO artifact at all, the exact failure the
+    # probe-retry machinery exists to prevent.
+    budget = float(os.environ.get("MSM_WE_TPU_BENCH_FALLBACK_BUDGET", "900"))
+    skip_tiers = (
+        device_fallback is not None
+        and (time.perf_counter() - t_tiers0) > budget / 3
+    )
+    if skip_tiers:
+        print(
+            "WARNING: skipping fast-math/dedup tiers on fallback "
+            f"(primary tier took {time.perf_counter() - t_tiers0:.0f} s)",
+            file=sys.stderr, flush=True,
+        )
+        device_time_fast = device_time_dedup = None
+        frames_per_sec_fast = frames_per_sec_dedup = None
+        dedup_max_diff = None
+    else:
+        # Fast-math serving tier (explicit bf16 matmuls; assignments may
+        # flip on near-ties -- documented opt-in, never the default).
+        # Reuses the already device-resident inputs: a second device_put
+        # would duplicate ~740 MB of raw coordinates on the device.
+        step_fast, _ = device_pipeline(p, inner_reps=inner_reps, fast_math=True)
+        device_time_fast, _out_f = measure_step(step_fast, args)
+        frames_per_sec_fast = n_segments / device_time_fast
 
-    # Continuity-dedup tier (the production dedup_coordinates path): one raw
-    # transform + a feature gather replaces the second transform. Exact: the
-    # flux matrix must match the two-transform step bitwise-close.
-    step_dd, args_dd = device_pipeline(p, inner_reps=inner_reps, dedup=True)
-    # Reuse the device-resident shared arguments (indices 2..12); device_put
-    # the dedup-specific ones (dummy raw_parent slot, extended raw array,
-    # extended parent gather rows)
-    args_dd = (
-        (jax.device_put(args_dd[0]), jax.device_put(args_dd[1]))
-        + args[2:13]
-        + (jax.device_put(args_dd[13]),)
-    )
-    device_time_dedup, (fm_d, _pss_d, _flux_d, _res_d) = measure_step(
-        step_dd, args_dd
-    )
-    frames_per_sec_dedup = n_segments / device_time_dedup
-    dedup_max_diff = float(
-        np.max(np.abs(np.asarray(fm_d) - np.asarray(fm)))
-        / max(float(np.max(np.abs(np.asarray(fm)))), 1e-30)
-    )
+        # Continuity-dedup tier (the production dedup_coordinates path):
+        # one raw transform + a feature gather replaces the second
+        # transform. Exact: the flux matrix must match the two-transform
+        # step bitwise-close.
+        step_dd, args_dd = device_pipeline(p, inner_reps=inner_reps, dedup=True)
+        # Reuse the device-resident shared arguments (indices 2..12);
+        # device_put the dedup-specific ones (dummy raw_parent slot,
+        # extended raw array, extended parent gather rows)
+        args_dd = (
+            (jax.device_put(args_dd[0]), jax.device_put(args_dd[1]))
+            + args[2:13]
+            + (jax.device_put(args_dd[13]),)
+        )
+        device_time_dedup, (fm_d, _pss_d, _flux_d, _res_d) = measure_step(
+            step_dd, args_dd
+        )
+        frames_per_sec_dedup = n_segments / device_time_dedup
+        dedup_max_diff = float(
+            np.max(np.abs(np.asarray(fm_d) - np.asarray(fm)))
+            / max(float(np.max(np.abs(np.asarray(fm)))), 1e-30)
+        )
     flops_dd, bytes_dd = step_flops_bytes(p, dedup=True)
     baseline_time = baseline_per_frame_seconds(p)
     vs_baseline = baseline_time / device_time
@@ -710,15 +740,25 @@ def main():
         "raw_dim": int(p["raw_parent"].shape[1]),
         "n_components": int(p["comp"].shape[1]),
         "n_states": p["n_states"],
-        "frames_per_sec_fast_math": round(frames_per_sec_fast, 1),
-        "frames_per_sec_dedup": round(frames_per_sec_dedup, 1),
-        "device_time_dedup_s": round(device_time_dedup, 5),
+        "frames_per_sec_fast_math": (
+            round(frames_per_sec_fast, 1)
+            if frames_per_sec_fast is not None else None
+        ),
+        "frames_per_sec_dedup": (
+            round(frames_per_sec_dedup, 1)
+            if frames_per_sec_dedup is not None else None
+        ),
+        "device_time_dedup_s": (
+            round(device_time_dedup, 5)
+            if device_time_dedup is not None else None
+        ),
         "sol_fraction_dedup": (
             round(max(flops_dd / peak_flops, bytes_dd / peak_bw)
                   / device_time_dedup, 3)
-            if peak_flops else None
+            if peak_flops and device_time_dedup else None
         ),
         "dedup_flux_max_rel_diff": dedup_max_diff,
+        "tiers_skipped_on_fallback": bool(skip_tiers),
         "achieved_tflops": round(achieved_tflops, 3),
         "pct_peak": round(pct_peak, 2) if pct_peak is not None else None,
         "sol_fraction": round(sol_fraction, 3) if sol_fraction is not None else None,

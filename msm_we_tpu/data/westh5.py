@@ -836,7 +836,13 @@ class WEDataset:
             # cache with frame-0 blocks the featurizer never consumes
             return self._iter_frame_block(n_iter, frame, transient=True)[rows]
         n_atoms, coord_ndim = self.n_atoms_coord_ndim()
-        out = np.full((len(rows), n_atoms, coord_ndim), np.nan)
+        # Read all per-file pieces first, then allocate at the dtype
+        # promoted over them (floored at f32) -- the whole-block path
+        # returns native-dtype arrays, and a silent np.full-default f64
+        # upcast here would make the SAME call site flip dtype with cache
+        # state (breaking e.g. featurize_dedup's bitwise verify sample on
+        # f32 datasets) and double the gather memory
+        pieces = []
         for file_idx, _n in self._iter_index[n_iter]:
             in_file = np.flatnonzero(data["west_idx"][rows] == file_idx)
             if not len(in_file):
@@ -846,7 +852,12 @@ class WEDataset:
             # (split walkers share a parent)
             uniq, inverse = np.unique(local, return_inverse=True)
             dset = self._aux_dset(file_idx, n_iter)
-            block = dset[uniq, frame]
+            pieces.append((in_file, dset[uniq, frame], inverse))
+        dtype = np.result_type(
+            np.float32, *(b.dtype for _if, b, _inv in pieces)
+        ) if pieces else np.float32
+        out = np.full((len(rows), n_atoms, coord_ndim), np.nan, dtype=dtype)
+        for in_file, block, inverse in pieces:
             out[in_file] = block[inverse]
         return out
 

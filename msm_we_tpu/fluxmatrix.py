@@ -305,13 +305,6 @@ def device_flux_lag0(model, iters_to_use):
     strat = model._strat
     mesh = model._mesh
 
-    # Iteration selection folds into the weights (w * mask; f64 adds of
-    # zero are exact), so the big feature arrays need no sel-gather and
-    # the device copies cached by _device_row_feats (shared with the
-    # sharded discretization) are reused as-is -- one upload per build
-    sel = np.isin(feats["iteration"], list(iters_to_use))
-    w = np.where(sel, feats["weights"], 0.0).astype(np.float64)
-
     masks = model._pc_masks()
     basis_p = masks["basis_p"]
     # Target-region parents route to the target state only for
@@ -320,14 +313,14 @@ def device_flux_lag0(model, iters_to_use):
     if strat is not None:
         target_p = masks["target_p"]
     else:
-        target_p = np.zeros(len(w), bool)
+        target_p = np.zeros(len(feats["weights"]), bool)
     basis_c = masks["basis_c"]
     target_c = masks["target_c"]
 
     n_states = model.n_clusters + 2
     data_size = mesh.shape["data"]
     model_size = mesh.shape["model"]
-    N = len(w)
+    N = len(feats["weights"])
 
     if strat is not None:
         raw_pbins, raw_cbins = model._raw_we_bins()
@@ -375,9 +368,17 @@ def device_flux_lag0(model, iters_to_use):
     from jax.sharding import NamedSharding, PartitionSpec as _P
 
     row_sh = NamedSharding(mesh, _P("data"))
-    wkey = (id(type(feats)), N_pad, tuple(iters_to_use))
+    wkey = (N_pad, tuple(iters_to_use))
     cache = getattr(model, "_device_flux_row_cache", None)
     if cache is None or cache[0] is not feats or cache[1] != wkey:
+        # Iteration selection folds into the weights (w * mask; f64 adds
+        # of zero are exact), so the big feature arrays need no
+        # sel-gather and the device copies cached by _device_row_feats
+        # (shared with the sharded discretization) are reused as-is.
+        # Computed only on cache miss: the isin+where over all rows is
+        # ~0.3-1 s of host work at 10M that a cache hit makes pointless.
+        sel = np.isin(feats["iteration"], list(iters_to_use))
+        w = np.where(sel, feats["weights"], 0.0).astype(np.float64)
         with _scoped_x64():
             # Inside the x64 scope: device_put of float64 outside it
             # silently downcasts to f32, defeating the f64 accumulation

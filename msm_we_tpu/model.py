@@ -374,7 +374,7 @@ class modelWE:
     def basis_pcoord_bounds(self, bounds):
         self._basis_pcoord_bounds = self._check_bounds(bounds)
         self.basis_bin_centers = self._bin_centers_of_bounds(self._basis_pcoord_bounds)
-        self._pc_masks_cache = None
+        self._invalidate_pcoord_caches()
 
     @property
     def target_pcoord_bounds(self):
@@ -384,7 +384,7 @@ class modelWE:
     def target_pcoord_bounds(self, bounds):
         self._target_pcoord_bounds = self._check_bounds(bounds)
         self.target_bin_centers = self._bin_centers_of_bounds(self._target_pcoord_bounds)
-        self._pc_masks_cache = None
+        self._invalidate_pcoord_caches()
 
     # Deprecated 1-D aliases (reference msm_we.py:279-298,365-387)
     @property
@@ -1122,6 +1122,11 @@ class modelWE:
         ``_features['pcoord0']``/``'pcoord1'`` in place (tests do)."""
         self._raw_bins_cache = None
         self._pc_masks_cache = None
+        # Device uploads derived from the masks/pcoords go stale with them
+        # (the flux row cache holds basis/target masks; the p1 cache holds
+        # pcoords for the device stats route)
+        self._device_flux_row_cache = None
+        self._device_p1_cache = None
 
     def _raw_we_bins(self):
         """Un-remapped WE bin of every segment's parent/child pcoord (cached:

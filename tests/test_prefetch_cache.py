@@ -276,3 +276,31 @@ def test_iter_frame_subset_fast_path_matches_selective(h5path, monkeypatch):
     selective = ds.iter_frame_subset(2, rows, -1)
     np.testing.assert_array_equal(fast, selective)
     ds.close()
+
+
+def test_iter_frame_subset_dtype_stable_across_paths(tmp_path, monkeypatch):
+    """The selective path must return the same dtype as the whole-block
+    path (native f32 stays f32) -- a np.full-default f64 upcast made the
+    same call site flip dtype with cache state, breaking byte-exact
+    consumers like featurize_dedup's verify sample."""
+    import h5py
+
+    src = str(tmp_path / "f32.h5")
+    generate_west_h5(src, n_iterations=6, n_segments=200, seed=2)
+    with h5py.File(src, "r+") as h5:
+        for it in list(h5["iterations"]):
+            g = h5[f"iterations/{it}/auxdata"]
+            name = list(g)[0]
+            data = g[name][:].astype(np.float32)
+            del g[name]
+            g.create_dataset(name, data=data)
+    ds = WEDataset([src])
+    rows = [0, 3, 3, 7]  # sparse: 4 * 16 < 200 segments
+    fast = ds.iter_frame_subset(2, rows, -1)
+    assert fast.dtype == np.float32
+    # Force the size gate open so the sparse-rows selective branch runs
+    monkeypatch.setattr(ds, "_block_nbytes_estimate", lambda: (33 << 20))
+    sel = ds.iter_frame_subset(2, rows, -1)
+    assert sel.dtype == np.float32, "selective path upcast the coords"
+    np.testing.assert_array_equal(fast, sel)
+    ds.close()
