@@ -14,8 +14,30 @@ import os
 
 import numpy as np
 
+from functools import lru_cache
+
 from ._logging import log
 from .features import _id_columns_to_host, _pad_rows_to
+
+
+@lru_cache(maxsize=16)
+def _remap_gather_fn(sharding):
+    """Jitted on-device WE-bin remap gather (memoized per sharding).
+
+    The raw per-segment WE bins are call-invariant (cached on device with
+    the other row arrays), while ``strat.we_remap`` is a handful of ints
+    that changes when cleaning empties a bin -- re-uploading 2N remapped
+    int32 bins cost ~1.7 s per flux call at 10M rows; uploading the tiny
+    remap and gathering on device is ~ms. Padded rows (-1) stay -1."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(raw, remap):
+        return jnp.where(
+            raw >= 0, remap[jnp.maximum(raw, 0)], jnp.int32(-1)
+        ).astype(jnp.int32)
+
+    return jax.jit(f, out_shardings=sharding)
 
 
 def get_flux_matrix(
@@ -297,6 +319,15 @@ def device_flux_lag0(model, iters_to_use):
 
     Results match the host bincount path to f64 summation-order (the
     parity test asserts JtargetSS equality through the full build).
+
+    ``MSM_WE_TPU_DEVICE_FLUX_F32=1`` opts the accumulation into plain f32
+    (the scatter dtype follows the weights): the f64-emulated scatter
+    measured 1.57 s vs 0.12 s f32 at 10M rows, and BOTH share f32's
+    exponent range (double-double emulation keeps only the mantissa), so
+    the existing ``device_f64_weights_ok`` range guard covers the tier;
+    what the tier trades is summation precision (~1e-6 relative at 10M
+    adds vs ~1e-14). Serving tier for the device-resident big-N regime;
+    never the default.
     """
     from .parallel.sharded import build_sharded_step
     from .utils import _scoped_x64
@@ -304,6 +335,10 @@ def device_flux_lag0(model, iters_to_use):
     feats = model._featurize_all()
     strat = model._strat
     mesh = model._mesh
+
+    f32_tier = os.environ.get("MSM_WE_TPU_DEVICE_FLUX_F32", "") == "1"
+    if f32_tier:
+        from contextlib import nullcontext as _scoped_x64  # noqa: F811
 
     masks = model._pc_masks()
     basis_p = masks["basis_p"]
@@ -358,17 +393,17 @@ def device_flux_lag0(model, iters_to_use):
     fp_dev, fc_dev = model._device_row_feats()
     centersC, center_binC, validC = bank(K_pad)
 
-    # Call-invariant row arrays (masks, selection-folded f64 weights) are
-    # uploaded ONCE per (feature set, iteration window, N_pad) and reused
-    # across cleaning passes: re-uploading them cost ~100 MB (~1.5-2 s
-    # through the tunnel) PER get_fluxMatrix call on a 10M build. The
-    # bins arrays are NOT cached -- strat.we_remap changes when cleaning
-    # empties a bin.
+    # Call-invariant row arrays (masks, selection-folded f64 weights,
+    # RAW WE bins) are uploaded ONCE per (feature set, iteration window,
+    # N_pad) and reused across cleaning passes: re-uploading them cost
+    # ~100 MB (~1.5-2 s through the tunnel) PER get_fluxMatrix call on a
+    # 10M build. The REMAPPED bins are derived per call on device from
+    # the cached raw bins and the (tiny) current we_remap.
     import jax as _jax
     from jax.sharding import NamedSharding, PartitionSpec as _P
 
     row_sh = NamedSharding(mesh, _P("data"))
-    wkey = (N_pad, tuple(iters_to_use))
+    wkey = (N_pad, tuple(iters_to_use), f32_tier)
     cache = getattr(model, "_device_flux_row_cache", None)
     if cache is None or cache[0] is not feats or cache[1] != wkey:
         # Iteration selection folds into the weights (w * mask; f64 adds
@@ -378,7 +413,9 @@ def device_flux_lag0(model, iters_to_use):
         # Computed only on cache miss: the isin+where over all rows is
         # ~0.3-1 s of host work at 10M that a cache hit makes pointless.
         sel = np.isin(feats["iteration"], list(iters_to_use))
-        w = np.where(sel, feats["weights"], 0.0).astype(np.float64)
+        w = np.where(sel, feats["weights"], 0.0).astype(
+            np.float32 if f32_tier else np.float64
+        )
         with _scoped_x64():
             # Inside the x64 scope: device_put of float64 outside it
             # silently downcasts to f32, defeating the f64 accumulation
@@ -393,15 +430,35 @@ def device_flux_lag0(model, iters_to_use):
                 "basis_c": _jax.device_put(pad_rows(basis_c, False), row_sh),
                 "target_c": _jax.device_put(pad_rows(target_c, False), row_sh),
                 "target_p": _jax.device_put(pad_rows(target_p, False), row_sh),
+                "raw_p": (
+                    _jax.device_put(
+                        pad_rows(raw_pbins.astype(np.int32), -1), row_sh
+                    )
+                    if strat is not None else None
+                ),
+                "raw_c": (
+                    _jax.device_put(
+                        pad_rows(raw_cbins.astype(np.int32), -1), row_sh
+                    )
+                    if strat is not None else None
+                ),
             },
         )
         model._device_flux_row_cache = cache
     rows = cache[2]
+    if strat is not None and rows.get("raw_p") is not None:
+        gather = _remap_gather_fn(row_sh)
+        remap_dev = _jax.device_put(strat.we_remap.astype(np.int32))
+        pbins_arg = gather(rows["raw_p"], remap_dev)
+        cbins_arg = gather(rows["raw_c"], remap_dev)
+    else:
+        pbins_arg = pad_rows(pbins, -1)
+        cbins_arg = pad_rows(cbins, -1)
     args = (
         fp_dev,
         fc_dev,
-        pad_rows(pbins, -1),
-        pad_rows(cbins, -1),
+        pbins_arg,
+        cbins_arg,
         rows["basis_p"],
         rows["basis_c"],
         rows["target_c"],

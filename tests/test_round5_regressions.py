@@ -415,3 +415,27 @@ def test_device_flux_row_cache_reused_and_f64(mesh_model):
     # selection)
     fluxmatrix.device_flux_lag0(model, iters[:-1])
     assert model._device_flux_row_cache is not cache1
+
+
+def test_device_flux_f32_tier_matches_f64(mesh_model, monkeypatch):
+    """The opt-in f32 accumulation tier (MSM_WE_TPU_DEVICE_FLUX_F32=1)
+    must match the f64-emulated route to f32 summation tolerance and must
+    actually accumulate in f32 (the cached weights dtype proves the traced
+    program's scatter dtype)."""
+    from msm_we_tpu import fluxmatrix
+
+    model = mesh_model
+    iters = list(range(2, model.maxIter))
+    model._device_flux_row_cache = None
+    fm64 = fluxmatrix.device_flux_lag0(model, iters)
+    assert model._device_flux_row_cache[2]["w"].dtype == np.float64
+
+    monkeypatch.setenv("MSM_WE_TPU_DEVICE_FLUX_F32", "1")
+    fm32 = fluxmatrix.device_flux_lag0(model, iters)
+    assert model._device_flux_row_cache[2]["w"].dtype == np.float32
+    np.testing.assert_allclose(fm32, fm64, rtol=2e-5, atol=1e-12)
+    # The tier key invalidates correctly when flipping back
+    monkeypatch.delenv("MSM_WE_TPU_DEVICE_FLUX_F32")
+    fm64b = fluxmatrix.device_flux_lag0(model, iters)
+    assert model._device_flux_row_cache[2]["w"].dtype == np.float64
+    np.testing.assert_array_equal(fm64b, fm64)
